@@ -1,0 +1,214 @@
+"""points ⨝ tiles elevation lookup — the engine's core operator.
+
+Reference parity (SURVEY.md §2): op-7 HGT decode, op-8 grid transform +
+bounds check, op-9 bilinear, op-10 nearest, op-11 the point⨝tile join,
+op-13 cache→locality, op-14 total error surface (never throws per-row:
+``elevation:double NULL`` + ``status``).
+
+Two physical strategies, chosen for the 100 TB case:
+
+- ``broadcast``: when the *working set* of tiles is small (the common case —
+  a query touches a bounded region), ship the tile bytes to every worker
+  once and enrich with a single ``mapInPandas`` pass over the points.
+  **Zero shuffle of the points table** — at 100 TB of pages this is the
+  difference between a map-only job and a full-table shuffle.  The
+  reference's LRU tile cache (tileset.js § TileSet, TILE_SET_CACHE=128)
+  reappears as a per-worker decoded-grid LRU of the same default size.
+
+- ``cogroup``: when the tile working set is too big to broadcast, shuffle
+  both sides by tile_key and run the kernel per cogroup.  The tile blob
+  crosses the wire once per group — never replicated per point row (a plain
+  join would glue 2.9 MB onto every point).  Optional salting splits
+  hotspot tiles (a landmark tile holding a large share of all points)
+  into ``salt_factor`` sub-groups; AQE skew-join cannot help here because
+  the skew is inside a single group, not a partition of many keys.
+"""
+
+from __future__ import annotations
+
+import gzip
+from collections import OrderedDict
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import kernels
+from ..functions.keys import skadi_key_col
+
+STATUS_OK = "OK"
+STATUS_OUT_OF_BOUNDS = "OUT_OF_BOUNDS"
+STATUS_TILE_MISSING = "TILE_MISSING"
+STATUS_BAD_TILE = "BAD_TILE"
+
+# per-worker decoded-grid LRU (TILE_SET_CACHE parity: default 128 tiles)
+_GRID_CACHE: OrderedDict = OrderedDict()
+_GRID_CACHE_SIZE = 128
+
+
+def decode_tile_bytes(encoding: str, data: bytes) -> np.ndarray:
+    """tile bytes -> south-origin elevation grid (raises on bad bytes)."""
+    if encoding == "hgt":
+        return kernels.decode_hgt(data)
+    if encoding == "hgt.gz":
+        return kernels.decode_hgt(gzip.decompress(data))
+    if encoding == "terrarium-png":
+        return kernels.decode_terrarium_png(data)
+    raise ValueError(f"Unknown tile encoding: {encoding}")
+
+
+def _cached_grid(tile_key: str, encoding: str, data: bytes) -> np.ndarray:
+    import zlib
+    ck = (tile_key, encoding, len(data), zlib.crc32(data[:1024]))
+    grid = _GRID_CACHE.get(ck)
+    if grid is None:
+        grid = decode_tile_bytes(encoding, data)
+        _GRID_CACHE[ck] = grid
+        while len(_GRID_CACHE) > _GRID_CACHE_SIZE:
+            _GRID_CACHE.popitem(last=False)
+    else:
+        _GRID_CACHE.move_to_end(ck)
+    return grid
+
+
+def _enrich_one_tile(lat: np.ndarray, lon: np.ndarray,
+                     tile: tuple | None, interpolation: str
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """(elev float64 w/ NaN, status object array) for points of ONE tile.
+    tile = (sw_lat, sw_lon, encoding, data) or None if missing."""
+    n = len(lat)
+    elev = np.full(n, np.nan)
+    status = np.full(n, STATUS_OK, dtype=object)
+    invalid = ~((lat >= -90.0) & (lat <= 90.0) & (lon >= -180.0) & (lon <= 180.0))
+    status[invalid] = STATUS_OUT_OF_BOUNDS
+    ok_mask = ~invalid
+    if tile is None:
+        status[ok_mask] = STATUS_TILE_MISSING
+        return elev, status
+    sw_lat, sw_lon, encoding, data = tile
+    try:
+        grid = _cached_grid(f"{sw_lat}/{sw_lon}", encoding, data)
+    except Exception:
+        status[ok_mask] = STATUS_BAD_TILE
+        return elev, status
+    if ok_mask.any():
+        e, inb = kernels.lookup_elevation(grid, sw_lat, sw_lon,
+                                          lat[ok_mask], lon[ok_mask],
+                                          interpolation=interpolation)
+        idx = np.nonzero(ok_mask)[0]
+        elev[idx] = e
+        status[idx[~inb]] = STATUS_OUT_OF_BOUNDS
+        elev[idx[~inb]] = np.nan
+    return elev, status
+
+
+def with_tile_key(points: DataFrame, key_col: str = "tile_key") -> DataFrame:
+    if key_col in points.columns:
+        return points
+    return points.withColumn(key_col, skadi_key_col(F.col("lat"), F.col("lon")))
+
+
+def _out_schema(points: DataFrame) -> T.StructType:
+    fields = list(points.schema.fields)
+    names = {f.name for f in fields}
+    assert "elevation" not in names and "status" not in names
+    fields.append(T.StructField("elevation", T.DoubleType(), True))
+    fields.append(T.StructField("status", T.StringType(), False))
+    return T.StructType(fields)
+
+
+def enrich_points(points: DataFrame, tiles: DataFrame, *,
+                  interpolation: str = "bilinear",
+                  strategy: str = "auto",
+                  salt_factor: int | None = None,
+                  broadcast_bytes_threshold: int = 512 << 20) -> DataFrame:
+    """Add (tile_key, elevation, status) to a points DataFrame.
+
+    points: any schema containing lat:double, lon:double.
+    tiles:  TILES_SCHEMA (sources/tiles.py).
+    """
+    points = with_tile_key(points)
+    if strategy == "auto":
+        needed = points.select("tile_key").distinct()
+        sz = (tiles.join(needed, "tile_key", "left_semi")
+              .agg(F.coalesce(F.sum(F.length("data")), F.lit(0)).alias("b"))
+              .collect()[0]["b"])
+        strategy = "broadcast" if sz <= broadcast_bytes_threshold else "cogroup"
+    if strategy == "broadcast":
+        return _enrich_broadcast(points, tiles, interpolation)
+    return _enrich_cogroup(points, tiles, interpolation, salt_factor)
+
+
+def _enrich_broadcast(points: DataFrame, tiles: DataFrame,
+                      interpolation: str) -> DataFrame:
+    spark = points.sparkSession
+    needed = points.select("tile_key").distinct()
+    rows = (tiles.join(needed, "tile_key", "left_semi")
+            .select("tile_key", "sw_lat", "sw_lon", "encoding", "data").collect())
+    bc = spark.sparkContext.broadcast(
+        {r["tile_key"]: (r["sw_lat"], r["sw_lon"], r["encoding"], bytes(r["data"]))
+         for r in rows})
+    schema = _out_schema(points)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tile_map = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            elev = np.full(n, np.nan)
+            status = np.full(n, STATUS_OK, dtype=object)
+            lat = pdf["lat"].to_numpy(dtype=np.float64)
+            lon = pdf["lon"].to_numpy(dtype=np.float64)
+            for key, idx in pdf.groupby("tile_key").indices.items():
+                e, s = _enrich_one_tile(lat[idx], lon[idx],
+                                        tile_map.get(key), interpolation)
+                elev[idx] = e
+                status[idx] = s
+            out = pdf.copy()
+            out["elevation"] = elev
+            out["status"] = status
+            yield out
+
+    return points.mapInPandas(gen, schema)
+
+
+def _enrich_cogroup(points: DataFrame, tiles: DataFrame,
+                    interpolation: str, salt_factor: int | None) -> DataFrame:
+    keys = ["tile_key"]
+    pts = points
+    tls = (tiles.join(points.select("tile_key").distinct(), "tile_key", "left_semi")
+           .select("tile_key", "sw_lat", "sw_lon", "encoding", "data"))
+    if salt_factor and salt_factor > 1:
+        # split each tile's point group k ways; replicate the tile row k times
+        pts = pts.withColumn("_salt", F.pmod(F.hash("lat", "lon"), F.lit(salt_factor)))
+        tls = tls.withColumn("_salt", F.explode(F.array([F.lit(i) for i in range(salt_factor)])))
+        keys = ["tile_key", "_salt"]
+    schema = _out_schema(pts)
+
+    def fn(pts_pdf: pd.DataFrame, tls_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pts_pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        tile = None
+        if len(tls_pdf) > 0:
+            r = tls_pdf.iloc[0]
+            tile = (int(r["sw_lat"]), int(r["sw_lon"]), r["encoding"], bytes(r["data"]))
+        lat = pts_pdf["lat"].to_numpy(dtype=np.float64)
+        lon = pts_pdf["lon"].to_numpy(dtype=np.float64)
+        elev, status = _enrich_one_tile(lat, lon, tile, interpolation)
+        out = pts_pdf.copy()
+        out["elevation"] = elev
+        out["status"] = status
+        return out
+
+    out = (pts.groupBy(*keys).cogroup(tls.groupBy(*keys)).applyInPandas(fn, schema))
+    if salt_factor and salt_factor > 1:
+        out = out.drop("_salt")
+    return out
+
+
+def missing_tiles(points: DataFrame, tiles: DataFrame) -> DataFrame:
+    """Requested tile keys absent from the tile table (left-anti; §2.B)."""
+    return (with_tile_key(points).select("tile_key").distinct()
+            .join(tiles, "tile_key", "left_anti"))

@@ -1,0 +1,261 @@
+"""Driver-contract queries (__spark_entry__.queries / oracle_sql).
+
+Each query derives deterministic points from the driver's TPC-H-ish tables
+(`/root/testdata/sf*/…`) with *integer-only* arithmetic, runs the REAL
+engine pipeline on the Spark side (binary tile decode, regex extraction,
+joins), and is paired with DuckDB SQL that recomputes the expected result
+from the closed-form DEM / derivation — bit-exact, because every float is
+produced by the identical sequence of IEEE-754 ops in both engines and no
+libm transcendental participates in oracle-checked values.
+
+Derivation fragments are written once as SQL text and fed verbatim to both
+Spark (``F.expr``) and DuckDB, so they cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.extract import extract_coords
+from .operators.lookup import enrich_points, missing_tiles
+from .sources.tiles import fixture_tiles_df
+from . import fixtures
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- shared derivation fragments (identical text for Spark and DuckDB) -----
+
+_TILES = fixtures.FIXTURE_TILES  # (key, sw_lat, sw_lon, size, enc)
+
+SW_LAT_SQL = ("CASE CAST(c_custkey % 5 AS INT) "
+              + " ".join(f"WHEN {i} THEN {t[1]}" for i, t in enumerate(_TILES[:4]))
+              + f" ELSE {_TILES[4][1]} END")
+SW_LON_SQL = ("CASE CAST(c_custkey % 5 AS INT) "
+              + " ".join(f"WHEN {i} THEN {t[2]}" for i, t in enumerate(_TILES[:4]))
+              + f" ELSE {_TILES[4][2]} END")
+SIZE_SQL = ("CASE CAST(c_custkey % 5 AS INT) "
+            + " ".join(f"WHEN {i} THEN {t[3]}" for i, t in enumerate(_TILES[:4]))
+            + f" ELSE {_TILES[4][3]} END")
+TKEY_SQL = ("CASE CAST(c_custkey % 5 AS INT) "
+            + " ".join(f"WHEN {i} THEN '{t[0]}'" for i, t in enumerate(_TILES[:4]))
+            + f" ELSE '{_TILES[4][0]}' END")
+# fractional offsets in [0.020, 0.979]: void node (10,10) and tile edges never
+# participate, so the closed form is the complete truth for these points
+FLAT_SQL = "((c_custkey * 7919) % 960 + 20) / CAST(1000 AS DOUBLE)"
+FLON_SQL = "((c_custkey * 104729) % 960 + 20) / CAST(1000 AS DOUBLE)"
+LAT_SQL = f"({SW_LAT_SQL}) + {FLAT_SQL}"
+LON_SQL = f"({SW_LON_SQL}) + {FLON_SQL}"
+
+
+def _derived_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        F.expr(LAT_SQL).alias("lat"),
+        F.expr(LON_SQL).alias("lon"),
+    )
+
+
+_PTS_CTE = f"""pts AS (
+  SELECT c_custkey AS pid,
+         {SW_LAT_SQL} AS sw_lat, {SW_LON_SQL} AS sw_lon,
+         {SIZE_SQL} AS size, {TKEY_SQL} AS tile_key,
+         {LAT_SQL} AS lat, {LON_SQL} AS lon
+  FROM customer)"""
+
+# closed-form DEM at lattice node (r, c) of tile (sw_lat, sw_lon, size) —
+# must match fixtures.dem_value exactly
+def _dem_sql(r: str, c: str) -> str:
+    return ("CAST((((sw_lat + 90) * (size - 1) + (%s)) * 31 + "
+            "((sw_lon + 180) * (size - 1) + (%s)) * 17) %% 2000 - 1000 AS DOUBLE)"
+            % (r, c))
+
+
+_BILINEAR_ORACLE = f"""WITH {_PTS_CTE},
+g AS (SELECT *, (lat - sw_lat) * (size - 1) AS rw, (lon - sw_lon) * (size - 1) AS cl FROM pts),
+h AS (SELECT *, CAST(floor(rw) AS BIGINT) AS r0, CAST(floor(cl) AS BIGINT) AS c0,
+             rw - floor(rw) AS rf, cl - floor(cl) AS cf FROM g),
+v AS (SELECT *,
+  {_dem_sql('r0', 'c0')} AS v00,
+  {_dem_sql('r0', 'c0 + 1')} AS v10,
+  {_dem_sql('r0 + 1', 'c0')} AS v01,
+  {_dem_sql('r0 + 1', 'c0 + 1')} AS v11
+  FROM h)
+SELECT pid, tile_key, lat, lon,
+  (v00 + (v10 - v00) * cf) + ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf AS elevation,
+  'OK' AS status
+FROM v"""
+
+_NEAREST_ORACLE = f"""WITH {_PTS_CTE},
+g AS (SELECT *, (lat - sw_lat) * (size - 1) AS rw, (lon - sw_lon) * (size - 1) AS cl FROM pts),
+h AS (SELECT *, least(CAST(floor(rw + CAST(0.5 AS DOUBLE)) AS BIGINT), size - 1) AS rn,
+             least(CAST(floor(cl + CAST(0.5 AS DOUBLE)) AS BIGINT), size - 1) AS cn FROM g)
+SELECT pid, tile_key, lat, lon, {_dem_sql('rn', 'cn')} AS elevation, 'OK' AS status
+FROM h"""
+
+
+def _q_elevation(spark: SparkSession, sf_dir: str, *, encoding: str | None = None,
+                 interpolation: str = "bilinear", strategy: str = "broadcast") -> DataFrame:
+    pts = _derived_points(spark, sf_dir)
+    enc = {t[0]: encoding for t in _TILES} if encoding else None
+    tiles = fixture_tiles_df(spark, encodings=enc)
+    out = enrich_points(pts, tiles, interpolation=interpolation, strategy=strategy)
+    return out.select("pid", "tile_key", "lat", "lon", "elevation", "status")
+
+
+def q_elevation_hgt(spark, sf_dir):
+    """Flagship: derived points → skadi key → tile join → HGT decode →
+    bilinear (ops 5,7,8,9,11 of SURVEY.md §2)."""
+    return _q_elevation(spark, sf_dir)
+
+
+def q_elevation_terrarium(spark, sf_dir):
+    """Same pipeline with every tile stored as terrarium PNG (graft §1.5)."""
+    return _q_elevation(spark, sf_dir, encoding="terrarium-png")
+
+
+def q_elevation_nearest(spark, sf_dir):
+    """Nearest-neighbour interpolation option (op 10)."""
+    return _q_elevation(spark, sf_dir, interpolation="nearest")
+
+
+def q_elevation_cogroup(spark, sf_dir):
+    """Bilinear via the shuffle/cogroup physical strategy with salting —
+    must produce the identical result to the broadcast plan."""
+    return _q_elevation(spark, sf_dir, strategy="cogroup")
+
+
+def q_tile_stats(spark, sf_dir):
+    """Per-tile aggregation over enriched points (§2.B aggregations).
+    Sums are exact: elevation scaled by 64 and floored to BIGINT so the
+    aggregate is order-independent across engines."""
+    out = _q_elevation(spark, sf_dir)
+    return (out.groupBy("tile_key")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.min("elevation").alias("min_elev"),
+                 F.max("elevation").alias("max_elev"),
+                 F.sum(F.floor(F.col("elevation") * 64 + F.lit(0.5)).cast("long")).alias("sum_e64")))
+
+
+_TILE_STATS_ORACLE = f"""WITH base AS ({_BILINEAR_ORACLE})
+SELECT tile_key, CAST(count(*) AS BIGINT) AS n_points,
+       min(elevation) AS min_elev, max(elevation) AS max_elev,
+       CAST(sum(CAST(floor(elevation * 64 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_e64
+FROM base GROUP BY tile_key"""
+
+
+# --- tile keys (op 5 + mercator graft) -------------------------------------
+
+_KLAT_SQL = "((c_custkey * 37) % 17000) / CAST(100 AS DOUBLE) - CAST(85 AS DOUBLE)"
+_KLON_SQL = "((c_custkey * 53) % 36000) / CAST(100 AS DOUBLE) - CAST(180 AS DOUBLE)"
+
+
+def q_tile_keys(spark, sf_dir):
+    from .functions.keys import mercator_x_col, skadi_key_col
+    df = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        F.expr(_KLAT_SQL).alias("lat"),
+        F.expr(_KLON_SQL).alias("lon"))
+    return df.select(
+        "pid", "lat", "lon",
+        skadi_key_col(F.col("lat"), F.col("lon")).alias("tile_key"),
+        mercator_x_col(F.col("lon"), 10).cast("long").alias("mx"))
+
+
+_TILE_KEYS_ORACLE = f"""WITH p AS (
+  SELECT c_custkey AS pid, {_KLAT_SQL} AS lat, {_KLON_SQL} AS lon FROM customer)
+SELECT pid, lat, lon,
+  (CASE WHEN floor(lat) < 0 THEN 'S' ELSE 'N' END ||
+   lpad(CAST(CAST(abs(floor(lat)) AS BIGINT) AS STRING), 2, '0') ||
+   CASE WHEN floor(lon) < 0 THEN 'W' ELSE 'E' END ||
+   lpad(CAST(CAST(abs(floor(lon)) AS BIGINT) AS STRING), 3, '0')) AS tile_key,
+  greatest(CAST(0 AS BIGINT), least(CAST(1023 AS BIGINT),
+    CAST(floor((lon + CAST(180 AS DOUBLE)) / CAST(360 AS DOUBLE) * CAST(1024 AS DOUBLE)) AS BIGINT))) AS mx
+FROM p"""
+
+
+# --- coordinate extraction (ops 1,3 + input_hint invariant) -----------------
+
+_LATD = "CAST((c_custkey * 7) % 170 AS INT) - 85"
+_LOND = "CAST((c_custkey * 11) % 359 AS INT) - 179"
+_LATF = "CAST((c_custkey * 13) % 9000 + 500 AS INT)"
+_LONF = "CAST((c_custkey * 17) % 9000 + 500 AS INT)"
+_LAT_STR = (f"CAST(({_LATD}) AS STRING) || '.' || lpad(CAST(({_LATF}) AS STRING), 4, '0')")
+_LON_STR = (f"CAST(({_LOND}) AS STRING) || '.' || lpad(CAST(({_LONF}) AS STRING), 4, '0')")
+_MATCHED_SQL = f"""CASE CAST(c_custkey % 4 AS INT)
+  WHEN 0 THEN {_LAT_STR} || ', ' || {_LON_STR}
+  WHEN 1 THEN 'lat=' || {_LAT_STR} || ';lon=' || {_LON_STR}
+  WHEN 2 THEN 'geo:' || {_LAT_STR} || ',' || {_LON_STR}
+  ELSE '{{"type":"Point","coordinates":[' || {_LON_STR} || ',' || {_LAT_STR} || ']}}' END"""
+_TEXT_SQL = f"'alpha ' || ({_MATCHED_SQL}) || ' omega v1.2, 3.4.5 price $9.99'"
+
+
+def q_extract_coords(spark, sf_dir):
+    """Runs the REAL extractor (regexp_extract_all + higher-order filter)
+    over deterministically constructed page text; the oracle constructs the
+    expected rows directly.  Validates the full extraction surface incl. the
+    byte-identical `matched` invariant and decoy rejection."""
+    pages = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"), F.expr(_TEXT_SQL).alias("text"))
+    return extract_coords(pages, keep_cols=("pid",))
+
+
+_EXTRACT_ORACLE = f"""SELECT c_custkey AS pid, 0 AS point_idx,
+  CAST({_LAT_STR} AS DOUBLE) AS lat, CAST({_LON_STR} AS DOUBLE) AS lon,
+  {_MATCHED_SQL} AS matched
+FROM customer"""
+
+
+# --- missing-tile anti-join (op 13 / §2.B joins) ----------------------------
+
+_MT_CORNERS = [(t[1], t[2]) for t in _TILES] + [(10, 10), (20, 25), (-45, 100)]
+_MT_KEYS = [fixtures.MISSING_TILE[0], "N20E025", "S45E100"]
+_MT_LAT = ("CASE CAST(c_custkey % 8 AS INT) "
+           + " ".join(f"WHEN {i} THEN CAST({c[0]}.5 AS DOUBLE)" for i, c in enumerate(_MT_CORNERS[:7]))
+           + f" ELSE CAST({_MT_CORNERS[7][0]}.5 AS DOUBLE) END")
+_MT_LON = ("CASE CAST(c_custkey % 8 AS INT) "
+           + " ".join(f"WHEN {i} THEN CAST({c[1]}.5 AS DOUBLE)" for i, c in enumerate(_MT_CORNERS[:7]))
+           + f" ELSE CAST({_MT_CORNERS[7][1]}.5 AS DOUBLE) END")
+
+
+def q_missing_tiles(spark, sf_dir):
+    pts = load(spark, sf_dir, "customer").select(
+        F.expr(_MT_LAT).alias("lat"), F.expr(_MT_LON).alias("lon"))
+    return missing_tiles(pts, fixture_tiles_df(spark))
+
+
+_MISSING_ORACLE = f"""SELECT DISTINCT tile_key FROM (
+  SELECT CASE WHEN floor(lat) < 0 THEN 'S' ELSE 'N' END ||
+         lpad(CAST(CAST(abs(floor(lat)) AS BIGINT) AS STRING), 2, '0') ||
+         CASE WHEN floor(lon) < 0 THEN 'W' ELSE 'E' END ||
+         lpad(CAST(CAST(abs(floor(lon)) AS BIGINT) AS STRING), 3, '0') AS tile_key
+  FROM (SELECT {_MT_LAT} AS lat, {_MT_LON} AS lon FROM customer))
+WHERE tile_key NOT IN ({", ".join(repr(t[0]) for t in _TILES)})"""
+
+
+# --- registry ---------------------------------------------------------------
+
+SPARK_QUERIES = {
+    "elevation_hgt": q_elevation_hgt,
+    "elevation_terrarium": q_elevation_terrarium,
+    "elevation_nearest": q_elevation_nearest,
+    "elevation_cogroup": q_elevation_cogroup,
+    "tile_stats": q_tile_stats,
+    "tile_keys": q_tile_keys,
+    "extract_coords": q_extract_coords,
+    "missing_tiles": q_missing_tiles,
+}
+
+ORACLES = {
+    "elevation_hgt": _BILINEAR_ORACLE,
+    "elevation_terrarium": _BILINEAR_ORACLE,
+    "elevation_nearest": _NEAREST_ORACLE,
+    "elevation_cogroup": _BILINEAR_ORACLE,
+    "tile_stats": _TILE_STATS_ORACLE,
+    "tile_keys": _TILE_KEYS_ORACLE,
+    "extract_coords": _EXTRACT_ORACLE,
+    "missing_tiles": _MISSING_ORACLE,
+}

@@ -1,0 +1,48 @@
+"""Raster tile table source/sink (SURVEY.md §1.3 Spark mapping).
+
+The reference's TileSet (S3 fetch + LRU cache, elevation-service/tileset.js)
+becomes a columnar table of tile rows; fetch-once/cache semantics become
+join locality + per-worker decoded-grid LRU (operators/lookup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .. import fixtures
+
+TILES_SCHEMA = T.StructType([
+    T.StructField("tile_key", T.StringType(), False),
+    T.StructField("z", T.IntegerType(), True),
+    T.StructField("x", T.IntegerType(), True),
+    T.StructField("y", T.IntegerType(), True),
+    T.StructField("sw_lat", T.IntegerType(), False),
+    T.StructField("sw_lon", T.IntegerType(), False),
+    T.StructField("size", T.IntegerType(), False),
+    T.StructField("encoding", T.StringType(), False),
+    T.StructField("data", T.BinaryType(), False),
+])
+
+
+def fixture_tiles_df(spark: SparkSession, include_bad: bool = False,
+                     encodings: dict[str, str] | None = None) -> DataFrame:
+    rows = fixtures.tiles_rows(encodings=encodings, include_bad=include_bad)
+    return spark.createDataFrame(
+        [(r["tile_key"], r["z"], r["x"], r["y"], r["sw_lat"], r["sw_lon"],
+          r["size"], r["encoding"], bytearray(r["data"])) for r in rows],
+        schema=TILES_SCHEMA,
+    )
+
+
+def write_tiles(df: DataFrame, path: str) -> None:
+    """Tile table sink: parquet, partitioned by 10-degree latitude band so a
+    band-restricted query prunes partitions at scan time (stands in for
+    Iceberg partition transforms; SURVEY.md §7.0)."""
+    from pyspark.sql import functions as F
+    (df.withColumn("lat_band", (F.col("sw_lat") / 10).cast("int") * 10)
+       .write.mode("overwrite").partitionBy("lat_band").parquet(path))
+
+
+def read_tiles(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop("lat_band")

@@ -1,0 +1,59 @@
+"""Emulates the driver's correctness gate: run every __spark_entry__
+queries() entry and its oracle_sql() twin (DuckDB) on the same parquet
+tables and compare row count, schema width, and exact values (floats
+bitwise — the oracles are designed to be IEEE-op-identical)."""
+
+import glob
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def duck_con():
+    con = duckdb.connect()
+    for f in glob.glob(f"{SF_DIR}/*.parquet"):
+        name = os.path.basename(f)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, name):
+    oracles = entrymod.oracle_sql()
+    if name not in oracles:
+        pytest.skip("rows-only query (no oracle)")
+    got = entrymod.queries()[name](spark, SF_DIR).toPandas()
+    exp = duck_con().execute(oracles[name]).df()
+    assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
+    assert sorted(got.columns) == sorted(exp.columns), f"{name}: columns differ"
+    g, e = canon(got), canon(exp)
+    for col in g.columns:
+        gv, ev = g[col].to_numpy(), e[col].to_numpy()
+        if gv.dtype.kind == "f" or ev.dtype.kind == "f":
+            ok = (gv == ev.astype(np.float64)) | (pd.isna(gv) & pd.isna(ev))
+            assert ok.all(), f"{name}.{col}: {np.sum(~ok)} float mismatches; " \
+                             f"first: {gv[~ok][:3]} vs {ev[~ok][:3]}"
+        else:
+            assert (gv.astype(object) == ev.astype(object)).all(), \
+                f"{name}.{col}: value mismatch"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"pid", "tile_key", "lat", "lon", "elevation", "status"}

@@ -1,0 +1,174 @@
+"""M1 end-to-end Spark tests: extraction → tile keys → tile join →
+bilinear enrichment, verified against the independent scalar reference
+and the fixture goldens."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from helpers import ref_bilinear, ref_nearest
+
+from elevation_service_spark import fixtures, kernels
+from elevation_service_spark.functions import (cell_id_col, mercator_x_col,
+                                               mercator_y_col, skadi_key_col)
+from elevation_service_spark.operators.extract import extract_coords
+from elevation_service_spark.operators.lookup import (enrich_points,
+                                                      missing_tiles)
+from elevation_service_spark.sources.tiles import fixture_tiles_df
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.LongType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+
+def pages_df(spark, n=120):
+    pages, golden = fixtures.pages_rows(n)
+    df = spark.createDataFrame(
+        [(p["url"], p["warc_ts"], bytearray(p["html"]), p["text"], p["lang"]) for p in pages],
+        schema=PAGES_SCHEMA)
+    return df, golden
+
+
+# --- extraction ------------------------------------------------------------
+
+def test_extract_coords_matches_golden_byte_identical(spark):
+    df, golden = pages_df(spark)
+    got = extract_coords(df).orderBy("url", "point_idx").collect()
+    exp = sorted(golden, key=lambda g: (g["url"], g["point_idx"]))
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert g["url"] == e["url"]
+        assert g["point_idx"] == e["point_idx"]
+        assert g["matched"] == e["matched"]          # byte-identical invariant
+        assert g["lat"] == pytest.approx(e["lat"], abs=0)
+        assert g["lon"] == pytest.approx(e["lon"], abs=0)
+
+
+def test_extract_plan_is_pure_projection(spark):
+    """The extraction must not shuffle and must not use Python UDFs."""
+    df, _ = pages_df(spark, 10)
+    plan = extract_coords(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+
+# --- tile keys -------------------------------------------------------------
+
+def test_skadi_key_col_matches_kernel(spark):
+    cases = [(57.7, 11.9), (-33.5, -70.5), (-0.0001, -0.0001), (0.5, 0.5),
+             (59.9999, 179.9999), (-89.5, -179.5), (1.0, 11.0)]
+    df = spark.createDataFrame(cases, ["lat", "lon"])
+    rows = df.select("lat", "lon", skadi_key_col(F.col("lat"), F.col("lon")).alias("k")).collect()
+    for r in rows:
+        assert r["k"] == kernels.skadi_key(r["lat"], r["lon"]), (r["lat"], r["lon"])
+
+
+def test_mercator_and_cell_cols_match_kernel(spark):
+    rng = np.random.default_rng(3)
+    lats = rng.uniform(-85, 85, 200)
+    lons = rng.uniform(-180, 180, 200)
+    df = spark.createDataFrame([(float(a), float(b)) for a, b in zip(lats, lons)], ["lat", "lon"])
+    rows = df.select(
+        "lat", "lon",
+        mercator_x_col(F.col("lon"), 10).alias("x"),
+        mercator_y_col(F.col("lat"), 10).alias("y"),
+        cell_id_col(F.col("lat"), F.col("lon"), 10).alias("cid"),
+    ).collect()
+    for r in rows:
+        x, y = kernels.mercator_xy(np.array([r["lat"]]), np.array([r["lon"]]), 10)
+        assert (r["x"], r["y"]) == (x[0], y[0])
+        assert r["cid"] == int(kernels.cell_id(10, x, y)[0])
+
+
+# --- enrichment (the core join + kernel) -----------------------------------
+
+def _golden_points(spark, include_missing=True, include_oob=True):
+    """Points with independently computed expected elevations."""
+    grids = {t[0]: fixtures.tile_grid(t[1], t[2], t[3]) for t in fixtures.FIXTURE_TILES}
+    sw = {t[0]: (t[1], t[2]) for t in fixtures.FIXTURE_TILES}
+    rng = np.random.default_rng(11)
+    rows, expected = [], []
+    i = 0
+    for key in grids:
+        for _ in range(40):
+            lat = sw[key][0] + float(rng.uniform(0.02, 0.98))
+            lon = sw[key][1] + float(rng.uniform(0.02, 0.98))
+            rows.append((i, lat, lon))
+            expected.append((ref_bilinear(grids[key], lat, lon, *sw[key]), "OK"))
+            i += 1
+    if include_missing:
+        rows.append((i, 10.5, 10.5)); expected.append((None, "TILE_MISSING")); i += 1
+    if include_oob:
+        rows.append((i, 95.0, 10.0)); expected.append((None, "OUT_OF_BOUNDS")); i += 1
+        rows.append((i, 10.0, 185.0)); expected.append((None, "OUT_OF_BOUNDS")); i += 1
+    df = spark.createDataFrame(rows, ["pid", "lat", "lon"])
+    return df, expected
+
+
+@pytest.mark.parametrize("strategy,salt", [("broadcast", None), ("cogroup", None), ("cogroup", 4)])
+def test_enrich_points_bit_exact_all_strategies(spark, strategy, salt):
+    pts, expected = _golden_points(spark)
+    tiles = fixture_tiles_df(spark)
+    out = enrich_points(pts, tiles, strategy=strategy, salt_factor=salt)
+    got = {r["pid"]: r for r in out.collect()}
+    assert len(got) == len(expected)
+    for pid, (elev, status) in enumerate(expected):
+        r = got[pid]
+        assert r["status"] == status, (pid, r)
+        if elev is None:
+            assert r["elevation"] is None
+        else:
+            assert r["elevation"] == elev, (pid, r["elevation"], elev)  # bit-exact
+
+
+def test_enrich_nearest_interpolation(spark):
+    grids = {t[0]: fixtures.tile_grid(t[1], t[2], t[3]) for t in fixtures.FIXTURE_TILES}
+    pts, _ = _golden_points(spark, include_missing=False, include_oob=False)
+    tiles = fixture_tiles_df(spark)
+    out = enrich_points(pts, tiles, interpolation="nearest", strategy="broadcast")
+    sw = {t[0]: (t[1], t[2]) for t in fixtures.FIXTURE_TILES}
+    for r in out.collect():
+        key = kernels.skadi_key(r["lat"], r["lon"])
+        assert r["elevation"] == ref_nearest(grids[key], r["lat"], r["lon"], *sw[key])
+
+
+def test_bad_tile_status(spark):
+    tiles = fixture_tiles_df(spark, include_bad=True)
+    pts = spark.createDataFrame([(0, 20.5, 20.5)], ["pid", "lat", "lon"])
+    out = enrich_points(pts, tiles, strategy="broadcast").collect()
+    assert out[0]["status"] == "BAD_TILE" and out[0]["elevation"] is None
+    out = enrich_points(pts, tiles, strategy="cogroup").collect()
+    assert out[0]["status"] == "BAD_TILE"
+
+
+def test_missing_tiles_anti_join(spark):
+    pts = spark.createDataFrame([(0, 10.5, 10.5), (1, 57.5, 11.5)], ["pid", "lat", "lon"])
+    tiles = fixture_tiles_df(spark)
+    got = [r["tile_key"] for r in missing_tiles(pts, tiles).collect()]
+    assert got == ["N10E010"]
+
+
+def test_end_to_end_pages_to_elevations(spark):
+    """The flagship path: pages → extract → enrich; verify against the
+    extraction golden + scalar bilinear on fixture grids."""
+    df, golden = pages_df(spark, 80)
+    tiles = fixture_tiles_df(spark)
+    pts = extract_coords(df)
+    out = enrich_points(pts, tiles, strategy="broadcast")
+    got = {(r["url"], r["point_idx"]): r for r in out.collect()}
+    grids = {t[0]: fixtures.tile_grid(t[1], t[2], t[3]) for t in fixtures.FIXTURE_TILES}
+    sw = {t[0]: (t[1], t[2]) for t in fixtures.FIXTURE_TILES}
+    assert len(got) == len(golden)
+    for g in golden:
+        r = got[(g["url"], g["point_idx"])]
+        key = kernels.skadi_key(g["lat"], g["lon"])
+        if key in grids:
+            assert r["status"] == "OK"
+            assert r["elevation"] == ref_bilinear(grids[key], g["lat"], g["lon"], *sw[key])
+        else:
+            assert r["status"] == "TILE_MISSING"
