@@ -1,0 +1,189 @@
+"""GeoJSON coordinate augmentation (SURVEY.md §2 ops 3, 4, 12, 14).
+
+Reference semantics (geojson-elevation/index.js § addElevation):
+- recursive dispatch on ``type`` visiting every position of Point /
+  MultiPoint / LineString / MultiLineString / Polygon / MultiPolygon /
+  GeometryCollection / Feature / FeatureCollection, in document order;
+- coordinates are GeoJSON ``[lon, lat]``; the provider is called with
+  ``[lat, lon]``; elevation is written back as ``coords[2]``;
+- the rest of the document (properties, foreign members) passes through
+  untouched.
+
+Spark shape: GeoJSON nesting is ragged (1-4 deep depending on geometry
+type), which StructType cannot express — documents stay raw JSON strings
+and the walk happens batch-at-a-time inside Arrow UDFs (SURVEY.md §1.2).
+Positions of one document co-locate via groupBy(url); document size is
+bounded (the reference caps POST bodies ~500 kB), so per-group memory is
+bounded and there is no intra-group skew concern at scale.
+
+Engine error surface (op 14, total — never throws per-row):
+doc status ∈ OK | PARTIAL (some positions unenriched) | EMPTY (no
+positions) | INVALID_JSON | NOT_GEOJSON.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .lookup import enrich_points
+
+_GEOM_TYPES = {"Point", "MultiPoint", "LineString", "MultiLineString",
+               "Polygon", "MultiPolygon", "GeometryCollection", "Feature",
+               "FeatureCollection"}
+
+
+def walk_positions(obj) -> Iterator[list]:
+    """Yield every position array of a GeoJSON value, in the reference's
+    visit order (document order, depth-first).  Yields the *mutable* lists
+    so the re-assembly pass can write coords[2] in place."""
+    t = obj.get("type") if isinstance(obj, dict) else None
+    if t == "Point":
+        yield obj["coordinates"]
+    elif t in ("MultiPoint", "LineString"):
+        yield from obj["coordinates"]
+    elif t in ("MultiLineString", "Polygon"):
+        for ring in obj["coordinates"]:
+            yield from ring
+    elif t == "MultiPolygon":
+        for poly in obj["coordinates"]:
+            for ring in poly:
+                yield from ring
+    elif t == "GeometryCollection":
+        for g in obj["geometries"]:
+            yield from walk_positions(g)
+    elif t == "Feature":
+        if obj.get("geometry"):
+            yield from walk_positions(obj["geometry"])
+    elif t == "FeatureCollection":
+        for f in obj["features"]:
+            yield from walk_positions(f)
+    else:
+        raise ValueError(f"not a GeoJSON value: type={t!r}")
+
+
+def canonical_json(obj) -> str:
+    """Canonical serialization for byte-comparison goldens: sorted keys,
+    no whitespace (FIXTURES.md §4)."""
+    return json.dumps(obj, separators=(",", ":"), sort_keys=True)
+
+
+_FLAT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("pos_idx", T.IntegerType(), False),
+    T.StructField("lat", T.DoubleType(), True),
+    T.StructField("lon", T.DoubleType(), True),
+])
+
+
+def flatten_geojson(docs: DataFrame, url_col: str = "url",
+                    geojson_col: str = "geojson") -> DataFrame:
+    """One row per GeoJSON position: (url, pos_idx, lat, lon).  Invalid or
+    non-GeoJSON documents yield no rows here; they are re-detected (and
+    statused) by reassembly, so the flatten stays a pure generator."""
+    cols = (url_col, geojson_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, idxs, lats, lons = [], [], [], []
+            for url, raw in zip(pdf[url_col], pdf[geojson_col]):
+                try:
+                    obj = json.loads(raw)
+                    positions = list(walk_positions(obj))
+                except (ValueError, TypeError, KeyError):
+                    continue
+                for i, pos in enumerate(positions):
+                    urls.append(url)
+                    idxs.append(i)
+                    # GeoJSON order [lon, lat]; provider order [lat, lon] (op 4)
+                    lons.append(float(pos[0]))
+                    lats.append(float(pos[1]))
+            yield pd.DataFrame({"url": pd.Series(urls, dtype=object),
+                                "pos_idx": pd.Series(idxs, dtype="int32"),
+                                "lat": pd.Series(lats, dtype="float64"),
+                                "lon": pd.Series(lons, dtype="float64")})
+
+    return docs.select(*cols).mapInPandas(gen, _FLAT_SCHEMA)
+
+
+_DOC_OUT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("geojson_out", T.StringType(), True),
+    T.StructField("n_positions", T.IntegerType(), False),
+    T.StructField("n_enriched", T.IntegerType(), False),
+    T.StructField("status", T.StringType(), False),
+])
+
+
+def reassemble_geojson(docs: DataFrame, enriched: DataFrame,
+                       url_col: str = "url",
+                       geojson_col: str = "geojson") -> DataFrame:
+    """Inverse of flatten (op 12): write elevations back as coords[2] in
+    the original documents.  enriched: (url, pos_idx, elevation, ...).
+    Output position order == input order (sort by pos_idx inside group)."""
+    docs_sel = docs.select(url_col, geojson_col)
+    pos_sel = enriched.select("url", "pos_idx", "elevation")
+
+    def fn(docs_pdf: pd.DataFrame, pos_pdf: pd.DataFrame) -> pd.DataFrame:
+        pos_pdf = pos_pdf.sort_values("pos_idx")
+        elevs = pos_pdf["elevation"].tolist()
+        out = {"url": [], "geojson_out": [], "n_positions": [],
+               "n_enriched": [], "status": []}
+        for url, raw in zip(docs_pdf[url_col], docs_pdf[geojson_col]):
+            geojson_out, n_pos, n_enr, status = None, 0, 0, "OK"
+            try:
+                obj = json.loads(raw)
+            except (ValueError, TypeError):
+                status = "INVALID_JSON"
+                obj = None
+            if obj is not None:
+                try:
+                    positions = list(walk_positions(obj))
+                except (ValueError, TypeError, KeyError):
+                    status = "NOT_GEOJSON"
+                    positions = None
+                if positions is not None:
+                    n_pos = len(positions)
+                    for i, pos in enumerate(positions):
+                        ele = elevs[i] if i < len(elevs) else None
+                        if ele is not None and ele == ele:  # not NaN
+                            if len(pos) >= 3:
+                                pos[2] = float(ele)
+                            else:
+                                pos.append(float(ele))
+                            n_enr += 1
+                    geojson_out = canonical_json(obj)
+                    status = ("EMPTY" if n_pos == 0
+                              else "OK" if n_enr == n_pos else "PARTIAL")
+            out["url"].append(url)
+            out["geojson_out"].append(geojson_out)
+            out["n_positions"].append(n_pos)
+            out["n_enriched"].append(n_enr)
+            out["status"].append(status)
+        return pd.DataFrame({
+            "url": pd.Series(out["url"], dtype=object),
+            "geojson_out": pd.Series(out["geojson_out"], dtype=object),
+            "n_positions": pd.Series(out["n_positions"], dtype="int32"),
+            "n_enriched": pd.Series(out["n_enriched"], dtype="int32"),
+            "status": pd.Series(out["status"], dtype=object),
+        })
+
+    return (docs_sel.groupBy(url_col)
+            .cogroup(pos_sel.groupBy("url"))
+            .applyInPandas(fn, _DOC_OUT_SCHEMA))
+
+
+def add_elevation_docs(docs: DataFrame, tiles: DataFrame, *,
+                       interpolation: str = "bilinear",
+                       strategy: str = "auto") -> DataFrame:
+    """The full POST /geojson equivalent: flatten → tile join + kernel →
+    re-assemble.  Returns (url, geojson_out, n_positions, n_enriched,
+    status)."""
+    flat = flatten_geojson(docs)
+    enriched = enrich_points(flat, tiles, interpolation=interpolation,
+                             strategy=strategy)
+    return reassemble_geojson(docs, enriched)

@@ -236,6 +236,34 @@ _MISSING_ORACLE = f"""SELECT DISTINCT tile_key FROM (
 WHERE tile_key NOT IN ({", ".join(repr(t[0]) for t in _TILES)})"""
 
 
+# --- GeoJSON augmentation (ops 3,4,12,14) ------------------------------------
+
+# Point docs constructed from integer-derived strings on positive-lat fixture
+# tiles (string construction stays engine-portable; negative degree+fraction
+# composition would not be).  Byte-level output goldens live in
+# tests/test_geojson.py; this query oracles the doc-level contract.
+_GJ_LATD = "CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN '57' WHEN 1 THEN '0' ELSE '59' END"
+_GJ_LOND = "CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN '11' WHEN 1 THEN '0' ELSE '179' END"
+_GJ_LATS = f"({_GJ_LATD}) || '.' || lpad(CAST(CAST((c_custkey * 13) % 9000 + 500 AS INT) AS STRING), 4, '0')"
+_GJ_LONS = f"({_GJ_LOND}) || '.' || lpad(CAST(CAST((c_custkey * 17) % 9000 + 500 AS INT) AS STRING), 4, '0')"
+_GJ_DOC = ("'{\"type\":\"Point\",\"coordinates\":[' || " + _GJ_LONS + " || ',' || "
+           + _GJ_LATS + " || ']}'")
+
+
+def q_geojson_augment(spark, sf_dir):
+    from .operators.geojson import add_elevation_docs
+    docs = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("url"),
+        F.expr(_GJ_DOC).alias("geojson"))
+    out = add_elevation_docs(docs, fixture_tiles_df(spark), strategy="broadcast")
+    return out.select("url", "n_positions", "n_enriched", "status")
+
+
+_GEOJSON_ORACLE = """SELECT CAST(c_custkey AS STRING) AS url,
+  CAST(1 AS INT) AS n_positions, CAST(1 AS INT) AS n_enriched, 'OK' AS status
+FROM customer"""
+
+
 # --- registry ---------------------------------------------------------------
 
 SPARK_QUERIES = {
@@ -247,6 +275,7 @@ SPARK_QUERIES = {
     "tile_keys": q_tile_keys,
     "extract_coords": q_extract_coords,
     "missing_tiles": q_missing_tiles,
+    "geojson_augment": q_geojson_augment,
 }
 
 ORACLES = {
@@ -258,4 +287,5 @@ ORACLES = {
     "tile_keys": _TILE_KEYS_ORACLE,
     "extract_coords": _EXTRACT_ORACLE,
     "missing_tiles": _MISSING_ORACLE,
+    "geojson_augment": _GEOJSON_ORACLE,
 }
