@@ -1,0 +1,105 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``ann_brute_topk``: exact top-k by quantized dot product.  The query set
+  is broadcast; scoring is a JVM higher-order expression
+  (zip_with · aggregate) inside codegen — no Python, no shuffle except the
+  final per-query top-k window.  O(N·Q): the correctness baseline.
+- ``ann_lsh_topk``: the scale path — random-hyperplane (sign) LSH buckets
+  via a deterministic ±1 plane matrix; candidates = bucket collisions
+  (hamming-ball 0), exact rerank inside buckets.  Turns O(N·Q) into
+  O(N + collisions).
+
+Scores are integer dot products of round(x·1000) components — exact,
+order-independent, and reproducible by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1000
+N_PLANES = 8
+
+
+def _quant(col: Column) -> Column:
+    return F.transform(col, lambda x: F.floor(x.cast("double") * QUANT_SCALE + F.lit(0.5)).cast("long"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def ann_brute_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(qid, rank, vec_id, score) — exact top-k neighbours per query id by
+    quantized dot product; ties broken by vec_id ascending; self excluded."""
+    q = (emb.filter(F.col(id_col).isin(query_ids))
+         .select(F.col(id_col).alias("qid"), _quant(F.col(vec_col)).alias("qv")))
+    cand = (emb.select(F.col(id_col).alias("vec_id"), _quant(F.col(vec_col)).alias("ev"))
+            .crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id", _dot(F.col("qv"), F.col("ev")).alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "vec_id", "score"))
+
+
+def plane_sign(plane: int, pos: int) -> int:
+    """Deterministic ±1 hyperplane matrix entry (shared with SQL oracle)."""
+    return 1 if ((plane * 31 + pos * 17) % 2) == 0 else -1
+
+
+def _bucket(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
+    """Sign-LSH bucket id: bit j = (sum_i sign(j,i)·v_i) > 0."""
+    bucket = None
+    for j in range(n_planes):
+        proj = None
+        for i in range(dim):
+            term = F.element_at(vec, i + 1) * F.lit(plane_sign(j, i))
+            proj = term if proj is None else proj + term
+        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        bucket = term if bucket is None else bucket + term
+    return bucket
+
+
+def ann_lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+                 dim: int = 64, n_planes: int = N_PLANES,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(qid, rank, vec_id, score) — approximate top-k: candidates share the
+    query's sign-LSH bucket, exact integer-dot rerank within.  May return
+    fewer than k rows per query (bucket miss) — that is the ANN recall
+    trade-off; recall is measured against ann_brute_topk in tests."""
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      _quant(F.col(vec_col)).alias("ev"))
+    base = base.withColumn("bucket", _bucket(F.col("ev"), dim, n_planes))
+    q = (base.filter(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("qid"), F.col("ev").alias("qv"),
+                 F.col("bucket").alias("qbucket")))
+    cand = (base.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id", _dot(F.col("qv"), F.col("ev")).alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "vec_id", "score"))
+
+
+def embedding_near_dup_pairs(emb: DataFrame, min_score: int,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             dim: int = 64) -> DataFrame:
+    """(id1, id2, score) — embedding near-duplicates: bucket-collision
+    self-join + exact integer-dot threshold (cosine-style near-dup dedup
+    at scale; never all-pairs)."""
+    base = (emb.select(F.col(id_col).alias("id"), _quant(F.col(vec_col)).alias("v"))
+            .withColumn("bucket", _bucket(F.col("v"), dim)))
+    a, b = base.alias("a"), base.alias("b")
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
+                    _dot(F.col("a.v"), F.col("b.v")).alias("score"))
+            .filter(F.col("score") >= min_score))

@@ -1,0 +1,86 @@
+"""Text-analysis operators for training-data pipelines: quality stats,
+token counting, language-ID heuristic, document fingerprinting.
+
+All pure Column expressions (JVM, codegen) — these run per-document with
+no shuffle except the explicit aggregations, so they survive a 100 TB
+scan unchanged.  Integer/exact outputs keep them oracle-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to")
+
+# deterministic marker-token sets for the language-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "value", "row"),
+    "de": ("der", "und", "table", "merge"),
+    "es": ("el", "y", "data", "query"),
+    "fr": ("le", "la", "scan", "sort"),
+}
+
+# BPE-ish segmentation: alpha runs, digit runs, single other non-space chars
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(id, n_chars, n_tokens, n_uniq_tokens, n_stopwords,
+    avg_token_len_milli:long) — quality features, all exact integers."""
+    toks = F.split(F.col(text_col), " ")
+    stop_lits = [F.lit(s) for s in STOPWORDS]
+    n_tokens = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"),
+                          lambda acc, t: acc + F.length(t))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long").alias("n_stopwords"),
+        F.floor(sum_len * 1000 / n_tokens).cast("long").alias("avg_token_len_milli"),
+    )
+
+
+def token_count_bpe(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, n_bpe_tokens) — regex-segmented token count (BPE-ish)."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+         .cast("long").alias("n_bpe_tokens"))
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(id, lang_given, lang_pred, score) — marker-token language-ID
+    heuristic; argmax with deterministic tie-break (first language in
+    alphabetical order wins ties; 'und' when all scores are zero)."""
+    toks = F.split(F.col(text_col), " ")
+    scores = {lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+              for lang, markers in LANG_MARKERS.items()}
+    langs = sorted(LANG_MARKERS)
+    chain = None
+    for lang in langs:
+        cond = scores[lang] > 0
+        for other in langs:
+            if other == lang:
+                continue
+            # earlier-alphabetical language wins ties
+            cond = cond & ((scores[lang] >= scores[other]) if other > lang
+                           else (scores[lang] > scores[other]))
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+    pred = chain.otherwise(F.lit("und"))
+    score = F.greatest(*[scores[lang] for lang in langs]).cast("long")
+    return docs.select(F.col(id_col).alias("id"),
+                       F.col("lang").alias("lang_given"),
+                       pred.alias("lang_pred"), score.alias("score"))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, fp) — md5 of whitespace-normalized lowercase text."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return docs.select(F.col(id_col).alias("id"), F.md5(norm).alias("fp"))

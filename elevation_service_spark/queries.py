@@ -278,6 +278,10 @@ SPARK_QUERIES = {
     "geojson_augment": q_geojson_augment,
 }
 
+from . import queries_training as _qt  # noqa: E402
+
+SPARK_QUERIES.update(_qt.SPARK_QUERIES)
+
 ORACLES = {
     "elevation_hgt": _BILINEAR_ORACLE,
     "elevation_terrarium": _BILINEAR_ORACLE,
@@ -289,3 +293,5 @@ ORACLES = {
     "missing_tiles": _MISSING_ORACLE,
     "geojson_augment": _GEOJSON_ORACLE,
 }
+
+ORACLES.update(_qt.ORACLES)

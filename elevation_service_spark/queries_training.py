@@ -1,0 +1,395 @@
+"""Driver-contract queries for the training-data operator surface
+(dedup, text analysis, similarity search) and the relational coverage
+(joins, aggregations, windows, set ops, rollups) — each with a DuckDB
+oracle.  Exactness policy: every oracle-compared number is either an
+integer, an exact string, or a float produced by the identical IEEE op
+sequence (money → cents via floor(x*100+0.5))."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import dedup, similarity, text
+from .queries import load
+
+NH = dedup.NUM_HASHES
+P = dedup.MINHASH_P
+PARAMS = dedup.minhash_params()
+ANN_QUERY_IDS = [0, 1, 2]
+ANN_K = 10
+
+
+# --- shared SQL fragments ----------------------------------------------------
+
+_TOK_CTE = """tok AS (
+  SELECT doc_id AS id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents)"""
+
+_CODES_CTE = f"""{_TOK_CTE},
+dict AS (SELECT tok, row_number() OVER (ORDER BY tok) AS code
+         FROM (SELECT DISTINCT tok FROM tok) d),
+codes AS (SELECT id, pos, code FROM tok JOIN dict USING (tok))"""
+
+_SIG_EXPRS = ", ".join(
+    f"min((code * {a} + {b}) % {P}) AS s{i}" for i, (a, b) in enumerate(PARAMS))
+_SIG_CTE = f"""{_CODES_CTE},
+sig AS (SELECT id, {_SIG_EXPRS} FROM codes GROUP BY id)"""
+
+_SIG_CONCAT = "concat_ws(','" + "".join(f", CAST(s{i} AS STRING)" for i in range(NH)) + ")"
+
+_N_BANDS = NH // dedup.BAND_ROWS
+_BANDS_SQL = " UNION ALL ".join(
+    "SELECT id, {bi} AS band_idx, concat_ws(','{cols}) AS band_key FROM sig".format(
+        bi=bi, cols="".join(f", CAST(s{bi * dedup.BAND_ROWS + j} AS STRING)"
+                            for j in range(dedup.BAND_ROWS)))
+    for bi in range(_N_BANDS))
+_PAIRS_CTE = f"""{_SIG_CTE},
+bands AS ({_BANDS_SQL}),
+pairs AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+          FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id)"""
+
+
+# --- dedup queries ------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(load(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_ORACLE = """SELECT md5(text) AS fingerprint,
+  CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS representative
+FROM documents GROUP BY md5(text)"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    sigs = dedup.minhash_signatures(load(spark, sf_dir, "documents"))
+    return sigs.select("id", F.concat_ws(
+        ",", *[F.col(f"s{i}").cast("string") for i in range(NH)]).alias("sig"))
+
+
+_MINHASH_ORACLE = f"""WITH {_SIG_CTE}
+SELECT id, {_SIG_CONCAT} AS sig FROM sig"""
+
+
+def q_lsh_pairs(spark, sf_dir):
+    return dedup.lsh_candidate_pairs(load(spark, sf_dir, "documents"))
+
+
+_LSH_PAIRS_ORACLE = f"""WITH {_PAIRS_CTE}
+SELECT id1, id2 FROM pairs"""
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(load(spark, sf_dir, "documents"))
+
+
+_SIMHASH_SUMS = ", ".join(
+    f"sum((((h >> {b}) & 1) * 2) - 1) AS c{b}" for b in range(32))
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN c{b} > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {b})"
+    for b in range(32))
+_SIMHASH_ORACLE = f"""WITH {_CODES_CTE},
+hs AS (SELECT id, (code * {dedup.SIMHASH_MULT}) % {dedup.SIMHASH_MOD} AS h FROM codes),
+c AS (SELECT id, {_SIMHASH_SUMS} FROM hs GROUP BY id)
+SELECT id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM c"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    return dedup.jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+_SHINGLES_CTE = f"""{_TOK_CTE},
+sh0 AS (SELECT id,
+        tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle,
+        lead(tok, 2) OVER w AS t2
+        FROM tok WINDOW w AS (PARTITION BY id ORDER BY pos)),
+sh AS (SELECT DISTINCT id, shingle FROM sh0 WHERE t2 IS NOT NULL)"""
+
+_JACCARD_ORACLE = f"""WITH {_PAIRS_CTE},
+tok2 AS (SELECT * FROM tok),
+sh0 AS (SELECT id,
+        tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle,
+        lead(tok, 2) OVER w AS t2
+        FROM tok WINDOW w AS (PARTITION BY id ORDER BY pos)),
+sh AS (SELECT DISTINCT id, shingle FROM sh0 WHERE t2 IS NOT NULL),
+counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (SELECT p.id1, p.id2, count(*) AS inter
+          FROM pairs p
+          JOIN sh a ON a.id = p.id1
+          JOIN sh b ON b.id = p.id2 AND b.shingle = a.shingle
+          GROUP BY p.id1, p.id2)
+SELECT p.id1, p.id2,
+  CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+  CAST(c1.n_sh + c2.n_sh - coalesce(i.inter, 0) AS BIGINT) AS uni
+FROM pairs p
+LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+JOIN counts c1 ON c1.id = p.id1
+JOIN counts c2 ON c2.id = p.id2"""
+
+
+# --- text queries ---------------------------------------------------------------
+
+def q_text_stats(spark, sf_dir):
+    return text.text_stats(load(spark, sf_dir, "documents"))
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+_TEXT_STATS_ORACLE = f"""SELECT doc_id AS id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+  CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_IN}))) AS BIGINT) AS n_stopwords,
+  CAST(floor(list_sum(list_transform(string_split(text, ' '), t -> length(t))) * 1000 / len(string_split(text, ' '))) AS BIGINT) AS avg_token_len_milli
+FROM documents"""
+
+
+def q_token_count(spark, sf_dir):
+    return text.token_count_bpe(load(spark, sf_dir, "documents"))
+
+
+_TOKEN_COUNT_ORACLE = f"""SELECT doc_id AS id,
+  CAST(len(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS BIGINT) AS n_bpe_tokens
+FROM documents"""
+
+
+def q_lang_id(spark, sf_dir):
+    return text.lang_id(load(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    langs = sorted(text.LANG_MARKERS)
+    score_exprs = ", ".join(
+        "len(list_filter(string_split(text, ' '), t -> t IN ({m}))) AS s_{l}".format(
+            m=", ".join(f"'{w}'" for w in text.LANG_MARKERS[l]), l=l)
+        for l in langs)
+    chain = []
+    for lang in langs:
+        conds = [f"s_{lang} > 0"]
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">=" if other > lang else ">"
+            conds.append(f"s_{lang} {op} s_{other}")
+        chain.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    greatest = ", ".join(f"s_{l}" for l in langs)
+    return f"""WITH s AS (SELECT doc_id AS id, lang AS lang_given, {score_exprs} FROM documents)
+SELECT id, lang_given,
+  CASE {' '.join(chain)} ELSE 'und' END AS lang_pred,
+  CAST(greatest({greatest}) AS BIGINT) AS score
+FROM s"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return text.fingerprint(load(spark, sf_dir, "documents"))
+
+
+_FINGERPRINT_ORACLE = r"""SELECT doc_id AS id,
+  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+FROM documents"""
+
+
+# --- similarity queries -----------------------------------------------------------
+
+def q_ann_topk(spark, sf_dir):
+    return similarity.ann_brute_topk(load(spark, sf_dir, "embeddings"),
+                                     ANN_QUERY_IDS, ANN_K)
+
+
+_ANN_ORACLE = f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * {similarity.QUANT_SCALE} + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS v
+  FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})),
+scored AS (SELECT q.qid, e.vec_id, CAST(list_dot_product(q.qv, e.v) AS BIGINT) AS score
+           FROM e, q WHERE e.vec_id <> q.qid)
+SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+  FROM scored) r
+WHERE rank <= {ANN_K}"""
+
+
+# --- relational coverage (joins/aggs/windows/set ops/rollup) ------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped aggregation; money summed as exact cents."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)).cast("long")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                 F.sum(cents).alias("sum_base_cents"),
+                 F.sum(disc_cents).alias("sum_disc_cents"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+_PRICING_ORACLE = """SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_top_customers(spark, sf_dir):
+    """3-way join + agg + per-nation top-3 window rank."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    agg = (o.join(c, o["o_custkey"] == c["c_custkey"])
+           .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+           .groupBy("n_name", "c_custkey")
+           .agg(F.sum(cents).alias("total_cents"),
+                F.count(F.lit(1)).alias("n_orders")))
+    w = Window.partitionBy("n_name").orderBy(F.col("total_cents").desc(), F.col("c_custkey"))
+    return (agg.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("n_name", "rnk", "c_custkey", "total_cents", "n_orders"))
+
+
+_TOP_CUSTOMERS_ORACLE = """WITH agg AS (
+  SELECT n_name, c_custkey,
+    CAST(sum(CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS total_cents,
+    CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_custkey)
+SELECT n_name, CAST(rnk AS INT) AS rnk, c_custkey, total_cents, n_orders FROM (
+  SELECT *, row_number() OVER (PARTITION BY n_name ORDER BY total_cents DESC, c_custkey) AS rnk
+  FROM agg) t
+WHERE rnk <= 3"""
+
+
+def q_order_set_ops(spark, sf_dir):
+    """Set operators: customers with orders minus customers with big
+    orders, unioned with a disjoint marker set."""
+    o = load(spark, sf_dir, "orders")
+    with_orders = o.select(F.col("o_custkey").alias("k")).distinct()
+    big = (o.filter(F.col("o_totalprice") > 200000.0)
+           .select(F.col("o_custkey").alias("k")).distinct())
+    small_only = with_orders.exceptAll(big).select("k")
+    marker = with_orders.select((F.col("k") + 10_000_000).alias("k"))
+    return small_only.union(marker).distinct()
+
+
+_SET_OPS_ORACLE = """WITH wo AS (SELECT DISTINCT o_custkey AS k FROM orders),
+big AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 200000.0)
+SELECT k FROM ((SELECT k FROM wo EXCEPT SELECT k FROM big)
+UNION
+SELECT k + 10000000 AS k FROM wo) u"""
+
+
+def q_orders_rollup(spark, sf_dir):
+    """Grouping-sets lineage rollup (cube/rollup §2.B)."""
+    o = load(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("cents")))
+
+
+_ROLLUP_ORACLE = """SELECT o_orderstatus, o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS cents
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
+
+
+def q_events_running(spark, sf_dir):
+    """Per-user running sum + row_number over event time (value in exact
+    milli-units)."""
+    e = load(spark, sf_dir, "events")
+    mv = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.select("event_id", "user_id", mv.alias("mv"),
+                     F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+            .withColumn("running_mv", F.sum("mv").over(
+                Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)))
+            .withColumn("seq", F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts_us", "event_id")))
+            .select("event_id", "user_id", "ts_us", "mv", "running_mv", "seq"))
+
+
+_EVENTS_RUNNING_ORACLE = """SELECT event_id, user_id,
+  epoch_us(ts) AS ts_us,
+  CAST(floor(value * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mv,
+  CAST(sum(CAST(floor(value * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_mv,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS INT) AS seq
+FROM events"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) via lag + cumulative flag —
+    the batch equivalent of a streaming session window."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = e.select("event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    flagged = base.withColumn(
+        "new_sess",
+        F.when(F.col("ts_us") - F.lag("ts_us", 1).over(w) > 1800 * 1_000_000, 1)
+        .otherwise(F.lit(0)))
+    return (flagged.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("event_id", "user_id", "ts_us",
+                F.col("session_seq").cast("long").alias("session_seq")))
+
+
+_SESSIONIZE_ORACLE = """WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+flagged AS (
+  SELECT *, CASE WHEN ts_us - lag(ts_us, 1) OVER w > 1800 * 1000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+SELECT event_id, user_id, ts_us,
+  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+FROM flagged"""
+
+
+# --- registry -----------------------------------------------------------------------
+
+SPARK_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_pairs": q_lsh_pairs,
+    "simhash": q_simhash,
+    "jaccard_pairs": q_jaccard_pairs,
+    "text_stats": q_text_stats,
+    "token_count": q_token_count,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "ann_topk": q_ann_topk,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "order_set_ops": q_order_set_ops,
+    "orders_rollup": q_orders_rollup,
+    "events_running": q_events_running,
+    "sessionize": q_sessionize,
+}
+
+ORACLES = {
+    "dedup_exact": _DEDUP_EXACT_ORACLE,
+    "minhash_signatures": _MINHASH_ORACLE,
+    "lsh_pairs": _LSH_PAIRS_ORACLE,
+    "simhash": _SIMHASH_ORACLE,
+    "jaccard_pairs": _JACCARD_ORACLE,
+    "text_stats": _TEXT_STATS_ORACLE,
+    "token_count": _TOKEN_COUNT_ORACLE,
+    "lang_id": _langid_oracle(),
+    "fingerprint": _FINGERPRINT_ORACLE,
+    "ann_topk": _ANN_ORACLE,
+    "pricing_summary": _PRICING_ORACLE,
+    "top_customers": _TOP_CUSTOMERS_ORACLE,
+    "order_set_ops": _SET_OPS_ORACLE,
+    "orders_rollup": _ROLLUP_ORACLE,
+    "events_running": _EVENTS_RUNNING_ORACLE,
+    "sessionize": _SESSIONIZE_ORACLE,
+}
