@@ -295,3 +295,7 @@ ORACLES = {
 }
 
 ORACLES.update(_qt.ORACLES)
+
+from . import queries_spatial as _qs  # noqa: E402
+SPARK_QUERIES.update(_qs.SPARK_QUERIES)
+ORACLES.update(_qs.ORACLES)

@@ -1,0 +1,93 @@
+"""Driver-contract queries for the spatial join surface: kNN ring-expansion
+join and point-in-polygon assignment, each with a brute-force DuckDB oracle
+(exact same IEEE distance/crossing arithmetic)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from . import fixtures
+from .operators.knn import knn_join
+from .operators.pip import pip_assign
+from .queries import LAT_SQL, LON_SQL, load
+
+KNN_K = 5
+
+# queries derive from supplier the same way samples derive from customer
+_Q_LAT_SQL = LAT_SQL.replace("c_custkey", "s_suppkey").replace("7919", "6151")
+_Q_LON_SQL = LON_SQL.replace("c_custkey", "s_suppkey").replace("104729", "9973")
+
+
+def q_knn(spark, sf_dir):
+    """k nearest elevation samples per query point via cell ring expansion
+    (exact: ring guarantee + brute-force fallback)."""
+    samples = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("sid"),
+        F.expr(LAT_SQL).alias("lat"), F.expr(LON_SQL).alias("lon"))
+    queries = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("qid"),
+        F.expr(_Q_LAT_SQL).alias("lat"), F.expr(_Q_LON_SQL).alias("lon"))
+    return knn_join(queries, samples, KNN_K)
+
+
+_KNN_ORACLE = f"""WITH samples AS (
+  SELECT c_custkey AS sid, {LAT_SQL} AS lat, {LON_SQL} AS lon FROM customer),
+queries AS (
+  SELECT s_suppkey AS qid, {_Q_LAT_SQL} AS lat, {_Q_LON_SQL} AS lon FROM supplier),
+scored AS (
+  SELECT q.qid, s.sid,
+    (q.lat - s.lat) * (q.lat - s.lat) + (q.lon - s.lon) * (q.lon - s.lon) AS d2
+  FROM queries q, samples s)
+SELECT qid, CAST(rank AS INT) AS rank, sid, d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, sid) AS rank
+  FROM scored) t
+WHERE rank <= {KNN_K}"""
+
+
+def _polygons_df(spark):
+    rows = fixtures.polygons_rows()
+    return spark.createDataFrame(
+        [(r["poly_id"], r["geojson"], r["minx"], r["miny"], r["maxx"], r["maxy"])
+         for r in rows],
+        ["poly_id", "geojson", "minx", "miny", "maxx", "maxy"])
+
+
+def q_pip(spark, sf_dir):
+    """Point-in-polygon assignment of tile-derived points to the fixture
+    polygon set (bbox prefilter + exact ray cast)."""
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        F.expr(LAT_SQL).alias("lat"), F.expr(LON_SQL).alias("lon"))
+    return pip_assign(pts, _polygons_df(spark))
+
+
+def _pip_oracle() -> str:
+    edges = []
+    for r in fixtures.polygons_rows():
+        rings = json.loads(r["geojson"])["coordinates"]
+        for ri, ring in enumerate(rings):
+            for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+                edges.append(f"('{r['poly_id']}', {ri}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    values = ",\n  ".join(edges)
+    return f"""WITH pts AS (
+  SELECT c_custkey AS pid, {LAT_SQL} AS lat, {LON_SQL} AS lon FROM customer),
+edges(poly_id, ring_idx, x1, y1, x2, y2) AS (VALUES
+  {values}),
+cr AS (
+  SELECT p.pid, p.lat, p.lon, e.poly_id, e.ring_idx,
+    CASE WHEN (e.y1 > p.lat) <> (e.y2 > p.lat)
+          AND p.lon < ((e.x2 - e.x1) * (p.lat - e.y1)) / (e.y2 - e.y1) + e.x1
+         THEN 1 ELSE 0 END AS c
+  FROM pts p, edges e),
+par AS (
+  SELECT pid, lat, lon, poly_id,
+    sum(CASE WHEN ring_idx = 0 THEN c ELSE 0 END) % 2 AS outer_par,
+    sum(CASE WHEN ring_idx > 0 THEN c ELSE 0 END) % 2 AS hole_par
+  FROM cr GROUP BY pid, lat, lon, poly_id)
+SELECT pid, lat, lon, poly_id FROM par WHERE outer_par = 1 AND hole_par = 0"""
+
+
+SPARK_QUERIES = {"knn": q_knn, "pip": q_pip}
+ORACLES = {"knn": _KNN_ORACLE, "pip": _pip_oracle()}

@@ -1,0 +1,96 @@
+"""kNN ring-expansion and point-in-polygon operator tests (golden =
+in-test brute force)."""
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from elevation_service_spark import fixtures
+from elevation_service_spark.operators.knn import knn_join, with_cells
+from elevation_service_spark.operators.pip import pip_assign
+
+
+def brute_knn(queries, samples, k):
+    """qid -> [(sid, d2)] exact, tie-break by sid."""
+    out = {}
+    for qid, qlat, qlon in queries:
+        scored = sorted(((qlat - slat) * (qlat - slat) + (qlon - slon) * (qlon - slon), sid)
+                        for sid, slat, slon in samples)
+        out[qid] = [(sid, d2) for d2, sid in scored[:k]]
+    return out
+
+
+def test_knn_exact_vs_brute_force(spark):
+    rng = np.random.default_rng(5)
+    samples = [(i, float(57 + rng.uniform(0, 1)), float(11 + rng.uniform(0, 1)))
+               for i in range(300)]
+    queries = [(i, float(57 + rng.uniform(0, 1)), float(11 + rng.uniform(0, 1)))
+               for i in range(40)]
+    sdf = spark.createDataFrame(samples, ["sid", "lat", "lon"])
+    qdf = spark.createDataFrame(queries, ["qid", "lat", "lon"])
+    got = knn_join(qdf, sdf, k=5).collect()
+    exp = brute_knn(queries, samples, 5)
+    assert len(got) == 40 * 5
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["sid"], r["d2"]))
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert [(sid, d2) for _, sid, d2 in rows] == exp[qid]
+
+
+def test_knn_forces_ring_expansion_and_fallback(spark):
+    # 3 tight samples + 2 far ones; k=4 forces expansion well past ring 1
+    samples = [(1, 57.10, 11.10), (2, 57.101, 11.101), (3, 57.102, 11.102),
+               (4, 59.9, 13.9), (5, 50.0, 5.0)]
+    queries = [(0, 57.1005, 11.1005)]
+    got = knn_join(spark.createDataFrame(queries, ["qid", "lat", "lon"]),
+                   spark.createDataFrame(samples, ["sid", "lat", "lon"]),
+                   k=4, max_ring=4).collect()
+    exp = brute_knn(queries, samples, 4)
+    rows = sorted((r["rank"], r["sid"], r["d2"]) for r in got)
+    assert [(sid, d2) for _, sid, d2 in rows] == exp[0]
+
+
+def test_knn_k_larger_than_samples(spark):
+    samples = [(1, 57.1, 11.1), (2, 57.2, 11.2)]
+    queries = [(0, 57.15, 11.15)]
+    got = knn_join(spark.createDataFrame(queries, ["qid", "lat", "lon"]),
+                   spark.createDataFrame(samples, ["sid", "lat", "lon"]),
+                   k=5, max_ring=2).collect()
+    assert sorted(r["sid"] for r in got) == [1, 2]  # fallback returns all
+
+
+def test_pip_assign_polygons(spark):
+    # 'holed' hole covers lon [11.4,11.6] x lat [57.4,57.6]
+    pts = [(0, 57.5, 11.5),     # inside the hole -> hot_box only
+           (1, 57.5, 11.35),    # west of hole -> hot_box + holed
+           (2, 57.5, 11.5),     # dup coords of 0 (different pid)
+           (3, 57.3, 11.3),     # south of hole -> hot_box + holed
+           (4, 0.2, 0.2),       # greenwich
+           (5, -33.9, -70.5),   # tri (near base)
+           (6, 20.0, 20.0)]     # nowhere
+    df = spark.createDataFrame(pts, ["pid", "lat", "lon"])
+    rows = fixtures.polygons_rows()
+    polys = spark.createDataFrame(
+        [(r["poly_id"], r["geojson"], r["minx"], r["miny"], r["maxx"], r["maxy"]) for r in rows],
+        ["poly_id", "geojson", "minx", "miny", "maxx", "maxy"])
+    got = {}
+    for r in pip_assign(df, polys).collect():
+        got.setdefault(r["pid"], set()).add(r["poly_id"])
+    assert got[0] == {"hot_box"}
+    assert got[1] == {"hot_box", "holed"}
+    assert got[2] == {"hot_box"}
+    assert got[3] == {"hot_box", "holed"}
+    assert got[4] == {"greenwich"}
+    assert got[5] == {"tri"}
+    assert 6 not in got
+
+
+def test_with_cells_floor_semantics(spark):
+    df = spark.createDataFrame([(0, -0.1, -0.1), (1, 0.1, 0.1)], ["qid", "lat", "lon"])
+    rows = {r["qid"]: (r["cx"], r["cy"]) for r in with_cells(df).collect()}
+    assert rows[0] == (-1, -1)
+    assert rows[1] == (0, 0)
