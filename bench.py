@@ -1,0 +1,218 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + north-rule scaling evidence).
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+
+--scaling mode: run the flagship enrichment job at local[8] and local[32]
+on identical input and report throughput at both plus scaling efficiency
+(thr_32 / thr_8) / 4 — the in-sandbox stand-in for the north rule's
+N vs 4N executor criterion (BASELINE.md).  Results land in
+BENCH/BASELINE.md via --scaling --write-md.
+
+Each timed query is forced with a noop sink (full execution, no driver
+collect).  One warm-up of the flagship per session is excluded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+# --- bench-scale flagship: 8 points per lineitem row (sf0.1 -> 600k rows) ---
+
+_PID = "(l_orderkey * 8 + l_linenumber)"
+_BLAT = (f"(CASE CAST({_PID} % 5 AS INT) WHEN 0 THEN 57 WHEN 1 THEN -34 "
+         f"WHEN 2 THEN 0 WHEN 3 THEN -1 ELSE 59 END) "
+         f"+ (({_PID} * 7919) % 960 + 20) / CAST(1000 AS DOUBLE)")
+_BLON = (f"(CASE CAST({_PID} % 5 AS INT) WHEN 0 THEN 11 WHEN 1 THEN -71 "
+         f"WHEN 2 THEN 0 WHEN 3 THEN -1 ELSE 179 END) "
+         f"+ (({_PID} * 104729) % 960 + 20) / CAST(1000 AS DOUBLE)")
+# skewed variant: ~50% of points land on the hot tile N57E011
+_SLAT = (f"(CASE WHEN {_PID} % 2 = 0 THEN 57 ELSE (CASE CAST({_PID} % 4 AS INT) "
+         f"WHEN 0 THEN -34 WHEN 1 THEN 0 WHEN 2 THEN -1 ELSE 59 END) END) "
+         f"+ (({_PID} * 7919) % 960 + 20) / CAST(1000 AS DOUBLE)")
+_SLON = (f"(CASE WHEN {_PID} % 2 = 0 THEN 11 ELSE (CASE CAST({_PID} % 4 AS INT) "
+         f"WHEN 0 THEN -71 WHEN 1 THEN 0 WHEN 2 THEN -1 ELSE 179 END) END) "
+         f"+ (({_PID} * 104729) % 960 + 20) / CAST(1000 AS DOUBLE)")
+
+
+def _bench_points(spark, sf_dir, skewed=False, multiplier=1):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    if multiplier > 1:
+        li = li.withColumn("_m", F.explode(F.array(*[F.lit(i) for i in range(multiplier)]))) \
+               .withColumn("l_orderkey", F.col("l_orderkey") * multiplier + F.col("_m"))
+    lat, lon = (_SLAT, _SLON) if skewed else (_BLAT, _BLON)
+    # small parquet inputs arrive as ~1 split; the kernel stage is
+    # CPU-bound, so spread it across the cores explicitly (at real scale
+    # the scan itself provides the partitions)
+    return (li.select(F.expr(_PID).alias("pid"),
+                      F.expr(lat).alias("lat"), F.expr(lon).alias("lon"))
+            .repartition(CPUS * 2))
+
+
+def q_flagship_enrich(spark, sf_dir):
+    """extract-scale elevation enrichment: N points -> tile join -> bilinear
+    (broadcast strategy; the 100 TB plan shape: map-only over points)."""
+    from elevation_service_spark.operators.lookup import enrich_points
+    from elevation_service_spark.sources.tiles import fixture_tiles_df
+    return enrich_points(_bench_points(spark, sf_dir), fixture_tiles_df(spark),
+                         strategy="broadcast")
+
+
+def q_enrich_cogroup_salted(spark, sf_dir):
+    """same job, skewed input (50% hot tile), shuffle strategy + salting."""
+    from elevation_service_spark.operators.lookup import enrich_points
+    from elevation_service_spark.sources.tiles import fixture_tiles_df
+    return enrich_points(_bench_points(spark, sf_dir, skewed=True),
+                         fixture_tiles_df(spark), strategy="cogroup",
+                         salt_factor=None)  # adaptive hotspot salting
+
+
+def q_bench_extract(spark, sf_dir):
+    """vectorized regex extraction over constructed page text (one mention
+    per row) at lineitem scale."""
+    from elevation_service_spark.operators.extract import extract_coords
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    text = (f"'alpha geo:' || CAST(CAST({_PID} % 80 AS INT) AS STRING) || '.' "
+            f"|| lpad(CAST(CAST({_PID} % 9000 + 500 AS INT) AS STRING), 4, '0') "
+            f"|| ',' || CAST(CAST({_PID} % 170 AS INT) AS STRING) || '.' "
+            f"|| lpad(CAST(CAST({_PID} % 9000 + 500 AS INT) AS STRING), 4, '0') "
+            f"|| ' omega v1.2, 3.4.5'")
+    pages = li.select(F.expr(_PID).alias("pid"), F.expr(text).alias("text"))
+    return extract_coords(pages, keep_cols=("pid",))
+
+
+def _registry_queries():
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+    names = ["elevation_terrarium", "geojson_augment", "knn", "pip",
+             "minhash_signatures", "simhash", "text_stats", "fingerprint",
+             "ann_topk", "pricing_summary", "top_customers", "events_running",
+             "sessionize"]
+    return {n: qs[n] for n in names}
+
+
+BENCH_QUERIES = {
+    "flagship_enrich": q_flagship_enrich,
+    "enrich_cogroup_salted": q_enrich_cogroup_salted,
+    "extract_coords_bulk": q_bench_extract,
+}
+
+
+def run_suite(spark, sf_dir):
+    times = {}
+    # warm-up (JIT, ALL python workers, tile build) — excluded.  A limited
+    # warm-up only spins up one worker; the full job warms all of them.
+    _force(q_flagship_enrich(spark, sf_dir))
+    all_queries = dict(BENCH_QUERIES)
+    all_queries.update(_registry_queries())
+    for name, fn in all_queries.items():
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def flagship_rows(spark, sf_dir) -> int:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+
+_RANGE_LAT = _BLAT.replace("(l_orderkey * 8 + l_linenumber)", "id")
+_RANGE_LON = _BLON.replace("(l_orderkey * 8 + l_linenumber)", "id")
+
+
+def _range_points(spark, n, parts=256):
+    """Map-only point generator: the 100 TB plan shape (points come off the
+    scan already partitioned; no repartition shuffle, no explode).  Fixed
+    partition count -> identical plans at every parallelism level."""
+    return spark.range(0, n, 1, parts).select(
+        F.col("id").alias("pid"),
+        F.expr(_RANGE_LAT).alias("lat"), F.expr(_RANGE_LON).alias("lon"))
+
+
+def scaling_run(sf_dir, runs=3, multiplier=16):
+    """Flagship enrichment at local[8] vs local[32] on identical input.
+    The job is the CPU-bound kernel path: map-only derived points,
+    gzip-compressed tile broadcast (KBs), no pre-pass — so core count is
+    the only resource that changes between runs."""
+    from elevation_service_spark.session import get_spark
+    from elevation_service_spark.operators.lookup import enrich_points
+    from elevation_service_spark.sources.tiles import fixture_tiles_df
+    from elevation_service_spark import fixtures
+
+    gz = {t[0]: "hgt.gz" for t in fixtures.FIXTURE_TILES}
+
+    def job(spark, n):
+        return enrich_points(_range_points(spark, n),
+                             fixture_tiles_df(spark, encodings=gz),
+                             strategy="broadcast", prune_tiles=False)
+
+    results = {}
+    n_points = None
+    for cpus in (8, 32):
+        spark = get_spark(app=f"bench-scaling-{cpus}", cpus=cpus)
+        if n_points is None:
+            n_points = flagship_rows(spark, sf_dir) * multiplier
+        _force(job(spark, n_points))  # warm-up, excluded
+        ts = []
+        for _ in range(runs):
+            t0 = time.time()
+            _force(job(spark, n_points))
+            ts.append(time.time() - t0)
+        best = min(ts)
+        results[cpus] = {"times": [round(t, 3) for t in ts],
+                         "best_sec": round(best, 3),
+                         "throughput_pts_per_sec": round(n_points / best, 1)}
+        spark.stop()
+    thr8 = results[8]["throughput_pts_per_sec"]
+    thr32 = results[32]["throughput_pts_per_sec"]
+    eff = (thr32 / thr8) / 4.0
+    return {"n_points": n_points, "local8": results[8], "local32": results[32],
+            "scaling_efficiency": round(eff, 3)}
+
+
+def main():
+    if "--scaling" in sys.argv:
+        out = scaling_run(SF_DIR)
+        print(json.dumps(out))
+        return
+    from elevation_service_spark.session import get_spark
+    spark = get_spark(app="bench", cpus=CPUS)
+    n = flagship_rows(spark, SF_DIR)
+    t_total0 = time.time()
+    times = run_suite(spark, SF_DIR)
+    total = round(time.time() - t_total0, 3)
+    flag = times.get("flagship_enrich") or 1e-9
+    print(json.dumps({
+        "metric": "headline suite wall-clock (flagship elevation enrichment + operator set)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "flagship_points": n,
+        "flagship_lookups_per_sec": round(n / flag, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -75,6 +75,9 @@ def encode_tile(grid: np.ndarray, encoding: str) -> bytes:
     raise ValueError(encoding)
 
 
+_TILES_ROWS_CACHE: dict = {}
+
+
 def tiles_rows(encodings: dict[str, str] | None = None,
                include_bad: bool = False,
                mercator_z: int = 10) -> list[dict]:
@@ -82,7 +85,12 @@ def tiles_rows(encodings: dict[str, str] | None = None,
 
     encodings: optional override {tile_key: encoding}; default per
     FIXTURE_TILES (mixed encodings so every decode path is exercised).
+    Memoized — encoding a 3601^2 tile to PNG costs seconds.
     """
+    ck = (tuple(sorted(encodings.items())) if encodings else None,
+          include_bad, mercator_z)
+    if ck in _TILES_ROWS_CACHE:
+        return _TILES_ROWS_CACHE[ck]
     rows = []
     for key, sw_lat, sw_lon, size, enc in FIXTURE_TILES:
         enc = (encodings or {}).get(key, enc)
@@ -101,6 +109,7 @@ def tiles_rows(encodings: dict[str, str] | None = None,
             "sw_lat": sw_lat, "sw_lon": sw_lon, "size": 1201,
             "encoding": "hgt", "data": b"\x00" * 1000,  # Unknown tile format
         })
+    _TILES_ROWS_CACHE[ck] = rows
     return rows
 
 

@@ -124,7 +124,8 @@ def enrich_points(points: DataFrame, tiles: DataFrame, *,
                   interpolation: str = "bilinear",
                   strategy: str = "auto",
                   salt_factor: int | None = None,
-                  broadcast_bytes_threshold: int = 512 << 20) -> DataFrame:
+                  broadcast_bytes_threshold: int = 512 << 20,
+                  prune_tiles: bool = True) -> DataFrame:
     """Add (tile_key, elevation, status) to a points DataFrame.
 
     points: any schema containing lat:double, lon:double.
@@ -138,16 +139,21 @@ def enrich_points(points: DataFrame, tiles: DataFrame, *,
               .collect()[0]["b"])
         strategy = "broadcast" if sz <= broadcast_bytes_threshold else "cogroup"
     if strategy == "broadcast":
-        return _enrich_broadcast(points, tiles, interpolation)
+        return _enrich_broadcast(points, tiles, interpolation, prune_tiles)
     return _enrich_cogroup(points, tiles, interpolation, salt_factor)
 
 
 def _enrich_broadcast(points: DataFrame, tiles: DataFrame,
-                      interpolation: str) -> DataFrame:
+                      interpolation: str, prune_tiles: bool = True) -> DataFrame:
     spark = points.sparkSession
-    needed = points.select("tile_key").distinct()
-    rows = (tiles.join(needed, "tile_key", "left_semi")
-            .select("tile_key", "sw_lat", "sw_lon", "encoding", "data").collect())
+    src = tiles
+    if prune_tiles:
+        # fetch only requested tiles (reference lazy-load parity) — costs one
+        # extra pass over the points for the distinct keys; skip it when the
+        # tile table is known-small (prune_tiles=False)
+        needed = points.select("tile_key").distinct()
+        src = tiles.join(needed, "tile_key", "left_semi")
+    rows = src.select("tile_key", "sw_lat", "sw_lon", "encoding", "data").collect()
     bc = spark.sparkContext.broadcast(
         {r["tile_key"]: (r["sw_lat"], r["sw_lon"], r["encoding"], bytes(r["data"]))
          for r in rows})
@@ -174,14 +180,43 @@ def _enrich_broadcast(points: DataFrame, tiles: DataFrame,
     return points.mapInPandas(gen, schema)
 
 
+def _adaptive_salt_map(points: DataFrame, target_points_per_group: int,
+                       max_salt: int) -> dict[str, int]:
+    """Per-tile salt factor proportional to the tile's point count — the
+    'tile-hotspot salting' of SURVEY.md §4.  Only hot tiles pay the cost of
+    replicating their tile row; cold tiles keep one group.  The per-tile
+    count aggregation is map-side-combined and tiny (one row per tile)."""
+    counts = points.groupBy("tile_key").agg(F.count(F.lit(1)).alias("n")).collect()
+    return {r["tile_key"]: max(1, min(max_salt, -(-r["n"] // target_points_per_group)))
+            for r in counts}
+
+
 def _enrich_cogroup(points: DataFrame, tiles: DataFrame,
-                    interpolation: str, salt_factor: int | None) -> DataFrame:
+                    interpolation: str, salt_factor: int | None,
+                    target_points_per_group: int = 200_000,
+                    max_salt: int = 64) -> DataFrame:
     keys = ["tile_key"]
     pts = points
     tls = (tiles.join(points.select("tile_key").distinct(), "tile_key", "left_semi")
            .select("tile_key", "sw_lat", "sw_lon", "encoding", "data"))
-    if salt_factor and salt_factor > 1:
-        # split each tile's point group k ways; replicate the tile row k times
+    if salt_factor is None:
+        # adaptive: split only hot tiles, k ~ point_count / target
+        spark = points.sparkSession
+        salt_map = _adaptive_salt_map(points, target_points_per_group, max_salt)
+        if any(k > 1 for k in salt_map.values()):
+            entries = [x for key, k in salt_map.items() for x in (F.lit(key), F.lit(k))]
+            k_col = F.coalesce(F.create_map(*entries)[F.col("tile_key")], F.lit(1))
+            pts = pts.withColumn("_salt", F.pmod(F.hash("lat", "lon"), k_col))
+            tls = tls.withColumn(
+                "_salt",
+                F.explode(F.sequence(F.lit(0), F.coalesce(
+                    F.create_map(*entries)[F.col("tile_key")], F.lit(1)) - 1)))
+            keys = ["tile_key", "_salt"]
+            salt_factor = 2  # mark salted for the drop below
+        else:
+            salt_factor = 1
+    elif salt_factor > 1:
+        # explicit uniform salting: split every tile k ways
         pts = pts.withColumn("_salt", F.pmod(F.hash("lat", "lon"), F.lit(salt_factor)))
         tls = tls.withColumn("_salt", F.explode(F.array([F.lit(i) for i in range(salt_factor)])))
         keys = ["tile_key", "_salt"]

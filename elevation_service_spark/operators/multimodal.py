@@ -1,0 +1,131 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines.
+
+Media payloads are opaque ``binary`` columns with typed metadata; all
+processing runs as Arrow-batched ``mapInPandas`` over bounded-size batches
+(media rows are large — batches are capped by bytes, not rows, via
+spark.sql.execution.arrow.maxRecordsPerBatch at the session level).
+
+The actual codecs (PIL / ffmpeg / torchaudio) are NOT available in this
+sandbox, so the decode step is STUBBED: ``decode_image`` raises
+NotImplementedError unless ``fake=True``, in which case a deterministic
+fake decoder (seeded by the payload bytes) produces a (h, w, 3) array.
+The Spark-side plumbing — schema, partitioning, UDF signature, batch
+shape, feature extraction structure — is real and tested; swapping the
+stub for a real codec changes one function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),       # image | audio | video
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.IntegerType(), True),
+    T.StructField("payload", T.BinaryType(), False),
+])
+
+
+def decode_image(payload: bytes, width: int, height: int,
+                 fake: bool = False) -> np.ndarray:
+    """payload -> (h, w, 3) uint8.  STUB: real decoding needs PIL/libjpeg,
+    absent in this container."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/libjpeg (not in this container); "
+            "pass fake=True for the deterministic test decoder")
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def fake_image_payload(media_id: int) -> bytes:
+    return b"FAKEIMG" + struct.pack(">q", media_id)
+
+
+def image_features(media: DataFrame, fake_decode: bool = False) -> DataFrame:
+    """(media_id, mean_r, mean_g, mean_b, brightness_milli) — per-image
+    channel statistics; the canonical decode→feature mapInPandas shape."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("brightness_milli", T.LongType(), True),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "mean_r": [], "mean_g": [], "mean_b": [],
+                   "brightness_milli": []}
+            for _, r in pdf.iterrows():
+                img = decode_image(bytes(r["payload"]), int(r["width"]),
+                                   int(r["height"]), fake=fake_decode)
+                means = img.reshape(-1, 3).mean(axis=0)
+                out["media_id"].append(int(r["media_id"]))
+                out["mean_r"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[2]))
+                out["brightness_milli"].append(int(means.mean() * 1000))
+            yield pd.DataFrame(out)
+
+    return (media.filter(media["kind"] == "image")
+            .select("media_id", "width", "height", "payload")
+            .mapInPandas(gen, schema))
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int,
+                  fake_decode: bool = False) -> DataFrame:
+    """(media_id, width, height, pixels) — nearest-neighbour resize of the
+    decoded image (numpy index sampling; a real pipeline would swap in a
+    filtered resampler)."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pixels", T.BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "width": [], "height": [], "pixels": []}
+            for _, r in pdf.iterrows():
+                img = decode_image(bytes(r["payload"]), int(r["width"]),
+                                   int(r["height"]), fake=fake_decode)
+                ys = (np.arange(out_h) * img.shape[0] // out_h)
+                xs = (np.arange(out_w) * img.shape[1] // out_w)
+                small = img[ys][:, xs]
+                rows["media_id"].append(int(r["media_id"]))
+                rows["width"].append(out_w)
+                rows["height"].append(out_h)
+                rows["pixels"].append(small.tobytes())
+            yield pd.DataFrame(rows)
+
+    return (media.filter(media["kind"] == "image")
+            .select("media_id", "width", "height", "payload")
+            .mapInPandas(gen, schema))
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """(media_id, frame_idx, ts_ms) — the frame-sampling plan for videos
+    (pure Column math; the decode of each planned frame is the stubbed
+    step).  Demonstrates explode-based fan-out from one video row to its
+    sampled frames."""
+    from pyspark.sql import functions as F
+    vids = media.filter(media["kind"] == "video").select("media_id", "duration_ms")
+    return (vids.withColumn(
+        "frame_idx",
+        F.explode(F.sequence(F.lit(0), F.floor(F.col("duration_ms") / every_ms).cast("int"))))
+        .select("media_id", "frame_idx",
+                (F.col("frame_idx") * every_ms).alias("ts_ms")))

@@ -1,0 +1,98 @@
+"""raster ↔ vector materialization (BASELINE.json § north_star).
+
+- tiles_to_points: explode raster tiles into per-node point rows
+  (tile_key, lat, lon, elev) with optional stride subsampling — one
+  mapInPandas pass, rows generated numpy-side in bulk.
+- points_to_tiles: rasterize scattered elevation points back into
+  terrarium-PNG tiles: group points by tile, bin to the nearest grid node,
+  average collisions, void (-32768) where empty — applyInPandas per tile.
+
+Round trip tiles → points → tiles is exact at grid nodes (tested).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import kernels
+from .lookup import decode_tile_bytes
+
+_POINTS_SCHEMA = T.StructType([
+    T.StructField("tile_key", T.StringType(), False),
+    T.StructField("lat", T.DoubleType(), False),
+    T.StructField("lon", T.DoubleType(), False),
+    T.StructField("elev", T.DoubleType(), False),
+])
+
+
+def tiles_to_points(tiles: DataFrame, stride: int = 1) -> DataFrame:
+    """Every stride-th grid node of every tile as a point row."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                grid = decode_tile_bytes(r["encoding"], bytes(r["data"]))
+                size = grid.shape[0]
+                n = size - 1
+                rows = np.arange(0, size, stride)
+                cols = np.arange(0, size, stride)
+                rr, cc = np.meshgrid(rows, cols, indexing="ij")
+                lat = r["sw_lat"] + rr.ravel() / n
+                lon = r["sw_lon"] + cc.ravel() / n
+                yield pd.DataFrame({
+                    "tile_key": r["tile_key"],
+                    "lat": lat, "lon": lon,
+                    "elev": grid[rr.ravel(), cc.ravel()].astype(np.float64),
+                })
+
+    return tiles.select("tile_key", "sw_lat", "sw_lon", "encoding", "data") \
+                .mapInPandas(gen, _POINTS_SCHEMA)
+
+
+_TILES_OUT_SCHEMA = T.StructType([
+    T.StructField("tile_key", T.StringType(), False),
+    T.StructField("sw_lat", T.IntegerType(), False),
+    T.StructField("sw_lon", T.IntegerType(), False),
+    T.StructField("size", T.IntegerType(), False),
+    T.StructField("encoding", T.StringType(), False),
+    T.StructField("data", T.BinaryType(), False),
+])
+
+
+def points_to_tiles(points: DataFrame, size: int = 1201,
+                    elev_col: str = "elev") -> DataFrame:
+    """Rasterize (lat, lon, elev) points into terrarium-PNG tiles keyed by
+    their skadi tile.  Nearest-node binning; collisions averaged; empty
+    nodes = void."""
+    from ..functions.keys import skadi_key_col
+    pts = (points.select(F.col("lat"), F.col("lon"),
+                         F.col(elev_col).alias("elev"))
+           .withColumn("tile_key", skadi_key_col(F.col("lat"), F.col("lon")))
+           .withColumn("sw_lat", F.floor("lat").cast("int"))
+           .withColumn("sw_lon", F.floor("lon").cast("int")))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        sw_lat = int(pdf["sw_lat"].iloc[0])
+        sw_lon = int(pdf["sw_lon"].iloc[0])
+        n = size - 1
+        row = np.minimum(np.floor((pdf["lat"].to_numpy() - sw_lat) * n + 0.5).astype(np.int64), n)
+        col = np.minimum(np.floor((pdf["lon"].to_numpy() - sw_lon) * n + 0.5).astype(np.int64), n)
+        acc = np.zeros((size, size), dtype=np.float64)
+        cnt = np.zeros((size, size), dtype=np.int64)
+        np.add.at(acc, (row, col), pdf["elev"].to_numpy(np.float64))
+        np.add.at(cnt, (row, col), 1)
+        grid = np.where(cnt > 0, np.floor(np.divide(acc, np.maximum(cnt, 1)) + 0.5),
+                        float(kernels.VOID)).astype(np.int16)
+        data = kernels.encode_terrarium_png(grid)
+        return pd.DataFrame({"tile_key": [pdf["tile_key"].iloc[0]],
+                             "sw_lat": [sw_lat], "sw_lon": [sw_lon],
+                             "size": [size], "encoding": ["terrarium-png"],
+                             "data": [data]})
+
+    return pts.groupBy("tile_key").applyInPandas(fn, _TILES_OUT_SCHEMA)

@@ -1,0 +1,88 @@
+"""Physical-plan regression tests: the properties that make the engine
+viable at 100 TB must hold in the executed plan, not just in intent —
+predicate pushdown to the parquet scan, column pruning, broadcast joins
+for small dims, and shuffle-free map-only shapes for the hot paths."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elevation_service_spark.operators.extract import extract_coords
+from elevation_service_spark.operators.lookup import enrich_points, with_tile_key
+from elevation_service_spark.sources.tiles import fixture_tiles_df
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_enrich_broadcast_is_map_only(spark):
+    """The flagship 100 TB shape: enriching a points table with a small
+    tile working set must not shuffle the points at all."""
+    pts = (spark.read.parquet(f"{SF}/customer.parquet")
+           .select(F.col("c_custkey").alias("pid"),
+                   (F.lit(57.0) + (F.col("c_custkey") % 900) / 1000.0).alias("lat"),
+                   (F.lit(11.0) + (F.col("c_custkey") % 900) / 1000.0).alias("lon")))
+    out = enrich_points(pts, fixture_tiles_df(spark), strategy="broadcast")
+    plan = plan_of(out)
+    assert "Exchange" not in plan, plan
+
+
+def test_extraction_is_pure_projection_no_python(spark):
+    pages = (spark.read.parquet(f"{SF}/documents.parquet")
+             .select(F.col("doc_id").alias("url"), "text"))
+    plan = plan_of(extract_coords(pages))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # regex + HOF stay JVM-side
+
+
+def test_filter_pushdown_to_parquet_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") > 45.0).select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity" in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.select("doc_id", F.length("text").alias("n"))
+    plan = plan_of(df)
+    # ReadSchema must not include lang/source/n_chars
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "n_chars" not in read, read
+
+
+def test_small_dim_join_is_broadcast(spark):
+    import __spark_entry__ as entrymod
+    df = entrymod.queries()["top_customers"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tile_key_expr_is_codegen(spark):
+    pts = spark.createDataFrame([(57.5, 11.5)], ["lat", "lon"])
+    plan = plan_of(with_tile_key(pts))
+    assert "Python" not in plan
+
+
+def test_semi_join_prunes_tile_scan(spark):
+    """Only requested tiles may flow into the kernel join (lazy-load parity
+    with the reference's on-demand tile fetch)."""
+    pts = spark.createDataFrame([(57.5, 11.5)], ["lat", "lon"])
+    tiles = fixture_tiles_df(spark)
+    pts = with_tile_key(pts)
+    pruned = tiles.join(pts.select("tile_key").distinct(), "tile_key", "left_semi")
+    assert pruned.count() == 1
+
+
+def test_aqe_and_arrow_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"

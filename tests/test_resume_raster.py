@@ -1,0 +1,141 @@
+"""M3/M4: checkpoint-resume (exactly-once per bucket), raster↔vector
+round trip, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from elevation_service_spark import fixtures, kernels
+from elevation_service_spark.operators.lookup import enrich_points
+from elevation_service_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                          decode_image,
+                                                          fake_image_payload,
+                                                          frame_sample_plan,
+                                                          image_features,
+                                                          resize_images)
+from elevation_service_spark.operators.raster import (points_to_tiles,
+                                                      tiles_to_points)
+from elevation_service_spark.sources.manifest import (PartitionManifest,
+                                                      run_resumable)
+from elevation_service_spark.sources.tiles import fixture_tiles_df
+
+
+# --- checkpoint / resume -----------------------------------------------------
+
+def test_resumable_exactly_once(spark, tmp_path):
+    out_path = str(tmp_path / "out")
+    man_path = str(tmp_path / "manifest")
+    pts = spark.range(0, 2000).select(
+        F.col("id").alias("pid"),
+        (F.lit(57.0) + (F.col("id") % 960 + 20) / 1000.0).alias("lat"),
+        (F.lit(11.0) + (F.col("id") % 960 + 20) / 1000.0).alias("lon"))
+    tiles = fixture_tiles_df(spark)
+
+    def job(pending):
+        return enrich_points(pending, tiles, strategy="broadcast")
+
+    # first run: process only buckets 0..7 (simulated crash: restrict input)
+    r1 = run_resumable(job, pts.filter(F.pmod(F.hash("pid"), F.lit(16)) < 8),
+                       out_path, man_path, key_cols=["pid"], n_buckets=16)
+    assert 0 < len(r1["processed"]) <= 8
+    n_after_crash = spark.read.parquet(out_path).count()
+
+    # resume with the FULL input: completed buckets must be skipped
+    r2 = run_resumable(job, pts, out_path, man_path, key_cols=["pid"], n_buckets=16)
+    assert set(r2["skipped"]) == set(r1["processed"])
+    assert not (set(r2["processed"]) & set(r1["processed"]))
+
+    final = spark.read.parquet(out_path)
+    assert final.count() == 2000
+    assert final.select("pid").distinct().count() == 2000  # no duplicates
+    assert final.filter(F.col("status") != "OK").count() == 0
+    # lineage metrics recorded for every bucket
+    man = PartitionManifest(man_path).completed()
+    assert set(man) == set(r1["processed"]) | set(r2["processed"])
+    assert sum(e["rows"] for e in man.values()) == 2000
+    assert all(e["rows_ok"] == e["rows"] for e in man.values())
+
+    # third run: nothing pending
+    r3 = run_resumable(job, pts, out_path, man_path, key_cols=["pid"], n_buckets=16)
+    assert r3["processed"] == []
+    assert n_after_crash < 2000  # the crash simulation actually did less
+
+
+# --- raster <-> vector --------------------------------------------------------
+
+def test_tiles_to_points_and_back_roundtrip(spark):
+    tiles = fixture_tiles_df(spark).filter(F.col("tile_key") == "N57E011")
+    pts = tiles_to_points(tiles, stride=8)
+    rows = pts.limit(5).collect()
+    grid = fixtures.tile_grid(57, 11, 1201)
+    for r in rows:
+        rr = round((r["lat"] - 57) * 1200)
+        cc = round((r["lon"] - 11) * 1200)
+        assert r["elev"] == float(grid[rr, cc])
+    n = pts.count()
+    assert n == ((1200 // 8) + 1) ** 2
+
+    # full-resolution round trip: rasterize the exploded nodes back.
+    # the grid spans the CLOSED 1-degree interval, so the north/east edge
+    # nodes floor-route to the neighbor tiles (reference keying semantics);
+    # exclude them and expect exactly the interior back.
+    full = tiles_to_points(tiles, stride=1).filter(
+        (F.col("lat") < 58.0) & (F.col("lon") < 12.0))
+    rebuilt = points_to_tiles(full, size=1201).collect()
+    assert len(rebuilt) == 1 and rebuilt[0]["tile_key"] == "N57E011"
+    back = kernels.decode_terrarium_png(bytes(rebuilt[0]["data"]))
+    np.testing.assert_array_equal(back[:1200, :1200], grid[:1200, :1200].astype(np.float64))
+    assert (back[1200, :] == kernels.VOID).all()
+    assert (back[:, 1200] == kernels.VOID).all()
+
+
+def test_points_to_tiles_voids_and_collisions(spark):
+    pts = spark.createDataFrame(
+        [(57.0, 11.0, 100.0), (57.0, 11.0, 200.0),   # collision -> mean 150
+         (57.5, 11.5, 42.0)],
+        ["lat", "lon", "elev"])
+    out = points_to_tiles(pts, size=1201).collect()
+    grid = kernels.decode_terrarium_png(bytes(out[0]["data"]))
+    assert grid[0, 0] == 150.0
+    assert grid[600, 600] == 42.0
+    assert grid[5, 5] == kernels.VOID
+
+
+# --- multimodal plumbing ---------------------------------------------------------
+
+def _media_df(spark):
+    rows = [(i, "image", "image/fake", 32, 16, None,
+             bytearray(fake_image_payload(i))) for i in range(6)]
+    rows.append((100, "video", "video/fake", None, None, 3500, bytearray(b"vid")))
+    rows.append((101, "audio", "audio/fake", None, None, 2000, bytearray(b"aud")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"x", 4, 4)
+
+
+def test_image_features_deterministic(spark):
+    df = _media_df(spark)
+    got = {r["media_id"]: r for r in image_features(df, fake_decode=True).collect()}
+    assert set(got) == set(range(6))
+    for mid, r in got.items():
+        img = decode_image(fake_image_payload(mid), 32, 16, fake=True)
+        means = img.reshape(-1, 3).mean(axis=0)
+        assert r["mean_r"] == float(means[0])
+        assert r["brightness_milli"] == int(means.mean() * 1000)
+
+
+def test_resize_shape_and_bytes(spark):
+    got = resize_images(_media_df(spark), 8, 4, fake_decode=True).collect()
+    assert len(got) == 6
+    for r in got:
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(bytes(r["pixels"])) == 8 * 4 * 3
+
+
+def test_frame_sample_plan(spark):
+    got = frame_sample_plan(_media_df(spark), every_ms=1000).collect()
+    assert sorted((r["frame_idx"], r["ts_ms"]) for r in got) == \
+        [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
