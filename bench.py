@@ -148,8 +148,32 @@ def _range_points(spark, n, parts=256):
         F.expr(_RANGE_LAT).alias("lat"), F.expr(_RANGE_LON).alias("lon"))
 
 
-def scaling_run(sf_dir, runs=3, multiplier=16):
-    """Flagship enrichment at local[8] vs local[32] on identical input.
+def _hardware_ceiling(n1, n2, work=3_000_000):
+    """Pure-CPU multiprocessing scaling on this box — the ceiling any
+    Spark job can reach.  The sandbox VM's vCPUs are overcommitted, so
+    N->4N wall-clock scaling is bounded by the host, not by the engine;
+    reporting the ceiling makes the Spark efficiency interpretable."""
+    import multiprocessing as mp
+
+    def run(procs):
+        t0 = time.time()
+        with mp.Pool(procs) as p:
+            p.map(_burn, [work] * procs * 4)
+        return procs * 4 * work / (time.time() - t0)
+
+    t1, t2 = run(n1), run(n2)
+    return round((t2 / t1) / (n2 / n1), 3)
+
+
+def _burn(n):
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def scaling_run(sf_dir, runs=3, multiplier=16, pair=(8, 32)):
+    """Flagship enrichment at local[N] vs local[4N] on identical input.
     The job is the CPU-bound kernel path: map-only derived points,
     gzip-compressed tile broadcast (KBs), no pre-pass — so core count is
     the only resource that changes between runs."""
@@ -165,9 +189,10 @@ def scaling_run(sf_dir, runs=3, multiplier=16):
                              fixture_tiles_df(spark, encodings=gz),
                              strategy="broadcast", prune_tiles=False)
 
+    n1, n2 = pair
     results = {}
     n_points = None
-    for cpus in (8, 32):
+    for cpus in (n1, n2):
         spark = get_spark(app=f"bench-scaling-{cpus}", cpus=cpus)
         if n_points is None:
             n_points = flagship_rows(spark, sf_dir) * multiplier
@@ -182,16 +207,23 @@ def scaling_run(sf_dir, runs=3, multiplier=16):
                          "best_sec": round(best, 3),
                          "throughput_pts_per_sec": round(n_points / best, 1)}
         spark.stop()
-    thr8 = results[8]["throughput_pts_per_sec"]
-    thr32 = results[32]["throughput_pts_per_sec"]
-    eff = (thr32 / thr8) / 4.0
-    return {"n_points": n_points, "local8": results[8], "local32": results[32],
-            "scaling_efficiency": round(eff, 3)}
+    thr1 = results[n1]["throughput_pts_per_sec"]
+    thr2 = results[n2]["throughput_pts_per_sec"]
+    eff = (thr2 / thr1) / (n2 / n1)
+    hw = _hardware_ceiling(n1, n2)
+    return {"n_points": n_points, "pair": [n1, n2],
+            f"local{n1}": results[n1], f"local{n2}": results[n2],
+            "scaling_efficiency": round(eff, 3),
+            "hardware_ceiling_efficiency": hw,
+            "efficiency_vs_hardware_ceiling": round(eff / hw, 3) if hw else None}
 
 
 def main():
     if "--scaling" in sys.argv:
-        out = scaling_run(SF_DIR)
+        pair_env = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "8,32")
+        n1, n2 = (int(x) for x in pair_env.split(","))
+        out = scaling_run(SF_DIR, pair=(n1, n2),
+                          runs=int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3")))
         print(json.dumps(out))
         return
     from elevation_service_spark.session import get_spark

@@ -74,35 +74,51 @@ def _cached_grid(tile_key: str, encoding: str, data: bytes) -> np.ndarray:
     return grid
 
 
-def _enrich_one_tile(lat: np.ndarray, lon: np.ndarray,
-                     tile: tuple | None, interpolation: str
-                     ) -> tuple[np.ndarray, np.ndarray]:
-    """(elev float64 w/ NaN, status object array) for points of ONE tile.
+# numeric status codes keep the Python->JVM Arrow traffic to one tinyint per
+# row; the string column is materialized JVM-side (codegen CASE)
+CODE_OK, CODE_OUT_OF_BOUNDS, CODE_TILE_MISSING, CODE_BAD_TILE = 0, 1, 2, 3
+STATUS_BY_CODE = [STATUS_OK, STATUS_OUT_OF_BOUNDS, STATUS_TILE_MISSING, STATUS_BAD_TILE]
+_STATUS_LOOKUP = np.array(STATUS_BY_CODE, dtype=object)
+
+
+def _enrich_one_tile_codes(lat: np.ndarray, lon: np.ndarray,
+                           tile: tuple | None, interpolation: str
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """(elev float64 w/ NaN, status code int8 array) for points of ONE tile.
     tile = (sw_lat, sw_lon, encoding, data) or None if missing."""
     n = len(lat)
     elev = np.full(n, np.nan)
-    status = np.full(n, STATUS_OK, dtype=object)
+    code = np.full(n, CODE_OK, dtype=np.int8)
     invalid = ~((lat >= -90.0) & (lat <= 90.0) & (lon >= -180.0) & (lon <= 180.0))
-    status[invalid] = STATUS_OUT_OF_BOUNDS
+    code[invalid] = CODE_OUT_OF_BOUNDS
     ok_mask = ~invalid
     if tile is None:
-        status[ok_mask] = STATUS_TILE_MISSING
-        return elev, status
+        code[ok_mask] = CODE_TILE_MISSING
+        return elev, code
     sw_lat, sw_lon, encoding, data = tile
     try:
         grid = _cached_grid(f"{sw_lat}/{sw_lon}", encoding, data)
     except Exception:
-        status[ok_mask] = STATUS_BAD_TILE
-        return elev, status
+        code[ok_mask] = CODE_BAD_TILE
+        return elev, code
     if ok_mask.any():
         e, inb = kernels.lookup_elevation(grid, sw_lat, sw_lon,
                                           lat[ok_mask], lon[ok_mask],
                                           interpolation=interpolation)
         idx = np.nonzero(ok_mask)[0]
         elev[idx] = e
-        status[idx[~inb]] = STATUS_OUT_OF_BOUNDS
+        code[idx[~inb]] = CODE_OUT_OF_BOUNDS
         elev[idx[~inb]] = np.nan
-    return elev, status
+    return elev, code
+
+
+def _enrich_one_tile(lat: np.ndarray, lon: np.ndarray,
+                     tile: tuple | None, interpolation: str
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """(elev, status string object array) — string-status variant for the
+    cogroup path (full rows already cross the boundary there)."""
+    elev, code = _enrich_one_tile_codes(lat, lon, tile, interpolation)
+    return elev, _STATUS_LOOKUP[code]
 
 
 def with_tile_key(points: DataFrame, key_col: str = "tile_key") -> DataFrame:
@@ -154,30 +170,47 @@ def _enrich_broadcast(points: DataFrame, tiles: DataFrame,
         needed = points.select("tile_key").distinct()
         src = tiles.join(needed, "tile_key", "left_semi")
     rows = src.select("tile_key", "sw_lat", "sw_lon", "encoding", "data").collect()
+    # tiles keyed by packed int id (sw_lat+90)*360 + (sw_lon+180): an int32
+    # crosses the Arrow boundary per row instead of a string, and the
+    # per-batch groupby hashes int64s instead of strings
     bc = spark.sparkContext.broadcast(
-        {r["tile_key"]: (r["sw_lat"], r["sw_lon"], r["encoding"], bytes(r["data"]))
+        {(r["sw_lat"] + 90) * 512 + (r["sw_lon"] + 180):
+         (r["sw_lat"], r["sw_lon"], r["encoding"], bytes(r["data"]))
          for r in rows})
-    schema = _out_schema(points)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # scalar pandas_udf over exactly (tid, lat, lon): every other column of
+    # the points table stays JVM-side and never crosses the Arrow boundary;
+    # the UDF returns one double + one tinyint per row.
+    result_type = T.StructType([
+        T.StructField("elevation", T.DoubleType(), True),
+        T.StructField("code", T.ByteType(), False),
+    ])
+
+    def lookup(tid: pd.Series, lat_s: pd.Series, lon_s: pd.Series) -> pd.DataFrame:
         tile_map = bc.value
-        for pdf in batches:
-            n = len(pdf)
-            elev = np.full(n, np.nan)
-            status = np.full(n, STATUS_OK, dtype=object)
-            lat = pdf["lat"].to_numpy(dtype=np.float64)
-            lon = pdf["lon"].to_numpy(dtype=np.float64)
-            for key, idx in pdf.groupby("tile_key").indices.items():
-                e, s = _enrich_one_tile(lat[idx], lon[idx],
-                                        tile_map.get(key), interpolation)
-                elev[idx] = e
-                status[idx] = s
-            out = pdf.copy()
-            out["elevation"] = elev
-            out["status"] = status
-            yield out
+        n = len(tid)
+        lat = lat_s.to_numpy(dtype=np.float64)
+        lon = lon_s.to_numpy(dtype=np.float64)
+        elev = np.full(n, np.nan)
+        code = np.full(n, CODE_OK, dtype=np.int8)
+        for key, idx in tid.groupby(tid, sort=False).indices.items():
+            e, c = _enrich_one_tile_codes(lat[idx], lon[idx],
+                                          tile_map.get(key), interpolation)
+            elev[idx] = e
+            code[idx] = c
+        return pd.DataFrame({"elevation": elev, "code": code})
 
-    return points.mapInPandas(gen, schema)
+    lookup_udf = F.pandas_udf(lookup, returnType=result_type)
+    status_col = F.element_at(
+        F.array(*[F.lit(s) for s in STATUS_BY_CODE]),
+        F.col("_r.code").cast("int") + 1)
+    tid_col = ((F.floor(F.col("lat")).cast("int") + 90) * 512
+               + F.floor(F.col("lon")).cast("int") + 180)
+    return (points
+            .withColumn("_r", lookup_udf(tid_col, F.col("lat"), F.col("lon")))
+            .withColumn("elevation", F.col("_r.elevation"))
+            .withColumn("status", status_col)
+            .drop("_r"))
 
 
 def _adaptive_salt_map(points: DataFrame, target_points_per_group: int,
