@@ -148,6 +148,13 @@ def enrich_points(points: DataFrame, tiles: DataFrame, *,
     tiles:  TILES_SCHEMA (sources/tiles.py).
     """
     points = with_tile_key(points)
+    if points.isStreaming:
+        # stream-static pattern: the working-set probe and tile pruning
+        # would require executing the stream — broadcast the whole tile
+        # table instead (cogroup is not stream-composable)
+        if strategy == "cogroup":
+            raise ValueError("cogroup strategy is not supported on streaming points")
+        return _enrich_broadcast(points, tiles, interpolation, prune_tiles=False)
     if strategy == "auto":
         needed = points.select("tile_key").distinct()
         sz = (tiles.join(needed, "tile_key", "left_semi")

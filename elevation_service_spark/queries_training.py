@@ -393,3 +393,118 @@ ORACLES = {
     "events_running": _EVENTS_RUNNING_ORACLE,
     "sessionize": _SESSIONIZE_ORACLE,
 }
+
+
+# --- additional coverage ------------------------------------------------------
+
+def q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(load(spark, sf_dir, "documents"),
+                                    max_hamming=30)
+
+
+_SIMHASH_PAIRS_ORACLE = f"""WITH {_PAIRS_CTE},
+hs AS (SELECT id, (code * {dedup.SIMHASH_MULT}) % {dedup.SIMHASH_MOD} AS h FROM codes),
+c AS (SELECT id, {_SIMHASH_SUMS} FROM hs GROUP BY id),
+sh2 AS (SELECT id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM c)
+SELECT p.id1, p.id2, CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM pairs p JOIN sh2 a ON a.id = p.id1 JOIN sh2 b ON b.id = p.id2
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 30"""
+
+
+def q_distinct_stats(spark, sf_dir):
+    """exact distinct aggregations over documents (grouping coverage)."""
+    d = load(spark, sf_dir, "documents")
+    return (d.groupBy("source")
+            .agg(F.countDistinct("lang").alias("n_langs"),
+                 F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars")))
+
+
+_DISTINCT_STATS_ORACLE = """SELECT source,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY source"""
+
+
+# per-track cumulative planar length: ordered prefix sums are sequential in
+# BOTH engines, and sqrt is correctly-rounded IEEE — floats stay bit-equal
+_TRACK_ID = "CAST(c_custkey % 50 AS BIGINT)"
+
+
+def q_track_cumlen(spark, sf_dir):
+    from .queries import LAT_SQL, LON_SQL
+    from pyspark.sql import Window
+    pts = load(spark, sf_dir, "customer").select(
+        F.expr(_TRACK_ID).alias("track_id"),
+        F.col("c_custkey").alias("seq"),
+        F.expr(LAT_SQL).alias("lat"), F.expr(LON_SQL).alias("lon"))
+    w = Window.partitionBy("track_id").orderBy("seq")
+    step = F.sqrt((F.col("lat") - F.lag("lat", 1).over(w))
+                  * (F.col("lat") - F.lag("lat", 1).over(w))
+                  + (F.col("lon") - F.lag("lon", 1).over(w))
+                  * (F.col("lon") - F.lag("lon", 1).over(w)))
+    return (pts.withColumn("step", F.coalesce(step, F.lit(0.0)))
+            .withColumn("cum_len", F.sum("step").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .select("track_id", "seq", "cum_len"))
+
+
+def _track_oracle():
+    from .queries import LAT_SQL, LON_SQL
+    return f"""WITH pts AS (
+  SELECT {_TRACK_ID} AS track_id, c_custkey AS seq,
+         {LAT_SQL} AS lat, {LON_SQL} AS lon FROM customer),
+st AS (
+  SELECT track_id, seq,
+    coalesce(sqrt((lat - lag(lat, 1) OVER w) * (lat - lag(lat, 1) OVER w)
+                + (lon - lag(lon, 1) OVER w) * (lon - lag(lon, 1) OVER w)),
+             CAST(0 AS DOUBLE)) AS step
+  FROM pts WINDOW w AS (PARTITION BY track_id ORDER BY seq))
+SELECT track_id, seq,
+  sum(step) OVER (PARTITION BY track_id ORDER BY seq
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_len
+FROM st"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return similarity.embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), min_score=1)
+
+
+def _embedding_neardup_oracle():
+    dim, planes = 64, similarity.N_PLANES
+    sign = ("CASE ((j * 31 + (pos - 1) * 17) % 2) WHEN 0 THEN 1 ELSE -1 END")
+    return f"""WITH e AS (
+  SELECT vec_id AS id, list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * {similarity.QUANT_SCALE} + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS v
+  FROM embeddings),
+comp AS (
+  SELECT id, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM e),
+proj AS (
+  SELECT c.id, j.j, sum(c.val * ({sign})) AS p
+  FROM comp c CROSS JOIN (SELECT unnest(range({planes})) AS j) j
+  GROUP BY c.id, j.j),
+bkt AS (
+  SELECT id, sum(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
+  FROM proj GROUP BY id)
+SELECT a.id AS id1, b.id AS id2,
+  CAST(list_dot_product(ea.v, eb.v) AS BIGINT) AS score
+FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.id < b.id
+JOIN e ea ON ea.id = a.id JOIN e eb ON eb.id = b.id
+WHERE list_dot_product(ea.v, eb.v) >= 1"""
+
+
+SPARK_QUERIES.update({
+    "simhash_pairs": q_simhash_pairs,
+    "distinct_stats": q_distinct_stats,
+    "track_cumlen": q_track_cumlen,
+    "embedding_neardup": q_embedding_neardup,
+})
+ORACLES.update({
+    "simhash_pairs": _SIMHASH_PAIRS_ORACLE,
+    "distinct_stats": _DISTINCT_STATS_ORACLE,
+    "track_cumlen": _track_oracle(),
+    "embedding_neardup": _embedding_neardup_oracle(),
+})

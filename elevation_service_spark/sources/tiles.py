@@ -46,3 +46,32 @@ def write_tiles(df: DataFrame, path: str) -> None:
 
 def read_tiles(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("lat_band")
+
+
+def read_hgt_dir(spark: SparkSession, path: str) -> DataFrame:
+    """FileTileSet parity (elevation-service/tileset.js § FileTileSet, env
+    TILE_SET_PATH): read a directory of raw ``{KEY}.hgt`` / ``{KEY}.hgt.gz``
+    files via the binaryFile source into the tile table shape.  The skadi
+    key and SW corner are parsed from the filename; grid size is sniffed at
+    decode time (op 7)."""
+    from pyspark.sql import functions as F
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.hgt*")
+             .option("recursiveFileLookup", "true")
+             .load(path))
+    name = F.element_at(F.split(F.col("path"), "/"), -1)
+    key = F.regexp_extract(name, r"^([NS]\d{2}[EW]\d{3})\.hgt(\.gz)?$", 1)
+    gz = name.endswith(".gz")
+    sw_lat = (F.when(F.substring(key, 1, 1) == "S", -1).otherwise(1)
+              * F.substring(key, 2, 2).cast("int"))
+    sw_lon = (F.when(F.substring(key, 4, 1) == "W", -1).otherwise(1)
+              * F.substring(key, 5, 3).cast("int"))
+    return (files.filter(key != "")
+            .select(key.alias("tile_key"),
+                    F.lit(None).cast("int").alias("z"),
+                    F.lit(None).cast("int").alias("x"),
+                    F.lit(None).cast("int").alias("y"),
+                    sw_lat.alias("sw_lat"), sw_lon.alias("sw_lon"),
+                    F.lit(None).cast("int").alias("size"),
+                    F.when(gz, "hgt.gz").otherwise("hgt").alias("encoding"),
+                    F.col("content").alias("data")))

@@ -139,3 +139,31 @@ def test_frame_sample_plan(spark):
     got = frame_sample_plan(_media_df(spark), every_ms=1000).collect()
     assert sorted((r["frame_idx"], r["ts_ms"]) for r in got) == \
         [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
+
+
+# --- binaryFile tile-directory source (FileTileSet parity) --------------------
+
+def test_read_hgt_dir(spark, tmp_path):
+    from elevation_service_spark.sources.tiles import read_hgt_dir
+    import gzip as _gzip
+    d = tmp_path / "tiles" / "N57"
+    d.mkdir(parents=True)
+    grid = fixtures.tile_grid(57, 11, 1201)
+    (d / "N57E011.hgt").write_bytes(kernels.encode_hgt(grid))
+    grid2 = fixtures.tile_grid(-34, -71, 1201)
+    (tmp_path / "tiles" / "S34W071.hgt.gz").write_bytes(
+        _gzip.compress(kernels.encode_hgt(grid2)))
+    (tmp_path / "tiles" / "README.txt").write_text("ignore me")
+    tiles = read_hgt_dir(spark, str(tmp_path / "tiles"))
+    rows = {r["tile_key"]: r for r in tiles.collect()}
+    assert set(rows) == {"N57E011", "S34W071"}
+    assert (rows["N57E011"]["sw_lat"], rows["N57E011"]["sw_lon"]) == (57, 11)
+    assert (rows["S34W071"]["sw_lat"], rows["S34W071"]["sw_lon"]) == (-34, -71)
+    assert rows["S34W071"]["encoding"] == "hgt.gz"
+    # and it plugs straight into the core operator
+    pts = spark.createDataFrame([(0, 57.5, 11.5), (1, -33.5, -70.5)],
+                                ["pid", "lat", "lon"])
+    out = {r["pid"]: r for r in enrich_points(pts, tiles, strategy="broadcast").collect()}
+    from helpers import ref_bilinear
+    assert out[0]["elevation"] == ref_bilinear(grid, 57.5, 11.5, 57, 11)
+    assert out[1]["elevation"] == ref_bilinear(grid2, -33.5, -70.5, -34, -71)
