@@ -124,57 +124,66 @@ def reassemble_geojson(docs: DataFrame, enriched: DataFrame,
                        geojson_col: str = "geojson") -> DataFrame:
     """Inverse of flatten (op 12): write elevations back as coords[2] in
     the original documents.  enriched: (url, pos_idx, elevation, ...).
-    Output position order == input order (sort by pos_idx inside group)."""
-    docs_sel = docs.select(url_col, geojson_col)
-    pos_sel = enriched.select("url", "pos_idx", "elevation")
+    Output position order == input order.
 
-    def fn(docs_pdf: pd.DataFrame, pos_pdf: pd.DataFrame) -> pd.DataFrame:
-        pos_pdf = pos_pdf.sort_values("pos_idx")
-        elevs = pos_pdf["elevation"].tolist()
-        out = {"url": [], "geojson_out": [], "n_positions": [],
-               "n_enriched": [], "status": []}
-        for url, raw in zip(docs_pdf[url_col], docs_pdf[geojson_col]):
-            geojson_out, n_pos, n_enr, status = None, 0, 0, "OK"
-            try:
-                obj = json.loads(raw)
-            except (ValueError, TypeError):
-                status = "INVALID_JSON"
-                obj = None
-            if obj is not None:
+    Physical shape (SURVEY.md §2 op-12): elevations are gathered per doc
+    with a JVM-side ``sort_array(collect_list(struct(pos_idx, elevation)))``
+    aggregation, hash-joined back to the documents, and the JSON rewrite
+    runs as ONE batched mapInPandas — NOT a per-url cogroup (one Arrow
+    batch per tiny group is ~30x slower at millions of docs)."""
+    from pyspark.sql import functions as F
+    agg = (enriched.groupBy("url")
+           .agg(F.sort_array(F.collect_list(F.struct("pos_idx", "elevation")))
+                .alias("_elevs")))
+    joined = (docs.select(F.col(url_col).alias("url"), geojson_col)
+              .join(agg, "url", "left"))
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"url": [], "geojson_out": [], "n_positions": [],
+                   "n_enriched": [], "status": []}
+            for url, raw, elev_rows in zip(pdf["url"], pdf[geojson_col], pdf["_elevs"]):
+                elevs = ([e["elevation"] for e in elev_rows]
+                         if elev_rows is not None else [])
+                geojson_out, n_pos, n_enr, status = None, 0, 0, "OK"
                 try:
-                    positions = list(walk_positions(obj))
-                except (ValueError, TypeError, KeyError):
-                    status = "NOT_GEOJSON"
-                    positions = None
-                if positions is not None:
-                    n_pos = len(positions)
-                    for i, pos in enumerate(positions):
-                        ele = elevs[i] if i < len(elevs) else None
-                        if ele is not None and ele == ele:  # not NaN
-                            if len(pos) >= 3:
-                                pos[2] = float(ele)
-                            else:
-                                pos.append(float(ele))
-                            n_enr += 1
-                    geojson_out = canonical_json(obj)
-                    status = ("EMPTY" if n_pos == 0
-                              else "OK" if n_enr == n_pos else "PARTIAL")
-            out["url"].append(url)
-            out["geojson_out"].append(geojson_out)
-            out["n_positions"].append(n_pos)
-            out["n_enriched"].append(n_enr)
-            out["status"].append(status)
-        return pd.DataFrame({
-            "url": pd.Series(out["url"], dtype=object),
-            "geojson_out": pd.Series(out["geojson_out"], dtype=object),
-            "n_positions": pd.Series(out["n_positions"], dtype="int32"),
-            "n_enriched": pd.Series(out["n_enriched"], dtype="int32"),
-            "status": pd.Series(out["status"], dtype=object),
-        })
+                    obj = json.loads(raw)
+                except (ValueError, TypeError):
+                    status = "INVALID_JSON"
+                    obj = None
+                if obj is not None:
+                    try:
+                        positions = list(walk_positions(obj))
+                    except (ValueError, TypeError, KeyError):
+                        status = "NOT_GEOJSON"
+                        positions = None
+                    if positions is not None:
+                        n_pos = len(positions)
+                        for i, pos in enumerate(positions):
+                            ele = elevs[i] if i < len(elevs) else None
+                            if ele is not None and ele == ele:  # not NaN
+                                if len(pos) >= 3:
+                                    pos[2] = float(ele)
+                                else:
+                                    pos.append(float(ele))
+                                n_enr += 1
+                        geojson_out = canonical_json(obj)
+                        status = ("EMPTY" if n_pos == 0
+                                  else "OK" if n_enr == n_pos else "PARTIAL")
+                out["url"].append(url)
+                out["geojson_out"].append(geojson_out)
+                out["n_positions"].append(n_pos)
+                out["n_enriched"].append(n_enr)
+                out["status"].append(status)
+            yield pd.DataFrame({
+                "url": pd.Series(out["url"], dtype=object),
+                "geojson_out": pd.Series(out["geojson_out"], dtype=object),
+                "n_positions": pd.Series(out["n_positions"], dtype="int32"),
+                "n_enriched": pd.Series(out["n_enriched"], dtype="int32"),
+                "status": pd.Series(out["status"], dtype=object),
+            })
 
-    return (docs_sel.groupBy(url_col)
-            .cogroup(pos_sel.groupBy("url"))
-            .applyInPandas(fn, _DOC_OUT_SCHEMA))
+    return joined.mapInPandas(gen, _DOC_OUT_SCHEMA)
 
 
 def add_elevation_docs(docs: DataFrame, tiles: DataFrame, *,
