@@ -68,21 +68,28 @@ def _bench_points(spark, sf_dir, skewed=False, multiplier=1):
             .repartition(CPUS * 2))
 
 
+def _gz_tiles(spark):
+    # compressed wire format: what a real deployment broadcasts/shuffles
+    # (decode is cached per worker); the mixed raw/png encodings are
+    # correctness-tested elsewhere
+    from elevation_service_spark.sources.tiles import fixture_tiles_df
+    from elevation_service_spark import fixtures
+    return fixture_tiles_df(spark, encodings={t[0]: "hgt.gz" for t in fixtures.FIXTURE_TILES})
+
+
 def q_flagship_enrich(spark, sf_dir):
     """extract-scale elevation enrichment: N points -> tile join -> bilinear
     (broadcast strategy; the 100 TB plan shape: map-only over points)."""
     from elevation_service_spark.operators.lookup import enrich_points
-    from elevation_service_spark.sources.tiles import fixture_tiles_df
-    return enrich_points(_bench_points(spark, sf_dir), fixture_tiles_df(spark),
-                         strategy="broadcast")
+    return enrich_points(_bench_points(spark, sf_dir), _gz_tiles(spark),
+                         strategy="broadcast", prune_tiles=False)
 
 
 def q_enrich_cogroup_salted(spark, sf_dir):
     """same job, skewed input (50% hot tile), shuffle strategy + salting."""
     from elevation_service_spark.operators.lookup import enrich_points
-    from elevation_service_spark.sources.tiles import fixture_tiles_df
     return enrich_points(_bench_points(spark, sf_dir, skewed=True),
-                         fixture_tiles_df(spark), strategy="cogroup",
+                         _gz_tiles(spark), strategy="cogroup",
                          salt_factor=None)  # adaptive hotspot salting
 
 

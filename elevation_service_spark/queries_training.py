@@ -508,3 +508,28 @@ ORACLES.update({
     "track_cumlen": _track_oracle(),
     "embedding_neardup": _embedding_neardup_oracle(),
 })
+
+
+# --- rows-only queries (no SQL-expressible oracle; driver records a weaker
+# rows-only check — approx sketches differ across engines by design) --------
+
+def q_ann_lsh(spark, sf_dir):
+    """sign-LSH bucketed ANN (the scale path; recall measured vs brute in
+    tests/test_spatial.py)."""
+    return similarity.ann_lsh_topk(load(spark, sf_dir, "embeddings"),
+                                   ANN_QUERY_IDS, ANN_K)
+
+
+def q_approx_distinct(spark, sf_dir):
+    """HLL approx_count_distinct for lineage metrics (SURVEY §2.B aggs);
+    approximate by design -> rows-only check."""
+    d = load(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(F.approx_count_distinct("source").alias("approx_sources"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+SPARK_QUERIES.update({
+    "ann_lsh": q_ann_lsh,
+    "approx_distinct": q_approx_distinct,
+})
