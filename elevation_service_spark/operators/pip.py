@@ -84,3 +84,62 @@ def pip_assign(points: DataFrame, polygons: DataFrame,
                 yield pd.DataFrame({f.name: pd.Series(dtype=object) for f in schema.fields})
 
     return points.select(*id_cols, "lat", "lon").mapInPandas(gen, schema)
+
+
+def pip_assign_bucketed(points: DataFrame, polygons: DataFrame,
+                        id_cols: tuple[str, ...] = ("pid",),
+                        cell_deg: float = 1.0) -> DataFrame:
+    """Range-join formulation for LARGE polygon sets (SURVEY.md §2.B
+    interval/range): polygons explode to the degree-grid cells covering
+    their bbox, points carry their cell — the bbox prefilter becomes a hash
+    equi-join on the cell key instead of a broadcast, then the exact
+    ray-cast kernel verifies candidates.  Same output as pip_assign."""
+    import math as _math
+    from pyspark.sql import functions as F
+    spark = points.sparkSession
+    polys = _parse_polygons(polygons.collect())
+
+    # polygon -> covering cells (driver-side: polygon count is the big-table
+    # case only relative to broadcast payload; the cell explosion itself is
+    # tiny rows). For truly huge polygon tables this same explode runs as a
+    # DataFrame transform over the polygon table.
+    cell_rows = []
+    for i, (poly_id, minx, miny, maxx, maxy, _rings) in enumerate(polys):
+        for cx in range(_math.floor(minx / cell_deg), _math.floor(maxx / cell_deg) + 1):
+            for cy in range(_math.floor(miny / cell_deg), _math.floor(maxy / cell_deg) + 1):
+                cell_rows.append((poly_id, i, cx, cy))
+    cells = spark.createDataFrame(cell_rows, ["poly_id", "_poly_idx", "cx", "cy"])
+
+    pts = (points.select(*id_cols, "lat", "lon")
+           .withColumn("cx", F.floor(F.col("lon") / F.lit(cell_deg)).cast("long"))
+           .withColumn("cy", F.floor(F.col("lat") / F.lit(cell_deg)).cast("long")))
+    cand = pts.join(cells, ["cx", "cy"]).drop("cx", "cy")
+
+    bc = spark.sparkContext.broadcast([(p[1], p[2], p[3], p[4], p[5]) for p in polys])
+    schema = T.StructType([cand.schema[c] for c in id_cols]
+                          + [T.StructField("lat", T.DoubleType(), False),
+                             T.StructField("lon", T.DoubleType(), False),
+                             T.StructField("poly_id", T.StringType(), False)])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        meta = bc.value
+        for pdf in batches:
+            lat = pdf["lat"].to_numpy(np.float64)
+            lon = pdf["lon"].to_numpy(np.float64)
+            keep = np.zeros(len(pdf), dtype=bool)
+            for pi, grp in pdf.groupby("_poly_idx").indices.items():
+                minx, miny, maxx, maxy, multi = meta[pi]
+                la, lo = lat[grp], lon[grp]
+                m = (lo >= minx) & (lo <= maxx) & (la >= miny) & (la <= maxy)
+                inside = np.zeros(len(grp), dtype=bool)
+                if m.any():
+                    sub = np.nonzero(m)[0]
+                    hit = np.zeros(len(sub), dtype=bool)
+                    for rings in multi:
+                        hit |= kernels.point_in_polygon(la[sub], lo[sub], rings)
+                    inside[sub] = hit
+                keep[grp[inside]] = True
+            out = pdf.loc[keep, list(id_cols) + ["lat", "lon", "poly_id"]]
+            yield out
+
+    return cand.mapInPandas(gen, schema)

@@ -89,5 +89,16 @@ par AS (
 SELECT pid, lat, lon, poly_id FROM par WHERE outer_par = 1 AND hole_par = 0"""
 
 
-SPARK_QUERIES = {"knn": q_knn, "pip": q_pip}
-ORACLES = {"knn": _KNN_ORACLE, "pip": _pip_oracle()}
+def q_pip_bucketed(spark, sf_dir):
+    """Same PIP semantics through the cell-bucketed range-join plan (the
+    large-polygon-set strategy) — must match the identical oracle as q_pip."""
+    from .operators.pip import pip_assign_bucketed
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        F.expr(LAT_SQL).alias("lat"), F.expr(LON_SQL).alias("lon"))
+    return pip_assign_bucketed(pts, _polygons_df(spark))
+
+
+SPARK_QUERIES = {"knn": q_knn, "pip": q_pip, "pip_bucketed": q_pip_bucketed}
+ORACLES = {"knn": _KNN_ORACLE, "pip": _pip_oracle(),
+           "pip_bucketed": _pip_oracle()}
