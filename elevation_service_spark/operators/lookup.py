@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import gzip
 from collections import OrderedDict
-from typing import Iterator
 
 import numpy as np
 import pandas as pd

@@ -101,15 +101,7 @@ def q_jaccard_pairs(spark, sf_dir):
     return dedup.jaccard_pairs(load(spark, sf_dir, "documents"))
 
 
-_SHINGLES_CTE = f"""{_TOK_CTE},
-sh0 AS (SELECT id,
-        tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle,
-        lead(tok, 2) OVER w AS t2
-        FROM tok WINDOW w AS (PARTITION BY id ORDER BY pos)),
-sh AS (SELECT DISTINCT id, shingle FROM sh0 WHERE t2 IS NOT NULL)"""
-
 _JACCARD_ORACLE = f"""WITH {_PAIRS_CTE},
-tok2 AS (SELECT * FROM tok),
 sh0 AS (SELECT id,
         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle,
         lead(tok, 2) OVER w AS t2

@@ -75,3 +75,35 @@ def read_hgt_dir(spark: SparkSession, path: str) -> DataFrame:
                     F.lit(None).cast("int").alias("size"),
                     F.when(gz, "hgt.gz").otherwise("hgt").alias("encoding"),
                     F.col("content").alias("data")))
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """Probe for an Iceberg runtime (SURVEY.md §7.0).  The sandbox has no
+    Iceberg jars, so sinks downgrade to Iceberg-style partitioned parquet +
+    JSON manifest (sources/manifest.py) — documented loudly here and in
+    BENCH/BASELINE.md."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions")
+        return True
+    except Exception:
+        return False
+
+
+def write_enriched(df: DataFrame, path: str, n_range_partitions: int = 64) -> None:
+    """Enriched-points sink (SURVEY.md §2.B): EXPLICIT range partitioning on
+    tile_key (north_star: "explicit range partitioning") so downstream
+    tile-local consumers read co-located, sorted runs; file layout is
+    additionally partitioned by status for cheap error triage.  Uses
+    Iceberg when a runtime is present, else partitioned parquet."""
+    from pyspark.sql import functions as F
+    spark = df.sparkSession
+    out = df.repartitionByRange(n_range_partitions, F.col("tile_key"))
+    if iceberg_available(spark):
+        out.writeTo(path).createOrReplace()  # pragma: no cover (no jars here)
+    else:
+        out.write.mode("overwrite").partitionBy("status").parquet(path)
+
+
+def read_enriched(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

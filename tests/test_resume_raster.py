@@ -167,3 +167,25 @@ def test_read_hgt_dir(spark, tmp_path):
     from helpers import ref_bilinear
     assert out[0]["elevation"] == ref_bilinear(grid, 57.5, 11.5, 57, 11)
     assert out[1]["elevation"] == ref_bilinear(grid2, -33.5, -70.5, -34, -71)
+
+
+def test_write_enriched_range_partitioned(spark, tmp_path):
+    from elevation_service_spark.sources.tiles import (iceberg_available,
+                                                       read_enriched,
+                                                       write_enriched)
+    assert iceberg_available(spark) is False  # sandbox: documented downgrade
+    pts = spark.createDataFrame(
+        [(i, 57.0 + (i % 900) / 1000.0, 11.0 + (i % 900) / 1000.0) for i in range(500)]
+        + [(999, 10.5, 10.5)], ["pid", "lat", "lon"])
+    out = enrich_points(pts, fixture_tiles_df(spark), strategy="broadcast")
+    # the sink plan must contain an explicit range partitioning on tile_key
+    plan = (out.repartitionByRange(8, F.col("tile_key"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "rangepartitioning(tile_key" in plan.lower(), plan
+    path = str(tmp_path / "enriched")
+    write_enriched(out, path, n_range_partitions=8)
+    back = read_enriched(spark, path)
+    assert back.count() == 501
+    assert back.filter(F.col("status") == "TILE_MISSING").count() == 1
+    import os
+    assert any(d.startswith("status=") for d in os.listdir(path))
