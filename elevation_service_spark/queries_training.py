@@ -525,3 +525,20 @@ SPARK_QUERIES.update({
     "ann_lsh": q_ann_lsh,
     "approx_distinct": q_approx_distinct,
 })
+
+
+def q_orders_cube(spark, sf_dir):
+    """CUBE grouping sets (all subtotal combinations; §2.B aggregations)."""
+    o = load(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("cents")))
+
+
+_CUBE_ORACLE = """SELECT o_orderstatus, o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS cents
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+
+SPARK_QUERIES["orders_cube"] = q_orders_cube
+ORACLES["orders_cube"] = _CUBE_ORACLE

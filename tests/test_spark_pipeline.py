@@ -172,3 +172,19 @@ def test_end_to_end_pages_to_elevations(spark):
             assert r["elevation"] == ref_bilinear(grids[key], g["lat"], g["lon"], *sw[key])
         else:
             assert r["status"] == "TILE_MISSING"
+
+
+def test_auto_strategy_switches_on_working_set_size(spark):
+    """strategy='auto' probes the requested tile working-set bytes and
+    picks broadcast for small sets, cogroup beyond the threshold."""
+    pts, expected = _golden_points(spark, include_missing=False, include_oob=False)
+    tiles = fixture_tiles_df(spark)
+    # tiny threshold forces the cogroup path; huge threshold broadcast —
+    # both must give identical, correct results
+    for threshold in (1, 1 << 40):
+        out = enrich_points(pts, tiles, strategy="auto",
+                            broadcast_bytes_threshold=threshold)
+        got = {r["pid"]: r for r in out.collect()}
+        for pid, (elev, status) in enumerate(expected):
+            assert got[pid]["status"] == status
+            assert got[pid]["elevation"] == elev
