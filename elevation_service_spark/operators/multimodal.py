@@ -129,3 +129,49 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.floor(F.col("duration_ms") / every_ms).cast("int"))))
         .select("media_id", "frame_idx",
                 (F.col("frame_idx") * every_ms).alias("ts_ms")))
+
+
+def decode_audio(payload: bytes, duration_ms: int, sr: int = 16000,
+                 fake: bool = False) -> np.ndarray:
+    """payload -> float32 mono waveform.  STUB: real decoding needs
+    ffmpeg/torchaudio, absent in this container."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires ffmpeg/torchaudio (not in this container); "
+            "pass fake=True for the deterministic test decoder")
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    n = max(1, int(sr * duration_ms / 1000))
+    return rng.standard_normal(n).astype(np.float32)
+
+
+def audio_features(media: DataFrame, fake_decode: bool = False,
+                   sr: int = 16000) -> DataFrame:
+    """(media_id, n_samples, rms_milli, peak_milli, zero_crossings) —
+    per-clip waveform statistics; decode→feature mapInPandas shape for the
+    audio modality."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("rms_milli", T.LongType(), False),
+        T.StructField("peak_milli", T.LongType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "n_samples", "rms_milli",
+                                   "peak_milli", "zero_crossings")}
+            for _, r in pdf.iterrows():
+                wav = decode_audio(bytes(r["payload"]), int(r["duration_ms"]),
+                                   sr=sr, fake=fake_decode)
+                out["media_id"].append(int(r["media_id"]))
+                out["n_samples"].append(len(wav))
+                out["rms_milli"].append(int(float(np.sqrt(np.mean(wav ** 2))) * 1000))
+                out["peak_milli"].append(int(float(np.abs(wav).max()) * 1000))
+                out["zero_crossings"].append(int(np.sum(np.signbit(wav[1:]) != np.signbit(wav[:-1]))))
+            yield pd.DataFrame(out)
+
+    return (media.filter(media["kind"] == "audio")
+            .select("media_id", "duration_ms", "payload")
+            .mapInPandas(gen, schema))

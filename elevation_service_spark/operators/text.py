@@ -84,3 +84,37 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
     """(id, fp) — md5 of whitespace-normalized lowercase text."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return docs.select(F.col(id_col).alias("id"), F.md5(norm).alias("fp"))
+
+
+# --- rolling-hash document fingerprinting (winnowing) -----------------------
+
+WINNOW_B = 1000003       # polynomial base
+WINNOW_P = 2147483647    # modulus (2^31 - 1)
+WINNOW_K = 4             # tokens per rolling window
+WINNOW_W = 5             # winnowing window (min over W consecutive hashes)
+
+
+def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(id, fp) — distinct winnowed rolling-hash fingerprints per document
+    (the Karp-Rabin + winnowing scheme of MOSS): hash every K-token window
+    with a polynomial rolling hash over dictionary codes, then keep the min
+    hash of every W consecutive window hashes.  Integer-only -> the DuckDB
+    oracle recomputes it exactly.  Built from lead() windows — shuffles
+    once on the doc id, scales with documents."""
+    from pyspark.sql import Window
+    from .dedup import token_codes
+    codes = token_codes(docs, id_col, text_col)
+    w = Window.partitionBy("id").orderBy("pos")
+    h = None
+    for j in range(WINNOW_K):
+        term = (F.lead("code", j).over(w) * F.lit(pow(WINNOW_B, WINNOW_K - 1 - j, WINNOW_P)))
+        h = term if h is None else h + term
+    hashed = (codes.withColumn("_t", F.lead("code", WINNOW_K - 1).over(w))
+              .withColumn("h", h % F.lit(WINNOW_P))
+              .filter(F.col("_t").isNotNull()))
+    wmin = (hashed.withColumn(
+        "fp", F.min("h").over(w.rowsBetween(0, WINNOW_W - 1)))
+        .withColumn("_last", F.lead("h", WINNOW_W - 1).over(w))
+        .filter(F.col("_last").isNotNull()))
+    return wmin.select("id", "fp").distinct()

@@ -542,3 +542,30 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
 
 SPARK_QUERIES["orders_cube"] = q_orders_cube
 ORACLES["orders_cube"] = _CUBE_ORACLE
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    return text.winnow_fingerprints(load(spark, sf_dir, "documents"))
+
+
+def _winnow_oracle():
+    B, P, K, W = (text.WINNOW_B, text.WINNOW_P, text.WINNOW_K, text.WINNOW_W)
+    terms = " + ".join(
+        f"(lead(code, {j}) OVER w) * {pow(B, K - 1 - j, P)}" for j in range(K))
+    return f"""WITH {_CODES_CTE},
+hashed AS (
+  SELECT id, pos, ({terms}) % {P} AS h,
+         lead(code, {K - 1}) OVER w AS _t
+  FROM codes WINDOW w AS (PARTITION BY id ORDER BY pos)),
+hf AS (SELECT id, pos, h FROM hashed WHERE _t IS NOT NULL),
+wmin AS (
+  SELECT id,
+         min(h) OVER (PARTITION BY id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING) AS fp,
+         lead(h, {W - 1}) OVER (PARTITION BY id ORDER BY pos) AS _last
+  FROM hf)
+SELECT DISTINCT id, fp FROM wmin WHERE _last IS NOT NULL"""
+
+
+SPARK_QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
+ORACLES["winnow_fingerprints"] = _winnow_oracle()

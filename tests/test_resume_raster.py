@@ -189,3 +189,17 @@ def test_write_enriched_range_partitioned(spark, tmp_path):
     assert back.filter(F.col("status") == "TILE_MISSING").count() == 1
     import os
     assert any(d.startswith("status=") for d in os.listdir(path))
+
+
+def test_audio_features_stub_plumbing(spark):
+    from elevation_service_spark.operators.multimodal import (audio_features,
+                                                              decode_audio)
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"x", 100)
+    got = audio_features(_media_df(spark), fake_decode=True).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["media_id"] == 101 and r["n_samples"] == 32000
+    wav = decode_audio(b"aud", 2000, fake=True)
+    import numpy as _np
+    assert r["rms_milli"] == int(float(_np.sqrt(_np.mean(wav ** 2))) * 1000)
