@@ -294,6 +294,9 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
 def q_events_running(spark, sf_dir):
     """Per-user running sum + row_number over event time (value in exact
     milli-units)."""
+    # NTZ->instant interpretation must be UTC for unix_micros to equal the
+    # oracle's epoch_us regardless of the host session's zone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = load(spark, sf_dir, "events")
     mv = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -320,6 +323,7 @@ FROM events"""
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min gap) via lag + cumulative flag —
     the batch equivalent of a streaming session window."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     base = e.select("event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
