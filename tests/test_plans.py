@@ -86,3 +86,16 @@ def test_aqe_and_arrow_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+
+
+def test_flagship_has_exactly_one_python_stage(spark):
+    """The whole enrichment collapses to a single ArrowEvalPython node —
+    one Python boundary crossing, everything else JVM codegen."""
+    pts = (spark.read.parquet(f"{SF}/customer.parquet")
+           .select(F.col("c_custkey").alias("pid"),
+                   (F.lit(57.0) + (F.col("c_custkey") % 900) / 1000.0).alias("lat"),
+                   (F.lit(11.0) + (F.col("c_custkey") % 900) / 1000.0).alias("lon")))
+    out = enrich_points(pts, fixture_tiles_df(spark), strategy="broadcast")
+    plan = plan_of(out)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
