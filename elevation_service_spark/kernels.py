@@ -102,7 +102,10 @@ def bilinear_grid(grid: np.ndarray, row: np.ndarray, col: np.ndarray) -> np.ndar
     col_frac = col - col_low
     row_hi = np.minimum(row_low + 1, size - 1)
     col_hi = np.minimum(col_low + 1, size - 1)
-    g = grid.astype(np.float64, copy=False)
+    # avoid whole-grid conversion when the caller pre-converted (the Spark
+    # operator caches grids as float64; converting a 3601 grid per batch
+    # costs 10x the lerp itself)
+    g = grid if grid.dtype == np.float64 else grid.astype(np.float64)
     v00 = g[row_low, col_low]
     v10 = g[row_low, col_hi]
     v01 = g[row_hi, col_low]

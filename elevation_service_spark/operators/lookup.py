@@ -43,9 +43,14 @@ STATUS_OUT_OF_BOUNDS = "OUT_OF_BOUNDS"
 STATUS_TILE_MISSING = "TILE_MISSING"
 STATUS_BAD_TILE = "BAD_TILE"
 
-# per-worker decoded-grid LRU (TILE_SET_CACHE parity: default 128 tiles)
+# per-worker decoded-grid LRU (TILE_SET_CACHE parity).  Grids are cached
+# already converted to float64 — the kernel's dominant cost is otherwise an
+# int16->float64 conversion of the whole grid on EVERY batch (104 MB for a
+# 3601 tile; measured 10x the lerp itself).  Eviction is by byte budget,
+# not entry count, since float64 grids are 4x the wire size.
 _GRID_CACHE: OrderedDict = OrderedDict()
-_GRID_CACHE_SIZE = 128
+_GRID_CACHE_MAX_BYTES = int(__import__("os").environ.get(
+    "SPARK_GRAFT_GRID_CACHE_BYTES", str(2 << 30)))
 
 
 def decode_tile_bytes(encoding: str, data: bytes) -> np.ndarray:
@@ -64,10 +69,12 @@ def _cached_grid(tile_key: str, encoding: str, data: bytes) -> np.ndarray:
     ck = (tile_key, encoding, len(data), zlib.crc32(data[:1024]))
     grid = _GRID_CACHE.get(ck)
     if grid is None:
-        grid = decode_tile_bytes(encoding, data)
+        grid = decode_tile_bytes(encoding, data).astype(np.float64)
         _GRID_CACHE[ck] = grid
-        while len(_GRID_CACHE) > _GRID_CACHE_SIZE:
-            _GRID_CACHE.popitem(last=False)
+        total = sum(g.nbytes for g in _GRID_CACHE.values())
+        while total > _GRID_CACHE_MAX_BYTES and len(_GRID_CACHE) > 1:
+            _, evicted = _GRID_CACHE.popitem(last=False)
+            total -= evicted.nbytes
     else:
         _GRID_CACHE.move_to_end(ck)
     return grid
