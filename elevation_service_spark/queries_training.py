@@ -573,3 +573,40 @@ SELECT DISTINCT id, fp FROM wmin WHERE _last IS NOT NULL"""
 
 SPARK_QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
 ORACLES["winnow_fingerprints"] = _winnow_oracle()
+
+
+# --- as-of join --------------------------------------------------------------
+
+def q_asof_join(spark, sf_dir):
+    """For each event, the latest order (by derived integer as-of key) in
+    the event's group — union-and-window as-of join, one shuffle."""
+    from .operators.asof import asof_join
+    left = load(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 50).alias("grp"),
+        ((F.col("event_id") * 7919) % 60000).alias("k"))
+    right = load(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 50).alias("grp"),
+        (F.col("o_orderkey") % 60000).alias("k"),
+        F.col("o_orderkey").alias("rid"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"))
+    return asof_join(left, right, carry_cols=("cents",))
+
+
+_ASOF_ORACLE = """WITH l AS (
+  SELECT event_id, user_id % 50 AS grp, (event_id * 7919) % 60000 AS k FROM events),
+r AS (
+  SELECT o_custkey % 50 AS grp, o_orderkey % 60000 AS k, o_orderkey AS rid,
+         CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+  FROM orders),
+cand AS (
+  SELECT l.event_id, l.grp, l.k, r.rid, r.cents,
+         row_number() OVER (PARTITION BY l.event_id
+                            ORDER BY r.k DESC, r.rid DESC) AS rn
+  FROM l JOIN r ON r.grp = l.grp AND r.k <= l.k)
+SELECT l.grp, l.event_id, l.k,
+       c.rid AS matched_rid, c.cents AS matched_cents
+FROM l LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (event_id)"""
+
+SPARK_QUERIES["asof_join"] = q_asof_join
+ORACLES["asof_join"] = _ASOF_ORACLE
