@@ -25,14 +25,23 @@ TILES_SCHEMA = T.StructType([
 ])
 
 
+_FIXTURE_DF_CACHE: dict = {}
+
+
 def fixture_tiles_df(spark: SparkSession, include_bad: bool = False,
                      encodings: dict[str, str] | None = None) -> DataFrame:
+    ck = (spark.sparkContext.applicationId,
+          tuple(sorted(encodings.items())) if encodings else None, include_bad)
+    if ck in _FIXTURE_DF_CACHE:
+        return _FIXTURE_DF_CACHE[ck]
     rows = fixtures.tiles_rows(encodings=encodings, include_bad=include_bad)
-    return spark.createDataFrame(
+    df = spark.createDataFrame(
         [(r["tile_key"], r["z"], r["x"], r["y"], r["sw_lat"], r["sw_lon"],
           r["size"], r["encoding"], bytearray(r["data"])) for r in rows],
         schema=TILES_SCHEMA,
-    )
+    ).cache()  # avoids re-serializing ~40 MB of tile bytes per query
+    _FIXTURE_DF_CACHE[ck] = df
+    return df
 
 
 def write_tiles(df: DataFrame, path: str) -> None:
