@@ -610,3 +610,75 @@ FROM l LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (event_id)"""
 
 SPARK_QUERIES["asof_join"] = q_asof_join
 ORACLES["asof_join"] = _ASOF_ORACLE
+
+
+IVF_CENTROID_IDS = list(range(10, 18))
+
+
+def q_ann_ivf(spark, sf_dir):
+    return similarity.ann_ivf_topk(load(spark, sf_dir, "embeddings"),
+                                   ANN_QUERY_IDS, ANN_K,
+                                   centroid_ids=IVF_CENTROID_IDS)
+
+
+def _ann_ivf_oracle():
+    cids = ", ".join(map(str, IVF_CENTROID_IDS))
+    qids = ", ".join(map(str, ANN_QUERY_IDS))
+    return f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * {similarity.QUANT_SCALE} + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS v
+  FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN ({cids})),
+scored AS (
+  SELECT e.vec_id, c.cid, CAST(list_dot_product(e.v, c.cv) AS BIGINT) AS s
+  FROM e, cents c),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scored) t WHERE rn = 1),
+q AS (SELECT a.vec_id AS qid, a.cid AS qc, e.v AS qv
+      FROM assign a JOIN e ON e.vec_id = a.vec_id WHERE a.vec_id IN ({qids})),
+cand AS (
+  SELECT q.qid, a.vec_id, CAST(list_dot_product(q.qv, e.v) AS BIGINT) AS score
+  FROM q JOIN assign a ON a.cid = q.qc JOIN e ON e.vec_id = a.vec_id
+  WHERE a.vec_id <> q.qid)
+SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+  FROM cand) r WHERE rank <= {ANN_K}"""
+
+
+def q_cell_rollup(spark, sf_dir):
+    """Hierarchical cell rollup: per-cell point counts at resolution r and
+    the parent resolution r-1 (parent = integer-halved cell coords) in one
+    grouping-sets pass — the hypertable-rollup pattern over the cell index."""
+    from .queries import LAT_SQL, LON_SQL
+    pts = load(spark, sf_dir, "customer").select(
+        F.expr(LAT_SQL).alias("lat"), F.expr(LON_SQL).alias("lon"))
+    cells = pts.select(
+        F.floor(F.col("lon") / F.lit(0.25)).cast("long").alias("cx"),
+        F.floor(F.col("lat") / F.lit(0.25)).cast("long").alias("cy"))
+    fine = (cells.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(0).alias("lvl"), "cx", "cy", "n"))
+    parent = (cells.groupBy(F.shiftright("cx", 1).alias("cx"),
+                            F.shiftright("cy", 1).alias("cy"))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(F.lit(1).alias("lvl"), "cx", "cy", "n"))
+    return fine.unionByName(parent)
+
+
+def _cell_rollup_oracle():
+    from .queries import LAT_SQL, LON_SQL
+    return f"""WITH pts AS (
+  SELECT {LAT_SQL} AS lat, {LON_SQL} AS lon FROM customer),
+cells AS (
+  SELECT CAST(floor(lon / CAST(0.25 AS DOUBLE)) AS BIGINT) AS cx,
+         CAST(floor(lat / CAST(0.25 AS DOUBLE)) AS BIGINT) AS cy
+  FROM pts)
+SELECT 0 AS lvl, cx, cy, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY cx, cy
+UNION ALL
+SELECT 1 AS lvl, cx >> 1 AS cx, cy >> 1 AS cy, CAST(count(*) AS BIGINT) AS n
+FROM cells GROUP BY (cx >> 1), (cy >> 1)"""
+
+
+SPARK_QUERIES.update({"ann_ivf": q_ann_ivf, "cell_rollup": q_cell_rollup})
+ORACLES.update({"ann_ivf": _ann_ivf_oracle(), "cell_rollup": _cell_rollup_oracle()})
