@@ -120,3 +120,20 @@ def test_ann_lsh_recall_vs_brute(spark):
     hits = sum(1 for r in lsh if r["vec_id"] in brute_by_q[r["qid"]])
     assert len(lsh) > 0
     assert hits >= len(qids)  # at least the easy neighbours are found
+
+
+def test_ann_ivf_exactness_within_list(spark):
+    """IVF results are exact within the query's inverted list: every
+    returned score equals the brute-force dot for that pair."""
+    from elevation_service_spark.operators.similarity import (ann_brute_topk,
+                                                              ann_ivf_topk)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2]
+    brute = {(r["qid"], r["vec_id"]): r["score"]
+             for r in ann_brute_topk(emb, qids, k=200).collect()}
+    ivf = ann_ivf_topk(emb, qids, k=10).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        key = (r["qid"], r["vec_id"])
+        if key in brute:
+            assert r["score"] == brute[key]
