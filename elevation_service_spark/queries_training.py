@@ -424,8 +424,11 @@ _DISTINCT_STATS_ORACLE = """SELECT source,
 FROM documents GROUP BY source"""
 
 
-# per-track cumulative planar length: ordered prefix sums are sequential in
-# BOTH engines, and sqrt is correctly-rounded IEEE — floats stay bit-equal
+# per-track cumulative planar length.  sqrt is correctly-rounded IEEE so the
+# per-step float is bit-equal across engines, but running-window FLOAT sums
+# are not association-safe (DuckDB uses a segment tree) — each step is
+# quantized to integer micro-units before the cumulative sum, which is then
+# exact in any association.
 _TRACK_ID = "CAST(c_custkey % 50 AS BIGINT)"
 
 
@@ -441,10 +444,11 @@ def q_track_cumlen(spark, sf_dir):
                   * (F.col("lat") - F.lag("lat", 1).over(w))
                   + (F.col("lon") - F.lag("lon", 1).over(w))
                   * (F.col("lon") - F.lag("lon", 1).over(w)))
-    return (pts.withColumn("step", F.coalesce(step, F.lit(0.0)))
-            .withColumn("cum_len", F.sum("step").over(
-                w.rowsBetween(Window.unboundedPreceding, 0)))
-            .select("track_id", "seq", "cum_len"))
+    step_u = F.floor(F.coalesce(step, F.lit(0.0)) * 1000000 + F.lit(0.5)).cast("long")
+    return (pts.withColumn("step_u", step_u)
+            .withColumn("cum_len_micro", F.sum("step_u").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+            .select("track_id", "seq", "cum_len_micro"))
 
 
 def _track_oracle():
@@ -454,13 +458,13 @@ def _track_oracle():
          {LAT_SQL} AS lat, {LON_SQL} AS lon FROM customer),
 st AS (
   SELECT track_id, seq,
-    coalesce(sqrt((lat - lag(lat, 1) OVER w) * (lat - lag(lat, 1) OVER w)
+    CAST(floor(coalesce(sqrt((lat - lag(lat, 1) OVER w) * (lat - lag(lat, 1) OVER w)
                 + (lon - lag(lon, 1) OVER w) * (lon - lag(lon, 1) OVER w)),
-             CAST(0 AS DOUBLE)) AS step
+             CAST(0 AS DOUBLE)) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS step_u
   FROM pts WINDOW w AS (PARTITION BY track_id ORDER BY seq))
 SELECT track_id, seq,
-  sum(step) OVER (PARTITION BY track_id ORDER BY seq
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_len
+  CAST(sum(step_u) OVER (PARTITION BY track_id ORDER BY seq
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_len_micro
 FROM st"""
 
 
