@@ -1,0 +1,69 @@
+"""Custom stateful streaming operator (applyInPandasWithState):
+gap sessionization with cross-batch state and event-time timeout."""
+
+import json
+
+from pyspark.sql import types as T
+
+from elevation_service_spark.streaming.stateful import sessionize_stream
+
+SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType(), False),
+    T.StructField("ts", T.TimestampType(), False),
+])
+
+
+def _write_batch(path, rows):
+    with open(path, "w") as f:
+        for uid, ts in rows:
+            f.write(json.dumps({"user_id": uid, "ts": ts}) + "\n")
+
+
+def test_stateful_sessionize_across_batches(spark, tmp_path):
+    src = tmp_path / "ev"
+    src.mkdir()
+    # user 1: two events 10 min apart (one session), then after a 2h gap a
+    # second session SPLIT ACROSS the two input files (state must carry);
+    # user 2: single event.
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        q = (sessionize_stream(stream).writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    # two sequential availableNow runs over the same checkpoint force a
+    # deterministic batch order and exercise state persistence across runs
+    _write_batch(src / "b0.json", [
+        (1, "2024-01-01T10:00:00"), (1, "2024-01-01T10:10:00"),
+        (1, "2024-01-01T12:30:00"),
+        (2, "2024-01-01T10:05:00"),
+    ])
+    run_once()
+    _write_batch(src / "b1.json", [
+        (1, "2024-01-01T12:40:00"),   # continues user 1's second session
+        (1, "2024-01-01T18:00:00"),   # far future -> closes second session,
+                                      # advances watermark to time out others
+        (2, "2024-01-01T18:00:00"),
+    ])
+    run_once()
+    got = {(r["user_id"], r["session_start_us"]): r
+           for r in spark.read.parquet(out_dir).collect()}
+
+    def us(s):
+        import datetime
+        return int(datetime.datetime.fromisoformat(s + "+00:00").timestamp() * 1_000_000)
+
+    # user 1 session A: 10:00-10:10 with 2 events (closed by the 12:30 event)
+    a = got[(1, us("2024-01-01T10:00:00"))]
+    assert a["session_end_us"] == us("2024-01-01T10:10:00") and a["n_events"] == 2
+    # user 1 session B: 12:30-12:40 spanning the batch boundary (closed by 18:00)
+    b = got[(1, us("2024-01-01T12:30:00"))]
+    assert b["session_end_us"] == us("2024-01-01T12:40:00") and b["n_events"] == 2
+    # user 2's 10:05 single-event session closed by its second event
+    c = got[(2, us("2024-01-01T10:05:00"))]
+    assert c["session_end_us"] == us("2024-01-01T10:05:00") and c["n_events"] == 1
