@@ -1,17 +1,19 @@
 """Deduplication operators for large-scale training-data pipelines.
 
 All stages are built from JVM-side DataFrame primitives (split, explode,
-broadcast dict join, groupBy aggregates) — no Python UDFs — so they stay
-inside whole-stage codegen and scale shuffle-wise:
+groupBy aggregates) — no Python UDFs — so they stay inside whole-stage
+codegen and scale shuffle-wise:
 
 - exact:    one groupBy on md5(text) — single shuffle.
-- minhash:  tokens → dictionary code (broadcast join; the dictionary is
-            tiny relative to the corpus) → universal hashing
-            h_i(x) = (a_i·x + b_i) mod P over integer codes → per-doc min
-            per hash — single groupBy(doc) shuffle, map-side partial mins.
+- minhash:  tokens → portable per-row hash code (md5-derived integer; no
+            dictionary, no join, no window — see token_codes) → universal
+            hashing h_i(x) = (a_i·x + b_i) mod P over integer codes →
+            per-doc min per hash — single groupBy(doc) shuffle, map-side
+            partial mins.
 - LSH:      signature split into bands; docs sharing a band key become
             candidate pairs via a self-equi-join on (band_idx, band_key);
-            AQE skew-join handles hot buckets.
+            AQE skew-join handles hot buckets; an optional bucket-size cap
+            bounds the quadratic blowup of pathological buckets.
 - simhash:  per-bit majority over token hashes, 32-bit fingerprint.
 - jaccard:  exact n-gram verification join for LSH candidates.
 
@@ -46,18 +48,28 @@ def tokenize(docs: DataFrame, id_col: str = "doc_id",
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"))
 
 
+def token_code_col(tok) -> F.Column:
+    """Portable integer token code in [0, MINHASH_P): the top 60 bits of
+    md5(tok) reduced mod P.  A pure per-row JVM expression (md5 + conv) —
+    no dictionary, no join, no window, NO SHUFFLE — so the coding scales
+    with the corpus at any vocabulary size (round-1's global-window
+    dictionary was a single-partition scale-killer).  DuckDB computes the
+    identical value via ``('0x' || substr(md5(tok), 1, 15))::BIGINT % P``,
+    keeping every downstream minhash/simhash/winnow oracle exact."""
+    hex60 = F.substring(F.md5(tok), 1, 15)
+    return (F.conv(hex60, 16, 10).cast("long") % F.lit(MINHASH_P)).cast("long")
+
+
+# the DuckDB twin of token_code_col, shared by the oracle SQL builders
+TOKEN_CODE_SQL = ("CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % "
+                  f"{MINHASH_P}")
+
+
 def token_codes(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """Dictionary-encode tokens: (id, pos, code).  The dictionary is built
-    with a global row_number ordered by token — deterministic and
-    engine-portable; it is broadcast back (vocab << corpus).  For corpora
-    with unbounded vocab use xxhash64(tok) instead (same downstream ops,
-    not oracle-portable)."""
+    """(id, pos, code) — tokens hash-coded per row (see token_code_col)."""
     toks = tokenize(docs, id_col, text_col)
-    dictionary = (toks.select("tok").distinct()
-                  .withColumn("code", F.row_number().over(Window.orderBy("tok"))))
-    return (toks.join(F.broadcast(dictionary), "tok")
-            .select("id", "pos", F.col("code").cast("long").alias("code")))
+    return toks.select("id", "pos", token_code_col(F.col("tok")).alias("code"))
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
@@ -92,9 +104,26 @@ def minhash_bands(sigs: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
 
 
 def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
-    """(id1, id2) distinct candidate near-dup pairs (id1 < id2)."""
+                        text_col: str = "text",
+                        max_bucket: int | None = None) -> DataFrame:
+    """(id1, id2) distinct candidate near-dup pairs (id1 < id2).
+
+    max_bucket bounds the quadratic band-bucket blowup: a band key shared
+    by m documents emits m(m-1)/2 pairs, so one boilerplate-heavy bucket at
+    crawl scale explodes the join output.  Buckets with more than
+    max_bucket members are dropped from pair generation BEFORE the
+    self-join (their members are near-duplicates of each other by
+    construction — handle them via lsh_oversize_buckets, which returns one
+    representative + the member count per dropped bucket, so the dropped
+    mass is observable, not silent).  max_bucket=None keeps the exact
+    uncapped semantics for oracle verification."""
     bands = minhash_bands(minhash_signatures(docs, id_col, text_col))
+    if max_bucket is not None:
+        counts = (bands.groupBy("band_idx", "band_key")
+                  .agg(F.count(F.lit(1)).alias("_bn"))
+                  .filter(F.col("_bn") <= max_bucket)
+                  .select("band_idx", "band_key"))
+        bands = bands.join(counts, ["band_idx", "band_key"], "left_semi")
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -102,6 +131,21 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
                    & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
             .distinct())
+
+
+def lsh_oversize_buckets(docs: DataFrame, max_bucket: int,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """(band_idx, band_key, n_members, representative) — the buckets that
+    lsh_candidate_pairs(max_bucket=...) dropped.  Callers log/route these:
+    every member of an oversize bucket shares a full signature band with
+    the representative, so dedup can treat the whole bucket as one
+    near-duplicate cluster without materializing its m²/2 pairs."""
+    bands = minhash_bands(minhash_signatures(docs, id_col, text_col))
+    return (bands.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.min("id").alias("representative"))
+            .filter(F.col("n_members") > max_bucket))
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id",

@@ -108,7 +108,10 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     w = Window.partitionBy("id").orderBy("pos")
     h = None
     for j in range(WINNOW_K):
-        term = (F.lead("code", j).over(w) * F.lit(pow(WINNOW_B, WINNOW_K - 1 - j, WINNOW_P)))
+        # per-term mod: codes are hash values up to P (~2^31), so an
+        # unreduced 4-term sum of code*pow products would overflow int64
+        term = (F.lead("code", j).over(w)
+                * F.lit(pow(WINNOW_B, WINNOW_K - 1 - j, WINNOW_P))) % F.lit(WINNOW_P)
         h = term if h is None else h + term
     hashed = (codes.withColumn("_t", F.lead("code", WINNOW_K - 1).over(w))
               .withColumn("h", h % F.lit(WINNOW_P))

@@ -29,9 +29,7 @@ _TOK_CTE = """tok AS (
   FROM documents)"""
 
 _CODES_CTE = f"""{_TOK_CTE},
-dict AS (SELECT tok, row_number() OVER (ORDER BY tok) AS code
-         FROM (SELECT DISTINCT tok FROM tok) d),
-codes AS (SELECT id, pos, code FROM tok JOIN dict USING (tok))"""
+codes AS (SELECT id, pos, {dedup.TOKEN_CODE_SQL} AS code FROM tok)"""
 
 _SIG_EXPRS = ", ".join(
     f"min((code * {a} + {b}) % {P}) AS s{i}" for i, (a, b) in enumerate(PARAMS))
@@ -80,6 +78,16 @@ def q_lsh_pairs(spark, sf_dir):
 
 _LSH_PAIRS_ORACLE = f"""WITH {_PAIRS_CTE}
 SELECT id1, id2 FROM pairs"""
+
+
+def q_lsh_pairs_capped(spark, sf_dir):
+    """lsh_candidate_pairs through the capped code path (count + semi-join
+    + self-join).  The cap is far above any fixture bucket, so the result
+    equals the uncapped oracle — the capping MECHANISM is exercised under
+    the hash gate; the bounded-output behavior on a pathological bucket is
+    proven in tests/test_spark_pipeline.py and the bench lsh_capped row."""
+    return dedup.lsh_candidate_pairs(load(spark, sf_dir, "documents"),
+                                     max_bucket=100_000)
 
 
 def q_simhash(spark, sf_dir):
@@ -356,6 +364,7 @@ SPARK_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "lsh_pairs": q_lsh_pairs,
+    "lsh_pairs_capped": q_lsh_pairs_capped,
     "simhash": q_simhash,
     "jaccard_pairs": q_jaccard_pairs,
     "text_stats": q_text_stats,
@@ -375,6 +384,7 @@ ORACLES = {
     "dedup_exact": _DEDUP_EXACT_ORACLE,
     "minhash_signatures": _MINHASH_ORACLE,
     "lsh_pairs": _LSH_PAIRS_ORACLE,
+    "lsh_pairs_capped": _LSH_PAIRS_ORACLE,
     "simhash": _SIMHASH_ORACLE,
     "jaccard_pairs": _JACCARD_ORACLE,
     "text_stats": _TEXT_STATS_ORACLE,
@@ -558,8 +568,11 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 def _winnow_oracle():
     B, P, K, W = (text.WINNOW_B, text.WINNOW_P, text.WINNOW_K, text.WINNOW_W)
+    # per-term mod mirrors winnow_fingerprints (hash codes ~2^31 would
+    # overflow an unreduced 4-term int64 sum)
     terms = " + ".join(
-        f"(lead(code, {j}) OVER w) * {pow(B, K - 1 - j, P)}" for j in range(K))
+        f"((lead(code, {j}) OVER w) * {pow(B, K - 1 - j, P)}) % {P}"
+        for j in range(K))
     return f"""WITH {_CODES_CTE},
 hashed AS (
   SELECT id, pos, ({terms}) % {P} AS h,

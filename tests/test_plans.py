@@ -88,6 +88,28 @@ def test_aqe_and_arrow_enabled(spark):
     assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
 
 
+def _iter_logical(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _iter_logical(ch.apply(i))
+
+
+def test_no_global_window_anywhere(spark):
+    """No query may contain a Window without a partitionSpec — that is the
+    'Moving all data to a single partition' scale-killer (round-1's global
+    token dictionary).  Checked on the optimized logical plan of EVERY
+    driver-contract query."""
+    import __spark_entry__ as entrymod
+    for name, fn in sorted(entrymod.queries().items()):
+        df = fn(spark, SF)
+        plan = df._jdf.queryExecution().optimizedPlan()
+        for node in _iter_logical(plan):
+            if node.getClass().getSimpleName() == "Window":
+                assert node.partitionSpec().size() > 0, \
+                    f"{name}: global (partition-less) Window in plan"
+
+
 def test_flagship_has_exactly_one_python_stage(spark):
     """The whole enrichment collapses to a single ArrowEvalPython node —
     one Python boundary crossing, everything else JVM codegen."""

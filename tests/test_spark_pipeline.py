@@ -188,3 +188,27 @@ def test_auto_strategy_switches_on_working_set_size(spark):
         for pid, (elev, status) in enumerate(expected):
             assert got[pid]["status"] == status
             assert got[pid]["elevation"] == elev
+
+
+def test_lsh_bucket_cap_bounds_pathological_bucket(spark):
+    """One boilerplate bucket of m identical docs emits m(m-1)/2 candidate
+    pairs uncapped; with max_bucket the oversize bucket is dropped BEFORE
+    the self-join, genuinely different pairs still survive, and the dropped
+    mass is observable via lsh_oversize_buckets."""
+    from elevation_service_spark.operators import dedup
+    boiler = [(i, "the same boilerplate footer text repeated on every page")
+              for i in range(40)]
+    pair = [(100, "a genuinely distinct doc about alpine elevation data"),
+            (101, "a genuinely distinct doc about alpine elevation data")]
+    docs = spark.createDataFrame(boiler + pair, ["doc_id", "text"])
+
+    uncapped = dedup.lsh_candidate_pairs(docs).count()
+    assert uncapped == 40 * 39 // 2 + 1
+
+    capped = dedup.lsh_candidate_pairs(docs, max_bucket=10)
+    got = {(r["id1"], r["id2"]) for r in capped.collect()}
+    assert got == {(100, 101)}  # pathological bucket gone, real pair kept
+
+    over = dedup.lsh_oversize_buckets(docs, max_bucket=10).collect()
+    assert len(over) == dedup.NUM_HASHES // dedup.BAND_ROWS  # 1 per band
+    assert all(r["n_members"] == 40 and r["representative"] == 0 for r in over)
