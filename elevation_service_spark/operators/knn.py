@@ -5,15 +5,30 @@ Algorithm (the H3 k-ring pattern over the engine's grid cells):
    (cx = floor(lon/cs), cy = floor(lat/cs));
 2. ring r: explode each remaining query to its (2r+1)^2 neighbor cells and
    equi-join samples on (cx, cy) — a hash join, never a cross join;
-3. a query is DONE when it has >= k candidates AND its k-th best distance
-   is <= ((r-1)*cs)^2-in-degrees — the guarantee that no sample outside the
-   searched rings can be closer (Chebyshev cell bound);
+3. per query, ONE aggregation produces both the top-k (collect_list →
+   array_sort → slice; struct(d2, sid) orders lexicographically, exactly
+   the (d2 asc, sid asc) ranking) and the done-check: a query is DONE when
+   it has >= k candidates AND its k-th best distance is STRICTLY below
+   (r*cs)^2-in-degrees — the guarantee that no sample outside the searched
+   rings can be closer (Chebyshev cell bound; strict `<` because at exact
+   equality an unsearched next-ring sample can tie on d2 and win the sid
+   tie-break);
 4. undone queries expand r (doubling); after max_ring the stragglers fall
    back to a brute-force join (correctness guarantee, tiny remainder).
 
+The initial ring is sized from the measured sample density (one single-pass
+approx-distinct aggregate) so the common case completes in ONE iteration,
+and the per-ring driver bookkeeping is a single count job.  The aggregate
+top-k replaces round 1's row_number window + kth re-aggregation + semi-join
+(3 extra stages and their codegen); per-query candidate arrays are bounded
+by the density-tuned ring size (~INIT_OVERSHOOT*k), so the collect_list
+state stays small — a hot cell degenerates to the candidate explosion the
+ring sizing already bounds.
+
 Distance metric: squared degree distance (exact IEEE arithmetic, ties by
-sample id) — oracle-portable.  haversine_m in kernels.py is available for
-metric output but is not used for ranking here.
+sample id) — oracle-portable.  With metric=True the output additionally
+carries dist_m (haversine meters, JVM codegen trig) for consumers that
+want physical units; ranking stays on d2 so results remain engine-exact.
 
 Scale: each iteration is one shuffle join on cell keys; remaining-query
 counts shrink geometrically.  The explode factor (2r+1)^2 applies only to
@@ -22,10 +37,11 @@ still-unsatisfied queries.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 CELL_SIZE_DEG = 0.25
+INIT_OVERSHOOT = 4.0  # expected candidates per query in the first ring
 
 
 def with_cells(df: DataFrame, cs: float = CELL_SIZE_DEG) -> DataFrame:
@@ -33,12 +49,25 @@ def with_cells(df: DataFrame, cs: float = CELL_SIZE_DEG) -> DataFrame:
             .withColumn("cy", F.floor(F.col("lat") / F.lit(cs)).cast("long")))
 
 
+def haversine_m_col(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle meters (R=6,371,000) as a pure JVM codegen expression —
+    the Column twin of kernels.haversine_m (kernels.py)."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2.0
+    dlon = F.radians(lon2 - lon1) / 2.0
+    a = (F.sin(dlat) * F.sin(dlat)
+         + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon))
+    return F.lit(2.0 * 6371000.0) * F.asin(F.sqrt(a))
+
+
 def _ring_offsets(r: int):
     return [(dx, dy) for dx in range(-r, r + 1) for dy in range(-r, r + 1)]
 
 
-def _candidates(queries: DataFrame, samples: DataFrame, r: int) -> DataFrame:
-    """queries exploded to ring-r neighbor cells, hash-joined to samples."""
+def _candidates(queries: DataFrame, samples: DataFrame, r: int,
+                metric: bool) -> DataFrame:
+    """queries exploded to ring-r neighbor cells, hash-joined to samples.
+    Coordinates ride along only when the metric column is requested."""
     offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
                      for dx, dy in _ring_offsets(r)])
     q = (queries.withColumn("_o", F.explode(offs))
@@ -49,51 +78,117 @@ def _candidates(queries: DataFrame, samples: DataFrame, r: int) -> DataFrame:
                        F.col("lon").alias("slon"), "cx", "cy")
     d2 = ((F.col("qlat") - F.col("slat")) * (F.col("qlat") - F.col("slat"))
           + (F.col("qlon") - F.col("slon")) * (F.col("qlon") - F.col("slon")))
-    return q.join(s, ["cx", "cy"]).select("qid", "sid", d2.alias("d2"))
+    cols = ["qid", "sid", d2.alias("d2")]
+    if metric:
+        cols += ["qlat", "qlon", "slat", "slon"]
+    return q.join(s, ["cx", "cy"]).select(*cols)
 
 
-def _topk(cand: DataFrame, k: int) -> DataFrame:
-    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("sid").asc())
-    return (cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("qid", F.col("rank").cast("int").alias("rank"), "sid", "d2"))
+def _topk_agg(cand: DataFrame, k: int, metric: bool) -> DataFrame:
+    """(qid, topk:array<struct>, n [, qlat, qlon]) — per-query top-k and
+    candidate count in ONE aggregation.  struct field order (d2, sid, ...)
+    makes array_sort rank by (d2 asc, sid asc); sid is unique so any
+    trailing fields never influence the order."""
+    fields = ["d2", "sid"] + (["slat", "slon"] if metric else [])
+    aggs = [F.slice(F.array_sort(F.collect_list(F.struct(*fields))), 1, k).alias("topk"),
+            F.count(F.lit(1)).alias("n")]
+    if metric:
+        aggs += [F.first("qlat").alias("qlat"), F.first("qlon").alias("qlon")]
+    return cand.groupBy("qid").agg(*aggs)
+
+
+def _explode_topk(agg: DataFrame, metric: bool) -> DataFrame:
+    cols = ["qid", (F.col("r0") + 1).cast("int").alias("rank"),
+            F.col("t.sid").alias("sid"), F.col("t.d2").alias("d2")]
+    if metric:
+        cols.append(haversine_m_col(F.col("qlat"), F.col("qlon"),
+                                    F.col("t.slat"), F.col("t.slon")).alias("dist_m"))
+    base = ["qid"] + (["qlat", "qlon"] if metric else [])
+    return (agg.select(*base, F.posexplode("topk").alias("r0", "t"))
+            .select(*cols))
+
+
+def _init_ring_for_density(samples: DataFrame, k: int, max_ring: int) -> int:
+    """Smallest ring whose (2r+1)^2-cell neighborhood is expected to hold
+    >= INIT_OVERSHOOT*k samples at the measured mean cell density.  One
+    tiny single-pass aggregate job (approx distinct-cell count: the
+    density estimate only needs to be right within ~2x, and HLL avoids a
+    distinct shuffle)."""
+    row = samples.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(F.concat_ws(",", "cx", "cy")).alias("cells")).first()
+    if not row["n"] or not row["cells"]:
+        return 1
+    density = row["n"] / row["cells"]
+    r = 1
+    while r < max_ring and (2 * r + 1) ** 2 * density < INIT_OVERSHOOT * k:
+        r *= 2
+    return r
 
 
 def knn_join(queries: DataFrame, samples: DataFrame, k: int,
-             cs: float = CELL_SIZE_DEG, init_ring: int = 1,
-             max_ring: int = 8) -> DataFrame:
-    """(qid, rank, sid, d2) — exact k nearest samples per query.
+             cs: float = CELL_SIZE_DEG, init_ring: int | None = None,
+             max_ring: int = 8, metric: bool = False) -> DataFrame:
+    """(qid, rank, sid, d2[, dist_m]) — exact k nearest samples per query.
 
     queries: (qid, lat, lon); samples: (sid, lat, lon).
     """
     q = with_cells(queries.select("qid", "lat", "lon"), cs)
-    s = with_cells(samples.select("sid", "lat", "lon"), cs).cache()
+    s = with_cells(samples.select("sid", "lat", "lon"), cs)
+    # no eager .cache() on q/s: in the common one-ring case each is scanned
+    # once and the InMemoryRelation build (and its codegen) is pure
+    # overhead; the sample side is cached lazily iff a second pass happens
+    s_cached = False
     remaining = q
+    n_remaining = remaining.count()
     results = []
-    r = init_ring
-    while r <= max_ring:
-        cand = _candidates(remaining, s, r)
-        top = _topk(cand, k).cache()
-        # done := k candidates AND k-th distance within the ring guarantee:
-        # any unsearched sample is in a cell at Chebyshev >= r+1, hence at
-        # degree distance >= r*cs from anywhere in the query's cell
+    # adaptive ring growth: start at ring 1 with NO density probe — in the
+    # dense (common) case ring 1 finishes everything and the probe job is
+    # pure overhead.  Only if stragglers remain after the first ring is the
+    # density measured once, to jump straight to a ring that should satisfy
+    # k instead of crawling through 2, 4, ...
+    adaptive = init_ring is None
+    r = 1 if adaptive else init_ring
+    first = True
+    while r <= max_ring and n_remaining > 0:
+        agg = _topk_agg(_candidates(remaining, s, r, metric), k, metric).cache()
+        # done := k candidates AND k-th distance strictly inside the ring
+        # guarantee: any unsearched sample is in a cell at Chebyshev >= r+1,
+        # hence at degree distance >= r*cs from anywhere in the query's cell
         bound = (r * cs) ** 2
-        kth = top.groupBy("qid").agg(F.count(F.lit(1)).alias("n"),
-                                     F.max("d2").alias("kth_d2"))
-        done_ids = kth.filter((F.col("n") >= k) & (F.col("kth_d2") <= F.lit(bound)))
-        results.append(top.join(done_ids.select("qid"), "qid", "left_semi"))
-        remaining = remaining.join(done_ids.select("qid"), "qid", "left_anti")
-        if remaining.isEmpty():
-            remaining = None
-            break
-        r *= 2
-    if remaining is not None and not remaining.isEmpty():
+        done_cond = (F.col("n") >= k) & (F.element_at("topk", k)["d2"] < F.lit(bound))
+        row = agg.agg(F.count(F.lit(1)).alias("nq"),
+                      F.sum(done_cond.cast("long")).alias("nd")).first()
+        n_done = int(row["nd"] or 0)  # the ONE job per ring; caches `agg`
+        if n_done == n_remaining:
+            # every remaining query finished this ring (common case: one
+            # ring) — no filter, no anti-join, the whole agg is the answer
+            results.append(_explode_topk(agg, metric))
+            n_remaining = 0
+        else:
+            done = agg.filter(done_cond)
+            results.append(_explode_topk(done, metric))
+            remaining = remaining.join(done.select("qid"), "qid", "left_anti")
+            n_remaining -= n_done  # exact — no extra count job
+            if not s_cached:
+                s = s.cache()
+                s_cached = True
+        if adaptive and first and n_remaining > 0:
+            r = max(2 * r, _init_ring_for_density(s, k, max_ring))
+        else:
+            r *= 2
+        first = False
+    if n_remaining > 0:
         # brute-force fallback for stragglers (sparse regions)
         qq = remaining.select("qid", F.col("lat").alias("qlat"), F.col("lon").alias("qlon"))
         ss = s.select("sid", F.col("lat").alias("slat"), F.col("lon").alias("slon"))
         d2 = ((F.col("qlat") - F.col("slat")) * (F.col("qlat") - F.col("slat"))
               + (F.col("qlon") - F.col("slon")) * (F.col("qlon") - F.col("slon")))
-        results.append(_topk(qq.crossJoin(ss).select("qid", "sid", d2.alias("d2")), k))
+        bcols = ["qid", "sid", d2.alias("d2")]
+        if metric:
+            bcols += ["qlat", "qlon", "slat", "slon"]
+        brute = qq.crossJoin(ss).select(*bcols)
+        results.append(_explode_topk(_topk_agg(brute, k, metric), metric))
     out = results[0]
     for extra in results[1:]:
         out = out.unionByName(extra)

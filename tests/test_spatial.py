@@ -137,3 +137,35 @@ def test_ann_ivf_exactness_within_list(spark):
         key = (r["qid"], r["vec_id"])
         if key in brute:
             assert r["score"] == brute[key]
+
+
+def test_knn_metric_column_matches_planar_at_equator(spark):
+    """With metric=True the output carries dist_m (haversine meters) while
+    ranking stays on d2 (results identical to metric=False).  Near the
+    equator at small extents haversine ~= sqrt(d2) * (R*pi/180) meters, so
+    dist_m must agree with the planar conversion to <0.1% AND be
+    non-decreasing in rank (at lat~0 the degree metric is isotropic; at
+    high latitudes d2-order and meter-order legitimately differ)."""
+    rng = np.random.default_rng(11)
+    samples = [(i, float(rng.uniform(0, 0.4)), float(rng.uniform(0, 0.4)))
+               for i in range(200)]
+    queries = [(i, float(rng.uniform(0, 0.4)), float(rng.uniform(0, 0.4)))
+               for i in range(10)]
+    sdf = spark.createDataFrame(samples, ["sid", "lat", "lon"])
+    qdf = spark.createDataFrame(queries, ["qid", "lat", "lon"])
+    got = knn_join(qdf, sdf, k=5, metric=True).collect()
+    assert len(got) == 10 * 5
+    m_per_deg = 6371000.0 * np.pi / 180.0
+    by_q = {}
+    for r in got:
+        planar = float(np.sqrt(r["d2"])) * m_per_deg
+        assert abs(r["dist_m"] - planar) <= 1e-3 * max(planar, 1.0), r
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["dist_m"]))
+    plain = {(r["qid"], r["rank"]): (r["sid"], r["d2"])
+             for r in knn_join(qdf, sdf, k=5, metric=False).collect()}
+    metric_core = {(r["qid"], r["rank"]): (r["sid"], r["d2"]) for r in got}
+    assert metric_core == plain  # metric column never changes the ranking
+    for qid, rows in by_q.items():
+        rows.sort()
+        dists = [dm for _, dm in rows]
+        assert dists == sorted(dists), (qid, rows)
