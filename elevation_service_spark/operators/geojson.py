@@ -18,7 +18,9 @@ bounded and there is no intra-group skew concern at scale.
 
 Engine error surface (op 14, total — never throws per-row):
 doc status ∈ OK | PARTIAL (some positions unenriched) | EMPTY (no
-positions) | INVALID_JSON | NOT_GEOJSON.
+positions) | INVALID_JSON | NOT_GEOJSON | TOO_LARGE (reference
+MAX_POST_SIZE parity: documents over ``max_doc_bytes`` are statused and
+never parsed).
 """
 
 from __future__ import annotations
@@ -35,6 +37,10 @@ from .lookup import enrich_points
 _GEOM_TYPES = {"Point", "MultiPoint", "LineString", "MultiLineString",
                "Polygon", "MultiPolygon", "GeometryCollection", "Feature",
                "FeatureCollection"}
+
+# reference parity: elevation-service caps POST bodies (~500 kB); documents
+# over the cap are statused TOO_LARGE without ever being parsed
+DEFAULT_MAX_DOC_BYTES = 500_000
 
 
 def walk_positions(obj) -> Iterator[list]:
@@ -66,6 +72,21 @@ def walk_positions(obj) -> Iterator[list]:
         raise ValueError(f"not a GeoJSON value: type={t!r}")
 
 
+def validated_positions(obj) -> list:
+    """walk_positions + per-position validation: every position must be a
+    list of >= 2 numbers.  Raises ValueError on a malformed position so a
+    structurally-valid JSON doc with e.g. ``coordinates: []`` or
+    non-numeric coords is routed to NOT_GEOJSON instead of crashing the
+    Arrow worker (op-14 total error surface)."""
+    positions = list(walk_positions(obj))
+    for pos in positions:
+        if (not isinstance(pos, list) or len(pos) < 2
+                or not all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                           for v in pos[:2])):
+            raise ValueError(f"malformed position: {pos!r}")
+    return positions
+
+
 def canonical_json(obj) -> str:
     """Canonical serialization for byte-comparison goldens: sorted keys,
     no whitespace (FIXTURES.md §4)."""
@@ -81,11 +102,16 @@ _FLAT_SCHEMA = T.StructType([
 
 
 def flatten_geojson(docs: DataFrame, url_col: str = "url",
-                    geojson_col: str = "geojson") -> DataFrame:
-    """One row per GeoJSON position: (url, pos_idx, lat, lon).  Invalid or
-    non-GeoJSON documents yield no rows here; they are re-detected (and
-    statused) by reassembly, so the flatten stays a pure generator."""
+                    geojson_col: str = "geojson",
+                    max_doc_bytes: int = DEFAULT_MAX_DOC_BYTES) -> DataFrame:
+    """One row per GeoJSON position: (url, pos_idx, lat, lon).  Invalid,
+    non-GeoJSON, malformed-position, or oversize documents yield no rows
+    here; they are re-detected (and statused) by reassembly, so the
+    flatten stays a pure generator.  The size cap is a JVM-side filter —
+    oversize payloads never cross the Arrow boundary."""
     cols = (url_col, geojson_col)
+    from pyspark.sql import functions as F
+    docs = docs.filter(F.octet_length(F.col(geojson_col)) <= max_doc_bytes)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -93,7 +119,7 @@ def flatten_geojson(docs: DataFrame, url_col: str = "url",
             for url, raw in zip(pdf[url_col], pdf[geojson_col]):
                 try:
                     obj = json.loads(raw)
-                    positions = list(walk_positions(obj))
+                    positions = validated_positions(obj)
                 except (ValueError, TypeError, KeyError):
                     continue
                 for i, pos in enumerate(positions):
@@ -121,7 +147,8 @@ _DOC_OUT_SCHEMA = T.StructType([
 
 def reassemble_geojson(docs: DataFrame, enriched: DataFrame,
                        url_col: str = "url",
-                       geojson_col: str = "geojson") -> DataFrame:
+                       geojson_col: str = "geojson",
+                       max_doc_bytes: int = DEFAULT_MAX_DOC_BYTES) -> DataFrame:
     """Inverse of flatten (op 12): write elevations back as coords[2] in
     the original documents.  enriched: (url, pos_idx, elevation, ...).
     Output position order == input order.
@@ -146,6 +173,14 @@ def reassemble_geojson(docs: DataFrame, enriched: DataFrame,
                 elevs = ([e["elevation"] for e in elev_rows]
                          if elev_rows is not None else [])
                 geojson_out, n_pos, n_enr, status = None, 0, 0, "OK"
+                if raw is not None and len(raw.encode("utf-8")) > max_doc_bytes:
+                    # MAX_POST_SIZE parity: statused without parsing
+                    out["url"].append(url)
+                    out["geojson_out"].append(None)
+                    out["n_positions"].append(0)
+                    out["n_enriched"].append(0)
+                    out["status"].append("TOO_LARGE")
+                    continue
                 try:
                     obj = json.loads(raw)
                 except (ValueError, TypeError):
@@ -153,7 +188,7 @@ def reassemble_geojson(docs: DataFrame, enriched: DataFrame,
                     obj = None
                 if obj is not None:
                     try:
-                        positions = list(walk_positions(obj))
+                        positions = validated_positions(obj)
                     except (ValueError, TypeError, KeyError):
                         status = "NOT_GEOJSON"
                         positions = None
@@ -188,11 +223,12 @@ def reassemble_geojson(docs: DataFrame, enriched: DataFrame,
 
 def add_elevation_docs(docs: DataFrame, tiles: DataFrame, *,
                        interpolation: str = "bilinear",
-                       strategy: str = "auto") -> DataFrame:
+                       strategy: str = "auto",
+                       max_doc_bytes: int = DEFAULT_MAX_DOC_BYTES) -> DataFrame:
     """The full POST /geojson equivalent: flatten → tile join + kernel →
     re-assemble.  Returns (url, geojson_out, n_positions, n_enriched,
     status)."""
-    flat = flatten_geojson(docs)
+    flat = flatten_geojson(docs, max_doc_bytes=max_doc_bytes)
     enriched = enrich_points(flat, tiles, interpolation=interpolation,
                              strategy=strategy)
-    return reassemble_geojson(docs, enriched)
+    return reassemble_geojson(docs, enriched, max_doc_bytes=max_doc_bytes)

@@ -66,7 +66,10 @@ def decode_tile_bytes(encoding: str, data: bytes) -> np.ndarray:
 
 def _cached_grid(tile_key: str, encoding: str, data: bytes) -> np.ndarray:
     import zlib
-    ck = (tile_key, encoding, len(data), zlib.crc32(data[:1024]))
+    # full-payload CRC: keying on a prefix would return a stale grid on
+    # long-lived workers if a tile's bytes changed only past the prefix at
+    # the same length; one crc32 pass is cheap next to the decode it gates
+    ck = (tile_key, encoding, len(data), zlib.crc32(data))
     grid = _GRID_CACHE.get(ck)
     if grid is None:
         grid = decode_tile_bytes(encoding, data).astype(np.float64)
@@ -205,7 +208,10 @@ def _enrich_broadcast(points: DataFrame, tiles: DataFrame,
         lat = lat_s.to_numpy(dtype=np.float64)
         lon = lon_s.to_numpy(dtype=np.float64)
         elev = np.full(n, np.nan)
-        code = np.full(n, CODE_OK, dtype=np.int8)
+        # null lat/lon -> null tid; pandas groupby DROPS NaN keys, so those
+        # rows would otherwise keep the OK preset with NULL elevation —
+        # preset them to OUT_OF_BOUNDS (op-14: invalid input, never OK)
+        code = np.where(tid.isna(), CODE_OUT_OF_BOUNDS, CODE_OK).astype(np.int8)
         for key, idx in tid.groupby(tid, sort=False).indices.items():
             e, c = _enrich_one_tile_codes(lat[idx], lon[idx],
                                           tile_map.get(key), interpolation)

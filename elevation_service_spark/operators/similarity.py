@@ -107,14 +107,16 @@ def embedding_near_dup_pairs(emb: DataFrame, min_score: int,
 
 def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                  n_centroids: int = 8, centroid_ids: list[int] | None = None,
+                 nprobe: int = 1,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(qid, rank, vec_id, score) — IVF-style ANN: vectors are assigned to
     their nearest centroid (integer-dot argmax, deterministic tie-break by
-    centroid index) and queries search only their own centroid's inverted
-    list, exact rerank within.  Centroids here are a deterministic sample
-    of the corpus (a k-means step would swap in transparently — the
-    partition/search plumbing is identical).  nprobe=1; recall measured vs
-    brute force in tests."""
+    centroid index) and queries search their ``nprobe`` nearest centroids'
+    inverted lists, exact rerank within.  Centroids here are a
+    deterministic sample of the corpus (a k-means step would swap in
+    transparently — the partition/search plumbing is identical).  Raising
+    nprobe is the standard IVF recall/cost dial: candidates grow ~linearly
+    with probed lists; recall is measured vs brute force in tests."""
     cids = centroid_ids or list(range(10, 10 + n_centroids))
     cents = (emb.filter(F.col(id_col).isin(cids))
              .select(F.col(id_col).alias("cid"), _quant(F.col(vec_col)).alias("cv"))
@@ -122,12 +124,12 @@ def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     cents = sorted(((r["cid"], r["cv"]) for r in cents))
     base = emb.select(F.col(id_col).alias("vec_id"), _quant(F.col(vec_col)).alias("ev"))
 
-    def centroid_expr(vec_c):
-        # argmax via array_max over (score, -cid) structs — linear-size
-        # expression tree (a when-chain fold would duplicate subtrees
-        # exponentially and send Catalyst analysis into minutes); struct
-        # ordering is lexicographic, so max picks the highest score and,
-        # on ties, the LOWEST cid via the negated field
+    def centroid_structs(vec_c):
+        # (score, -cid) structs — linear-size expression tree (a when-chain
+        # fold would duplicate subtrees exponentially and send Catalyst
+        # analysis into minutes); struct ordering is lexicographic, so max
+        # picks the highest score and, on ties, the LOWEST cid via the
+        # negated field
         cands = []
         for cid, cv in cents:
             score = None
@@ -135,12 +137,26 @@ def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                 term = F.element_at(vec_c, i + 1) * F.lit(int(c))
                 score = term if score is None else score + term
             cands.append(F.struct(score.alias("s"), F.lit(-cid).alias("nc")))
-        return -F.array_max(F.array(*cands))["nc"]
+        return F.array(*cands)
+
+    def centroid_expr(vec_c):
+        return -F.array_max(centroid_structs(vec_c))["nc"]
 
     assigned = base.withColumn("centroid", centroid_expr(F.col("ev")))
-    q = (assigned.filter(F.col("vec_id").isin(query_ids))
-         .select(F.col("vec_id").alias("qid"), F.col("ev").alias("qv"),
-                 F.col("centroid").alias("qcentroid")))
+    q = assigned.filter(F.col("vec_id").isin(query_ids))
+    if nprobe <= 1:
+        q = q.select(F.col("vec_id").alias("qid"), F.col("ev").alias("qv"),
+                     F.col("centroid").alias("qcentroid"))
+    else:
+        # top-nprobe centroids per query: sort the (score, -cid) structs
+        # descending, take nprobe, explode — one probe row per (query, list)
+        probes = F.slice(F.reverse(F.array_sort(centroid_structs(F.col("ev")))),
+                         1, nprobe)
+        q = (q.select(F.col("vec_id").alias("qid"), F.col("ev").alias("qv"),
+                      F.explode(probes).alias("_p"))
+             .select("qid", "qv", (-F.col("_p")["nc"]).alias("qcentroid")))
+    # a vector lives in exactly one inverted list, so probing several lists
+    # never duplicates a (qid, vec_id) candidate — no distinct needed
     cand = (assigned.join(F.broadcast(q), F.col("centroid") == F.col("qcentroid"))
             .filter(F.col("vec_id") != F.col("qid"))
             .select("qid", "vec_id", _dot(F.col("qv"), F.col("ev")).alias("score")))

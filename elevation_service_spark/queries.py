@@ -299,3 +299,7 @@ ORACLES.update(_qt.ORACLES)
 from . import queries_spatial as _qs  # noqa: E402
 SPARK_QUERIES.update(_qs.SPARK_QUERIES)
 ORACLES.update(_qs.ORACLES)
+
+from . import queries_streaming as _qstr  # noqa: E402
+SPARK_QUERIES.update(_qstr.SPARK_QUERIES)
+ORACLES.update(_qstr.ORACLES)

@@ -1,0 +1,106 @@
+"""Driver-contract queries that exercise the STREAMING surface under the
+hard correctness gate (VERDICT r01 'What's missing' #2).
+
+Both queries run a real Structured Streaming job (file source →
+transformations → sink, availableNow trigger), drain it, and return the
+drained result as a batch DataFrame so the driver can hash-compare it
+against a DuckDB oracle:
+
+- ``elevation_stream``: the stateless stream-static flagship — derived
+  points streamed from files, broadcast-tile bilinear enrichment.  Pure
+  append-mode projection, so the drained output is row-for-row the batch
+  result: the FULL bilinear oracle applies.
+- ``sessionize_stream``: the stateful applyInPandasWithState gap
+  sessionizer.  Determinism trick: a per-user far-future sentinel event is
+  appended to the input, which closes every real session through the GAP
+  RULE (an event > gap after the last one) rather than through watermark
+  timeouts — so the emitted set of closed sessions is independent of file
+  →batch slicing and equals the batch sessionization exactly.  The
+  sentinel sessions themselves stay open in state and are never emitted.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.lookup import enrich_points
+from .sources.tiles import fixture_tiles_df
+from .queries import load, _derived_points, _BILINEAR_ORACLE
+
+
+def _drain(stream_df: DataFrame, out: str, ckpt: str, timeout_s: int = 600):
+    q = (stream_df.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+
+
+def q_elevation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of elevation_hgt: identical rows, identical oracle."""
+    base = tempfile.mkdtemp(prefix="sparkgraft_estream_")
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    pts = _derived_points(spark, sf_dir)
+    pts.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(pts.schema).parquet(src)
+    enriched = enrich_points(stream, fixture_tiles_df(spark),
+                             strategy="broadcast")
+    _drain(enriched.select("pid", "tile_key", "lat", "lon",
+                           "elevation", "status"), out, ckpt)
+    return spark.read.parquet(out)
+
+
+GAP_S = 1800  # keep in sync with streaming.stateful.GAP_US
+
+
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization drained to closed sessions; the
+    oracle recomputes the same sessions from the batch lag+cumsum form."""
+    from .streaming.stateful import sessionize_stream
+    base = tempfile.mkdtemp(prefix="sparkgraft_sstream_")
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    events = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    # ONE global sentinel timestamp for every user: per-user sentinels
+    # would spread the watermark past the earlier users' sentinel + gap and
+    # fire their timeouts, emitting the sentinel sessions themselves
+    gmax = events.agg(F.max(F.unix_micros(F.col("ts"))).alias("mx"))
+    sentinels = (events.select("user_id").distinct()
+                 .crossJoin(F.broadcast(gmax))
+                 .select("user_id",
+                         F.timestamp_micros(F.col("mx")
+                                            + F.lit(10 * 86400 * 1_000_000)
+                                            + F.lit(GAP_S * 2_000_000)).alias("ts")))
+    events.unionByName(sentinels).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    _drain(sessionize_stream(stream), out, ckpt)
+    return spark.read.parquet(out)
+
+
+_SESSIONIZE_STREAM_ORACLE = f"""WITH base AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+flagged AS (
+  SELECT *, CASE WHEN ts_us - lag(ts_us, 1) OVER w > {GAP_S} * 1000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+sess AS (
+  SELECT user_id, ts_us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+  FROM flagged)
+SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, seq"""
+
+
+SPARK_QUERIES = {
+    "elevation_stream": q_elevation_stream,
+    "sessionize_stream": q_sessionize_stream,
+}
+ORACLES = {
+    "elevation_stream": _BILINEAR_ORACLE,
+    "sessionize_stream": _SESSIONIZE_STREAM_ORACLE,
+}

@@ -664,6 +664,43 @@ SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM (
   FROM cand) r WHERE rank <= {ANN_K}"""
 
 
+def q_ann_ivf_probe2(spark, sf_dir):
+    """IVF with nprobe=2 — the recall dial (VERDICT r01 #10): queries
+    search their two nearest centroids' inverted lists."""
+    return similarity.ann_ivf_topk(load(spark, sf_dir, "embeddings"),
+                                   ANN_QUERY_IDS, ANN_K,
+                                   centroid_ids=IVF_CENTROID_IDS, nprobe=2)
+
+
+def _ann_ivf_probe2_oracle():
+    cids = ", ".join(map(str, IVF_CENTROID_IDS))
+    qids = ", ".join(map(str, ANN_QUERY_IDS))
+    return f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * {similarity.QUANT_SCALE} + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS v
+  FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN ({cids})),
+scored AS (
+  SELECT e.vec_id, c.cid, CAST(list_dot_product(e.v, c.cv) AS BIGINT) AS s
+  FROM e, cents c),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scored) t WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS qid, cid AS qc FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scored WHERE vec_id IN ({qids})) t WHERE rn <= 2),
+q AS (SELECT p.qid, p.qc, e.v AS qv FROM qprobe p JOIN e ON e.vec_id = p.qid),
+cand AS (
+  SELECT q.qid, a.vec_id, CAST(list_dot_product(q.qv, e.v) AS BIGINT) AS score
+  FROM q JOIN assign a ON a.cid = q.qc JOIN e ON e.vec_id = a.vec_id
+  WHERE a.vec_id <> q.qid)
+SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+  FROM cand) r WHERE rank <= {ANN_K}"""
+
+
 def q_cell_rollup(spark, sf_dir):
     """Hierarchical cell rollup: per-cell point counts at resolution r and
     the parent resolution r-1 (parent = integer-halved cell coords) in one
@@ -697,5 +734,8 @@ SELECT 1 AS lvl, cx >> 1 AS cx, cy >> 1 AS cy, CAST(count(*) AS BIGINT) AS n
 FROM cells GROUP BY (cx >> 1), (cy >> 1)"""
 
 
-SPARK_QUERIES.update({"ann_ivf": q_ann_ivf, "cell_rollup": q_cell_rollup})
-ORACLES.update({"ann_ivf": _ann_ivf_oracle(), "cell_rollup": _cell_rollup_oracle()})
+SPARK_QUERIES.update({"ann_ivf": q_ann_ivf, "ann_ivf_probe2": q_ann_ivf_probe2,
+                      "cell_rollup": q_cell_rollup})
+ORACLES.update({"ann_ivf": _ann_ivf_oracle(),
+                "ann_ivf_probe2": _ann_ivf_probe2_oracle(),
+                "cell_rollup": _cell_rollup_oracle()})

@@ -86,6 +86,60 @@ def read_hgt_dir(spark: SparkSession, path: str) -> DataFrame:
                     F.col("content").alias("data")))
 
 
+def fetch_tiles(spark: SparkSession, tile_keys: DataFrame | list[str],
+                fetcher, encoding: str = "hgt.gz",
+                partitions: int | None = None) -> DataFrame:
+    """S3TileSet._getTile plug point (elevation-service/tileset.js §
+    S3TileSet; SURVEY.md §2.A row 6): turn a set of requested tile keys
+    into tile-table rows by calling ``fetcher(key) -> bytes | None`` from
+    the EXECUTORS (one call per key, distributed across partitions — the
+    driver never touches tile bytes).  The sandbox has no network, so the
+    production fetcher (boto3/HTTP GET of
+    ``{key[:3]}/{key}.hgt.gz``) is exactly one function the deployment
+    supplies; everything downstream (decode, cache, join) is unchanged.
+    Keys whose fetch returns None are omitted — downstream lookups then
+    surface TILE_MISSING (op 14), matching the reference's 404 path.
+
+    fetcher must be a picklable callable (top-level function or
+    functools.partial)."""
+    from pyspark.sql import Row, functions as F
+    if isinstance(tile_keys, DataFrame):
+        keys_df = tile_keys.select("tile_key").distinct()
+    else:
+        keys_df = spark.createDataFrame(
+            [(k,) for k in sorted(set(tile_keys))], ["tile_key"])
+    if partitions:
+        keys_df = keys_df.repartition(partitions)
+    sw_lat = (F.when(F.substring("tile_key", 1, 1) == "S", -1).otherwise(1)
+              * F.substring("tile_key", 2, 2).cast("int"))
+    sw_lon = (F.when(F.substring("tile_key", 4, 1) == "W", -1).otherwise(1)
+              * F.substring("tile_key", 5, 3).cast("int"))
+    base = keys_df.select("tile_key", sw_lat.alias("sw_lat"),
+                          sw_lon.alias("sw_lon"))
+
+    def fetch_partition(rows):
+        for r in rows:
+            data = fetcher(r["tile_key"])
+            if data is not None:
+                yield Row(tile_key=r["tile_key"], sw_lat=r["sw_lat"],
+                          sw_lon=r["sw_lon"], data=bytes(data))
+
+    fetched_schema = T.StructType([
+        T.StructField("tile_key", T.StringType(), False),
+        T.StructField("sw_lat", T.IntegerType(), False),
+        T.StructField("sw_lon", T.IntegerType(), False),
+        T.StructField("data", T.BinaryType(), False),
+    ])
+    fetched = spark.createDataFrame(base.rdd.mapPartitions(fetch_partition),
+                                    fetched_schema)
+    return fetched.select(
+        "tile_key",
+        F.lit(None).cast("int").alias("z"), F.lit(None).cast("int").alias("x"),
+        F.lit(None).cast("int").alias("y"), "sw_lat", "sw_lon",
+        F.lit(None).cast("int").alias("size"),
+        F.lit(encoding).alias("encoding"), "data")
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """Probe for an Iceberg runtime (SURVEY.md §7.0).  The sandbox has no
     Iceberg jars, so sinks downgrade to Iceberg-style partitioned parquet +

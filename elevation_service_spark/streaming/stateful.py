@@ -49,21 +49,49 @@ def _sessionize_fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
     start, last, n = state.get if state.exists else (None, None, 0)
     closed = {"user_id": [], "session_start_us": [], "session_end_us": [],
               "n_events": []}
+
+    def emit(s, e, cnt):
+        closed["user_id"].append(user_id)
+        closed["session_start_us"].append(s)
+        closed["session_end_us"].append(e)
+        closed["n_events"].append(cnt)
+
     ts_all = []
     for pdf in pdfs:
         ts_all.extend(int(t) for t in pdf["ts_us"])
+    # straggler session accumulator: events more than a gap BEFORE the open
+    # session's start split into their own session(s) — matching the batch
+    # twin q_sessionize, which orders by ts and would never merge them —
+    # instead of being folded in via min(start, ts)
+    sg_start = sg_last = None
+    sg_n = 0
     for ts in sorted(ts_all):
         if last is not None and ts - last > GAP_US:
-            closed["user_id"].append(user_id)
-            closed["session_start_us"].append(start)
-            closed["session_end_us"].append(last)
-            closed["n_events"].append(n)
+            emit(start, last, n)
             start, last, n = ts, ts, 1
+        elif start is not None and start - ts > GAP_US:
+            if sg_last is not None and ts - sg_last > GAP_US:
+                emit(sg_start, sg_last, sg_n)
+                sg_start = sg_last = None
+                sg_n = 0
+            sg_start = ts if sg_start is None else sg_start
+            sg_last = ts
+            sg_n += 1
         else:
             # late/out-of-order events within the gap fold into the session
             start = ts if start is None else min(start, ts)
             last = ts if last is None else max(last, ts)
             n += 1
+    if sg_start is not None:
+        if start is not None and start - sg_last <= GAP_US:
+            # the open session's start moved back (folded events) to within
+            # a gap of the stragglers — they are one session after all
+            start = sg_start
+            n += sg_n
+        else:
+            # stragglers are older than the open session by > gap (and far
+            # behind the watermark) — close them now, not via state
+            emit(sg_start, sg_last, sg_n)
     state.update((start, last, n))
     # close the open session via event-time timeout once the watermark has
     # moved a full gap past its last event; the timeout must never be set

@@ -159,3 +159,50 @@ def test_partial_status_for_missing_tile(spark):
     assert out["n_positions"] == 2 and out["n_enriched"] == 1
     coords = json.loads(out["geojson_out"])["coordinates"]
     assert len(coords[0]) == 3 and len(coords[1]) == 2  # missing tile untouched
+
+
+def test_malformed_positions_status_not_geojson(spark):
+    """Structurally-valid JSON with malformed positions (empty coords,
+    non-numeric values, scalar coordinates) must be statused NOT_GEOJSON —
+    never crash the Arrow worker (op-14 total error surface)."""
+    bad = [
+        ("empty_pos", '{"type":"Point","coordinates":[]}'),
+        ("short_pos", '{"type":"Point","coordinates":[11.5]}'),
+        ("str_pos", '{"type":"Point","coordinates":["a","b"]}'),
+        ("bool_pos", '{"type":"Point","coordinates":[true,false]}'),
+        ("scalar_coords", '{"type":"LineString","coordinates":[[11.5,57.5],7]}'),
+        ("null_geom_pos", '{"type":"Feature","geometry":{"type":"MultiPoint",'
+                          '"coordinates":[[11.5,57.5],[null,57.5]]}}'),
+    ]
+    good = ("good", '{"type":"Point","coordinates":[11.5,57.5]}')
+    docs = spark.createDataFrame(bad + [good], ["url", "geojson"])
+    out = {r["url"]: r for r in
+           add_elevation_docs(docs, fixture_tiles_df(spark),
+                              strategy="broadcast").collect()}
+    for url, _ in bad:
+        assert out[url]["status"] == "NOT_GEOJSON", (url, out[url])
+        assert out[url]["geojson_out"] is None
+    assert out["good"]["status"] == "OK"
+    assert len(json.loads(out["good"]["geojson_out"])["coordinates"]) == 3
+
+
+def test_too_large_document_statused_without_parse(spark):
+    """MAX_POST_SIZE parity: a document over max_doc_bytes is statused
+    TOO_LARGE, is never parsed (even if its JSON is invalid), and yields
+    no positions; small docs in the same batch are untouched."""
+    big = ('{"type":"Point","coordinates":[11.5,57.5],"pad":"'
+           + "x" * 600 + '"}')
+    big_invalid = '{"broken json ' + "y" * 600
+    small = '{"type":"Point","coordinates":[11.5,57.5]}'
+    docs = spark.createDataFrame(
+        [("big", big), ("big_invalid", big_invalid), ("small", small)],
+        ["url", "geojson"])
+    out = {r["url"]: r for r in
+           add_elevation_docs(docs, fixture_tiles_df(spark),
+                              strategy="broadcast",
+                              max_doc_bytes=500).collect()}
+    for url in ("big", "big_invalid"):
+        assert out[url]["status"] == "TOO_LARGE", out[url]
+        assert out[url]["geojson_out"] is None
+        assert out[url]["n_positions"] == 0
+    assert out["small"]["status"] == "OK"

@@ -212,3 +212,76 @@ def test_lsh_bucket_cap_bounds_pathological_bucket(spark):
     over = dedup.lsh_oversize_buckets(docs, max_bucket=10).collect()
     assert len(over) == dedup.NUM_HASHES // dedup.BAND_ROWS  # 1 per band
     assert all(r["n_members"] == 40 and r["representative"] == 0 for r in over)
+
+
+def test_null_coords_are_out_of_bounds_both_strategies(spark):
+    """NULL lat/lon must surface as OUT_OF_BOUNDS with NULL elevation —
+    never OK (broadcast path regression: pandas groupby drops NaN tile-id
+    keys, which used to leave the OK preset in place)."""
+    rows = [(0, 57.5, 11.5), (1, None, 11.5), (2, 57.5, None), (3, None, None)]
+    pts = spark.createDataFrame(rows, "pid int, lat double, lon double")
+    tiles = fixture_tiles_df(spark)
+    for strategy in ("broadcast", "cogroup"):
+        got = {r["pid"]: r for r in
+               enrich_points(pts, tiles, strategy=strategy).collect()}
+        assert got[0]["status"] == "OK" and got[0]["elevation"] is not None
+        for pid in (1, 2, 3):
+            assert got[pid]["status"] == "OUT_OF_BOUNDS", (strategy, got[pid])
+            assert got[pid]["elevation"] is None, (strategy, got[pid])
+
+
+def test_fetch_tiles_plug_point(spark, tmp_path):
+    """fetch_tiles turns requested keys + a fetcher callable into tile-table
+    rows from the executors; missing keys vanish and downstream lookups
+    surface TILE_MISSING (S3TileSet adapter seam, SURVEY §2.A row 6)."""
+    import gzip as gz
+    from elevation_service_spark.sources.tiles import fetch_tiles
+    store = tmp_path / "store"
+    store.mkdir()
+    grid = fixtures.tile_grid(57, 11, 1201)
+    (store / "N57E011.hgt.gz").write_bytes(gz.compress(kernels.encode_hgt(grid)))
+    base = str(store)
+
+    def fetcher(key):  # stand-in for the production S3/HTTP GET
+        import os
+        p = os.path.join(base, f"{key}.hgt.gz")
+        if not os.path.exists(p):
+            return None
+        with open(p, "rb") as f:
+            return f.read()
+
+    tiles = fetch_tiles(spark, ["N57E011", "N10E010"], fetcher)
+    rows = {r["tile_key"]: r for r in tiles.collect()}
+    assert set(rows) == {"N57E011"}  # missing key omitted
+    assert rows["N57E011"]["sw_lat"] == 57 and rows["N57E011"]["sw_lon"] == 11
+
+    pts = spark.createDataFrame([(0, 57.5, 11.5), (1, 10.5, 10.5)],
+                                "pid int, lat double, lon double")
+    got = {r["pid"]: r for r in
+           enrich_points(pts, tiles, strategy="broadcast").collect()}
+    assert got[0]["status"] == "OK"
+    assert got[0]["elevation"] == ref_bilinear(grid, 57.5, 11.5, 57, 11)
+    assert got[1]["status"] == "TILE_MISSING"
+
+
+def test_fetch_tiles_accepts_points_frame(spark, tmp_path):
+    """The requested-key set can be a DataFrame (e.g. the distinct tile
+    keys of a points table) — the lazy-load working-set shape."""
+    import gzip as gz
+    from elevation_service_spark.sources.tiles import fetch_tiles
+    from elevation_service_spark.operators.lookup import with_tile_key
+    store = tmp_path / "store2"
+    store.mkdir()
+    (store / "N57E011.hgt.gz").write_bytes(
+        gz.compress(kernels.encode_hgt(fixtures.tile_grid(57, 11, 1201))))
+    base = str(store)
+
+    def fetcher(key):
+        import os
+        p = os.path.join(base, f"{key}.hgt.gz")
+        return open(p, "rb").read() if os.path.exists(p) else None
+
+    pts = with_tile_key(spark.createDataFrame(
+        [(0, 57.5, 11.5), (1, 57.6, 11.6)], "pid int, lat double, lon double"))
+    tiles = fetch_tiles(spark, pts, fetcher)
+    assert tiles.count() == 1  # one distinct key -> one fetch

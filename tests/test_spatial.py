@@ -169,3 +169,36 @@ def test_knn_metric_column_matches_planar_at_equator(spark):
         rows.sort()
         dists = [dm for _, dm in rows]
         assert dists == sorted(dists), (qid, rows)
+
+
+def test_ann_ivf_nprobe_recall_monotone(spark):
+    """Probing more inverted lists can only add candidates: recall@k vs
+    brute force at nprobe=2 must be >= nprobe=1, and every nprobe=1 result
+    must persist (with identical exact scores) at nprobe=2."""
+    from elevation_service_spark.operators.similarity import (ann_brute_topk,
+                                                              ann_ivf_topk)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    brute_top = {}
+    for r in ann_brute_topk(emb, qids, k=10).collect():
+        brute_top.setdefault(r["qid"], set()).add(r["vec_id"])
+
+    def recall(rows):
+        hits = sum(1 for r in rows if r["vec_id"] in brute_top[r["qid"]])
+        return hits / sum(len(v) for v in brute_top.values())
+
+    p1 = ann_ivf_topk(emb, qids, k=10, nprobe=1).collect()
+    p2 = ann_ivf_topk(emb, qids, k=10, nprobe=2).collect()
+    assert recall(p2) >= recall(p1)
+    # candidate-set growth: every (qid, vec_id) from p1's candidate lists
+    # that survived to top-k either persists or is displaced by a
+    # strictly-better (score, vec_id) candidate from the extra list
+    p2_by_q = {}
+    for r in p2:
+        p2_by_q.setdefault(r["qid"], {})[r["vec_id"]] = r["score"]
+    for r in p1:
+        kth = min(p2_by_q[r["qid"]].values())
+        if r["vec_id"] in p2_by_q[r["qid"]]:
+            assert p2_by_q[r["qid"]][r["vec_id"]] == r["score"]
+        else:
+            assert kth >= r["score"]  # displaced only by better candidates

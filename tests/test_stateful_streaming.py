@@ -67,3 +67,41 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
     # user 2's 10:05 single-event session closed by its second event
     c = got[(2, us("2024-01-01T10:05:00"))]
     assert c["session_end_us"] == us("2024-01-01T10:05:00") and c["n_events"] == 1
+
+
+def test_stateful_sessionize_splits_far_stragglers(spark, tmp_path):
+    """An out-of-order event more than a gap BEFORE the open session's
+    start must become its own closed session (batch-twin semantics), not
+    be folded in via min(start, ts)."""
+    src = tmp_path / "ev2"
+    src.mkdir()
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    out_dir = str(tmp_path / "out2")
+
+    def run_once():
+        q = (sessionize_stream(stream, watermark="10 hours")
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", str(tmp_path / "ckpt2"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    _write_batch(src / "b0.json", [(1, "2024-01-01T12:00:00"),
+                                   (1, "2024-01-01T12:10:00")])
+    run_once()
+    # straggler 3h before the open session (watermark 10h keeps it un-dropped)
+    _write_batch(src / "b1.json", [(1, "2024-01-01T09:00:00")])
+    run_once()
+    # close the main session via a far-future event
+    _write_batch(src / "b2.json", [(1, "2024-01-02T12:00:00")])
+    run_once()
+    got = {r["session_start_us"]: r for r in spark.read.parquet(out_dir).collect()}
+
+    def us(s):
+        import datetime
+        return int(datetime.datetime.fromisoformat(s + "+00:00").timestamp() * 1_000_000)
+
+    sg = got[us("2024-01-01T09:00:00")]
+    assert sg["session_end_us"] == us("2024-01-01T09:00:00") and sg["n_events"] == 1
+    main = got[us("2024-01-01T12:00:00")]
+    assert main["session_end_us"] == us("2024-01-01T12:10:00") and main["n_events"] == 2
