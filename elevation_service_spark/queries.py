@@ -303,3 +303,7 @@ ORACLES.update(_qs.ORACLES)
 from . import queries_streaming as _qstr  # noqa: E402
 SPARK_QUERIES.update(_qstr.SPARK_QUERIES)
 ORACLES.update(_qstr.ORACLES)
+
+from . import queries_multimodal as _qm  # noqa: E402
+SPARK_QUERIES.update(_qm.SPARK_QUERIES)
+ORACLES.update(_qm.ORACLES)

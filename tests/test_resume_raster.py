@@ -202,4 +202,5 @@ def test_audio_features_stub_plumbing(spark):
     assert r["media_id"] == 101 and r["n_samples"] == 32000
     wav = decode_audio(b"aud", 2000, fake=True)
     import numpy as _np
-    assert r["rms_milli"] == int(float(_np.sqrt(_np.mean(wav ** 2))) * 1000)
+    wav64 = wav.astype(_np.float64)  # operator stats run in float64
+    assert r["rms_milli"] == int(float(_np.sqrt(_np.mean(wav64 ** 2))) * 1000)
