@@ -107,6 +107,24 @@ def q_bench_extract(spark, sf_dir):
     return extract_coords(pages, keep_cols=("pid",))
 
 
+def q_lsh_capped_pathological(spark, sf_dir):
+    """LSH near-dup candidates over a corpus with an injected pathological
+    bucket: a third of the documents share one boilerplate text, which
+    uncapped would emit ~(N/3)^2/2 candidate pairs from a single band
+    bucket.  max_bucket drops the oversize buckets before the self-join,
+    so this row measures the BOUNDED path staying flat as the hot bucket
+    grows (the m^2 blowup never materializes)."""
+    from elevation_service_spark.operators.dedup import lsh_candidate_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    boiler = F.lit("the same boilerplate footer navigation copyright "
+                   "text repeated across the crawl")
+    docs = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, boiler)
+         .otherwise(F.col("text")).alias("text"))
+    return lsh_candidate_pairs(docs, max_bucket=64)
+
+
 def _registry_queries():
     import __spark_entry__ as entrymod
     qs = entrymod.queries()
@@ -121,6 +139,7 @@ BENCH_QUERIES = {
     "flagship_enrich": q_flagship_enrich,
     "enrich_cogroup_salted": q_enrich_cogroup_salted,
     "extract_coords_bulk": q_bench_extract,
+    "lsh_capped_pathological": q_lsh_capped_pathological,
 }
 
 

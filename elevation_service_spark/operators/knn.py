@@ -42,6 +42,10 @@ from pyspark.sql import functions as F
 
 CELL_SIZE_DEG = 0.25
 INIT_OVERSHOOT = 4.0  # expected candidates per query in the first ring
+# broadcast the exploded query side when it has at most this many rows:
+# the cell join then shuffles NOTHING (broadcast hash join off the sample
+# scan); above it, fall back to the shuffle hash join on cell keys
+BROADCAST_Q_ROWS = 2_000_000
 
 
 def with_cells(df: DataFrame, cs: float = CELL_SIZE_DEG) -> DataFrame:
@@ -65,15 +69,20 @@ def _ring_offsets(r: int):
 
 
 def _candidates(queries: DataFrame, samples: DataFrame, r: int,
-                metric: bool) -> DataFrame:
+                metric: bool, broadcast_q: bool = False) -> DataFrame:
     """queries exploded to ring-r neighbor cells, hash-joined to samples.
-    Coordinates ride along only when the metric column is requested."""
+    Coordinates ride along only when the metric column is requested.
+    broadcast_q (set by knn_join when the exploded query side is known
+    small) turns the cell join into a broadcast hash join — neither side
+    shuffles, the candidates come straight off the sample scan."""
     offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
                      for dx, dy in _ring_offsets(r)])
     q = (queries.withColumn("_o", F.explode(offs))
          .select("qid", F.col("lat").alias("qlat"), F.col("lon").alias("qlon"),
                  (F.col("cx") + F.col("_o.dx")).alias("cx"),
                  (F.col("cy") + F.col("_o.dy")).alias("cy")))
+    if broadcast_q:
+        q = F.broadcast(q)
     s = samples.select("sid", F.col("lat").alias("slat"),
                        F.col("lon").alias("slon"), "cx", "cy")
     d2 = ((F.col("qlat") - F.col("slat")) * (F.col("qlat") - F.col("slat"))
@@ -151,7 +160,9 @@ def knn_join(queries: DataFrame, samples: DataFrame, k: int,
     r = 1 if adaptive else init_ring
     first = True
     while r <= max_ring and n_remaining > 0:
-        agg = _topk_agg(_candidates(remaining, s, r, metric), k, metric).cache()
+        bq = n_remaining * (2 * r + 1) ** 2 <= BROADCAST_Q_ROWS
+        agg = _topk_agg(_candidates(remaining, s, r, metric, broadcast_q=bq),
+                        k, metric).cache()
         # done := k candidates AND k-th distance strictly inside the ring
         # guarantee: any unsearched sample is in a cell at Chebyshev >= r+1,
         # hence at degree distance >= r*cs from anywhere in the query's cell
