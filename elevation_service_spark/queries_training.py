@@ -592,6 +592,58 @@ SPARK_QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
 ORACLES["winnow_fingerprints"] = _winnow_oracle()
 
 
+# --- near-dup clustering (iterative connected components) ---------------------
+
+def q_neardup_clusters(spark, sf_dir):
+    """Candidate pairs → Jaccard-verified edges (>= 0.5, exact integer
+    compare) → connected components via iterative min-label propagation —
+    the step that turns pairwise matches into dedup groups.  The oracle
+    recomputes components with a recursive reachability CTE."""
+    from .operators.cluster import connected_components
+    docs = load(spark, sf_dir, "documents")
+    edges = (dedup.jaccard_pairs(docs)
+             .filter(F.col("inter") * 2 >= F.col("uni")))
+    return connected_components(edges, docs.select("doc_id"))
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """One representative (min doc id) per near-dup component survives."""
+    from .operators.cluster import connected_components, dedup_survivors
+    docs = load(spark, sf_dir, "documents")
+    edges = (dedup.jaccard_pairs(docs)
+             .filter(F.col("inter") * 2 >= F.col("uni")))
+    comps = connected_components(edges, docs.select("doc_id"))
+    return dedup_survivors(docs, comps)
+
+
+_REACH_SQL = """edge AS (SELECT id1, id2 FROM jp WHERE inter * 2 >= uni),
+sym AS (SELECT id1 AS id, id2 AS nbr FROM edge
+        UNION ALL SELECT id2 AS id, id1 AS nbr FROM edge),
+verts AS (SELECT doc_id AS id FROM documents),
+reach(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT s.id, r.comp FROM sym s JOIN reach r ON r.id = s.nbr)"""
+
+_CLUSTERS_ORACLE = f"""WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
+{_REACH_SQL}
+SELECT id, min(comp) AS component FROM reach GROUP BY id"""
+
+_SURVIVORS_ORACLE = f"""WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
+{_REACH_SQL},
+comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+SELECT id, component, id = component AS is_survivor FROM comps"""
+
+SPARK_QUERIES.update({
+    "neardup_clusters": q_neardup_clusters,
+    "dedup_survivors": q_dedup_survivors,
+})
+ORACLES.update({
+    "neardup_clusters": _CLUSTERS_ORACLE,
+    "dedup_survivors": _SURVIVORS_ORACLE,
+})
+
+
 # --- as-of join --------------------------------------------------------------
 
 def q_asof_join(spark, sf_dir):
