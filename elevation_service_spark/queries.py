@@ -307,3 +307,7 @@ ORACLES.update(_qstr.ORACLES)
 from . import queries_multimodal as _qm  # noqa: E402
 SPARK_QUERIES.update(_qm.SPARK_QUERIES)
 ORACLES.update(_qm.ORACLES)
+
+from . import queries_sinks as _qsk  # noqa: E402
+SPARK_QUERIES.update(_qsk.SPARK_QUERIES)
+ORACLES.update(_qsk.ORACLES)
