@@ -520,14 +520,47 @@ ORACLES.update({
 })
 
 
-# --- rows-only queries (no SQL-expressible oracle; driver records a weaker
-# rows-only check — approx sketches differ across engines by design) --------
-
 def q_ann_lsh(spark, sf_dir):
     """sign-LSH bucketed ANN (the scale path; recall measured vs brute in
-    tests/test_spatial.py)."""
+    tests/test_spatial.py).  The buckets are deterministic integer math, so
+    the oracle recomputes them exactly (promoted from rows-only in r02)."""
     return similarity.ann_lsh_topk(load(spark, sf_dir, "embeddings"),
                                    ANN_QUERY_IDS, ANN_K)
+
+
+def _ann_lsh_oracle():
+    planes = similarity.N_PLANES
+    qids = ", ".join(map(str, ANN_QUERY_IDS))
+    sign = "CASE ((j * 31 + (pos - 1) * 17) % 2) WHEN 0 THEN 1 ELSE -1 END"
+    return f"""WITH e AS (
+  SELECT vec_id AS id, list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * {similarity.QUANT_SCALE} + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS v
+  FROM embeddings),
+comp AS (
+  SELECT id, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM e),
+proj AS (
+  SELECT c.id, j.j, sum(c.val * ({sign})) AS p
+  FROM comp c CROSS JOIN (SELECT unnest(range({planes})) AS j) j
+  GROUP BY c.id, j.j),
+bkt AS (
+  SELECT id, sum(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
+  FROM proj GROUP BY id),
+q AS (SELECT b.id AS qid, b.bucket AS qbucket, e.v AS qv
+      FROM bkt b JOIN e ON e.id = b.id WHERE b.id IN ({qids})),
+cand AS (
+  SELECT q.qid, b.id AS vec_id, CAST(list_dot_product(q.qv, e.v) AS BIGINT) AS score
+  FROM q JOIN bkt b ON b.bucket = q.qbucket AND b.id <> q.qid
+  JOIN e ON e.id = b.id)
+SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+  FROM cand) r WHERE rank <= {ANN_K}"""
+
+
+ORACLES["ann_lsh"] = _ann_lsh_oracle()
+
+
+# --- rows-only queries (no SQL-expressible oracle; driver records a weaker
+# rows-only check — approx sketches differ across engines by design) --------
 
 
 def q_approx_distinct(spark, sf_dir):
