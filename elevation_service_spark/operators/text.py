@@ -86,6 +86,34 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(F.col(id_col).alias("id"), F.md5(norm).alias("fp"))
 
 
+def top_terms(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, rank, tok, tf, df, score_micro) — top-k most distinctive terms
+    per document by tf x linear-idf: score = tf * N / df in exact micro
+    units (integer division — no log, so the score is engine-portable;
+    swap in log-idf when cross-engine exactness is not required).
+
+    Shape: tokenize → per-(doc, tok) counts → per-tok document frequency
+    (two map-side-combined aggregations) → broadcast-friendly join back →
+    per-doc top-k window.  The document-frequency table is vocabulary-
+    sized; at web scale it stays a shuffle join (no collect anywhere)."""
+    from pyspark.sql import Window
+    from .dedup import tokenize
+    toks = tokenize(docs, id_col, text_col)
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    scored = (tf.join(df_, "tok")
+              .withColumn("score_micro",
+                          F.expr(f"tf * {n_docs}L * 1000000L div df")))
+    w = Window.partitionBy("id").orderBy(F.col("score_micro").desc(),
+                                         F.col("tok").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("id", F.col("rank").cast("int").alias("rank"),
+                    "tok", "tf", "df", "score_micro"))
+
+
 # --- rolling-hash document fingerprinting (winnowing) -----------------------
 
 WINNOW_B = 1000003       # polynomial base

@@ -182,6 +182,25 @@ SELECT id, lang_given,
 FROM s"""
 
 
+def q_top_terms(spark, sf_dir):
+    """tf x linear-idf top-3 terms per document (term weighting over the
+    inverted-index shape; exact integer micro scores)."""
+    return text.top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+_TOP_TERMS_ORACLE = f"""WITH {_TOK_CTE},
+tf AS (SELECT id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY id, tok),
+dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.id, tf.tok, tf.tf, dfq.df,
+         (tf.tf * nd.n * 1000000) // dfq.df AS score_micro
+  FROM tf JOIN dfq USING (tok) CROSS JOIN nd)
+SELECT id, CAST(rank AS INT) AS rank, tok, tf, df, CAST(score_micro AS BIGINT) AS score_micro FROM (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY score_micro DESC, tok ASC) AS rank
+  FROM scored) t WHERE rank <= 3"""
+
+
 def q_fingerprint(spark, sf_dir):
     return text.fingerprint(load(spark, sf_dir, "documents"))
 
@@ -371,6 +390,7 @@ SPARK_QUERIES = {
     "token_count": q_token_count,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "top_terms": q_top_terms,
     "ann_topk": q_ann_topk,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
@@ -391,6 +411,7 @@ ORACLES = {
     "token_count": _TOKEN_COUNT_ORACLE,
     "lang_id": _langid_oracle(),
     "fingerprint": _FINGERPRINT_ORACLE,
+    "top_terms": _TOP_TERMS_ORACLE,
     "ann_topk": _ANN_ORACLE,
     "pricing_summary": _PRICING_ORACLE,
     "top_customers": _TOP_CUSTOMERS_ORACLE,
