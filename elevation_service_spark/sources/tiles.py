@@ -153,6 +153,21 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def write_bucketed(df: DataFrame, table: str, key: str = "tile_key",
+                   n_buckets: int = 16, sort: bool = True) -> None:
+    """Persist a table bucketed (and optionally sorted) by ``key`` so
+    downstream equi-joins and aggregations on the key are CO-LOCATED:
+    two tables bucketed the same way join with ZERO Exchange on either
+    side (verified in tests/test_plans.py).  This is the 100 TB answer to
+    'the points and tiles are joined every hour' — pay the shuffle once at
+    write time, never again at read time.  Bucketing requires the session
+    catalog (saveAsTable), not a bare path."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
 def write_enriched(df: DataFrame, path: str, n_range_partitions: int = 64) -> None:
     """Enriched-points sink (SURVEY.md §2.B): EXPLICIT range partitioning on
     tile_key (north_star: "explicit range partitioning") so downstream

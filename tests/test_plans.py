@@ -95,19 +95,22 @@ def _iter_logical(node):
         yield from _iter_logical(ch.apply(i))
 
 
-def test_no_global_window_anywhere(spark):
-    """No query may contain a Window without a partitionSpec — that is the
-    'Moving all data to a single partition' scale-killer (round-1's global
-    token dictionary).  Checked on the optimized logical plan of EVERY
+def test_no_global_window_or_rowwise_python_anywhere(spark):
+    """No query may contain a Window without a partitionSpec (the 'Moving
+    all data to a single partition' scale-killer — round-1's global token
+    dictionary) nor a row-at-a-time Python eval (BatchEvalPython); every
+    Python boundary must be Arrow-vectorized.  Checked on every
     driver-contract query."""
     import __spark_entry__ as entrymod
     for name, fn in sorted(entrymod.queries().items()):
         df = fn(spark, SF)
-        plan = df._jdf.queryExecution().optimizedPlan()
-        for node in _iter_logical(plan):
+        qe = df._jdf.queryExecution()
+        for node in _iter_logical(qe.optimizedPlan()):
             if node.getClass().getSimpleName() == "Window":
                 assert node.partitionSpec().size() > 0, \
                     f"{name}: global (partition-less) Window in plan"
+        assert "BatchEvalPython" not in qe.executedPlan().toString(), \
+            f"{name}: row-at-a-time Python in physical plan"
 
 
 def test_flagship_has_exactly_one_python_stage(spark):
@@ -121,3 +124,41 @@ def test_flagship_has_exactly_one_python_stage(spark):
     plan = plan_of(out)
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the same key must equi-join with ZERO
+    Exchange — the pay-the-shuffle-once-at-write-time strategy for joins
+    repeated at read time (SURVEY.md §4 'co-located joins via bucketing')."""
+    from elevation_service_spark.sources.tiles import write_bucketed
+    pts = (spark.read.parquet(f"{SF}/customer.parquet")
+           .select(F.col("c_custkey").alias("pid"),
+                   F.concat(F.lit("K"), (F.col("c_custkey") % 40).cast("string"))
+                    .alias("tile_key")))
+    stats = (pts.groupBy("tile_key").agg(F.count(F.lit(1)).alias("n")))
+    import shutil
+    spark.sql("DROP TABLE IF EXISTS bkt_points")
+    spark.sql("DROP TABLE IF EXISTS bkt_stats")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bkt_points", "bkt_stats"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    write_bucketed(pts, "bkt_points", n_buckets=8)
+    write_bucketed(stats, "bkt_stats", n_buckets=8)
+    a = spark.table("bkt_points")
+    b = spark.table("bkt_stats")
+    # disable auto-broadcast: at test scale the planner would broadcast the
+    # tiny side (and skip bucketed reads entirely); at 100 TB neither side
+    # broadcasts and bucket co-location is what saves the shuffle
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "tile_key")
+        plan = plan_of(joined)
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == pts.count()
+        # and a groupBy on the bucket key needs no shuffle either
+        agg_plan = plan_of(a.groupBy("tile_key").agg(F.count(F.lit(1))))
+        assert "Exchange" not in agg_plan, agg_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
