@@ -244,6 +244,17 @@ def scaling_run(sf_dir, runs=3, multiplier=16, pair=(8, 32)):
             "efficiency_vs_hardware_ceiling": round(eff / hw, 3) if hw else None}
 
 
+def _host_cpu_score(work: int = 3_000_000) -> float:
+    """Single-thread integer-loop throughput (M ops/s) — a host-weather
+    probe recorded next to every suite run.  This VM's vCPUs are shared
+    with sibling VMs, so identical suites measure 1.5-6x apart depending
+    on contention invisible to `ps`; the score lets a reader normalize
+    across runs (BENCH/BASELINE.md 'variance disclosure')."""
+    t0 = time.time()
+    _burn(work)
+    return round(work / (time.time() - t0) / 1e6, 1)
+
+
 def main():
     if "--scaling" in sys.argv:
         pair_env = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "8,32")
@@ -253,11 +264,13 @@ def main():
         print(json.dumps(out))
         return
     from elevation_service_spark.session import get_spark
+    cpu_before = _host_cpu_score()
     spark = get_spark(app="bench", cpus=CPUS)
     n = flagship_rows(spark, SF_DIR)
     t_total0 = time.time()
     times = run_suite(spark, SF_DIR)
     total = round(time.time() - t_total0, 3)
+    cpu_after = _host_cpu_score()
     flag = times.get("flagship_enrich") or 1e-9
     print(json.dumps({
         "metric": "headline suite wall-clock (flagship elevation enrichment + operator set)",
@@ -268,6 +281,9 @@ def main():
         "cpus": CPUS,
         "flagship_points": n,
         "flagship_lookups_per_sec": round(n / flag, 1),
+        # single-thread M ops/s before/after the suite — host-weather probe
+        # for cross-run normalization (shared-vCPU box; see BENCH/BASELINE.md)
+        "host_cpu_mops": [cpu_before, cpu_after],
     }))
     spark.stop()
 

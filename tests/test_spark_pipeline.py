@@ -285,3 +285,18 @@ def test_fetch_tiles_accepts_points_frame(spark, tmp_path):
         [(0, 57.5, 11.5), (1, 57.6, 11.6)], "pid int, lat double, lon double"))
     tiles = fetch_tiles(spark, pts, fetcher)
     assert tiles.count() == 1  # one distinct key -> one fetch
+
+
+def test_grid_cache_keys_on_full_payload():
+    """Two same-length payloads differing only beyond the first 1 KB must
+    decode to different cached grids (regression: the LRU used to CRC only
+    data[:1024], returning stale grids on long-lived workers)."""
+    from elevation_service_spark.operators.lookup import _cached_grid
+    g1 = fixtures.tile_grid(57, 11, 1201)
+    g2 = g1.copy()
+    g2[600, 600] += 7  # byte offset far beyond 1 KB, same length
+    d1, d2 = kernels.encode_hgt(g1), kernels.encode_hgt(g2)
+    assert len(d1) == len(d2) and d1[:1024] == d2[:1024]
+    a = _cached_grid("T", "hgt", d1)
+    b = _cached_grid("T", "hgt", d2)
+    assert a[600, 600] != b[600, 600]
