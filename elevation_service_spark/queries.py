@@ -264,6 +264,44 @@ _GEOJSON_ORACLE = """SELECT CAST(c_custkey AS STRING) AS url,
 FROM customer"""
 
 
+# all-geometry-types doc: every container shape of the reference walk
+# (Point/MultiPoint/LineString/Polygon/GeometryCollection/FeatureCollection)
+# with positions on fixture tiles; the oracle predicts the per-type
+# position/enrichment counts (byte-level value goldens live in
+# tests/test_geojson.py)
+_GJ2_LATS = "'57.' || lpad(CAST(CAST((c_custkey * 29) % 9000 + 500 AS INT) AS STRING), 4, '0')"
+_GJ2_LONS = "'11.' || lpad(CAST(CAST((c_custkey * 31) % 9000 + 500 AS INT) AS STRING), 4, '0')"
+_P1 = f"({_GJ_LONS}) || ',' || ({_GJ_LATS})"
+_P2 = f"({_GJ2_LONS}) || ',' || ({_GJ2_LATS})"
+_GJ_ALL_DOC = f"""CASE CAST(c_custkey % 6 AS INT)
+  WHEN 0 THEN '{{"type":"Point","coordinates":[' || {_P1} || ']}}'
+  WHEN 1 THEN '{{"type":"MultiPoint","coordinates":[[' || {_P1} || '],[' || {_P2} || ']]}}'
+  WHEN 2 THEN '{{"type":"LineString","coordinates":[[' || {_P1} || '],[' || {_P2} || ']]}}'
+  WHEN 3 THEN '{{"type":"Polygon","coordinates":[[[' || {_P1} || '],[' || {_P2} || '],[' || {_P1} || '],[' || {_P2} || ']]]}}'
+  WHEN 4 THEN '{{"type":"GeometryCollection","geometries":[{{"type":"Point","coordinates":[' || {_P1} || ']}},{{"type":"LineString","coordinates":[[' || {_P1} || '],[' || {_P2} || ']]}}]}}'
+  ELSE '{{"type":"FeatureCollection","features":[{{"type":"Feature","properties":{{}},"geometry":{{"type":"Point","coordinates":[' || {_P1} || ']}}}}]}}' END"""
+
+
+def q_geojson_all_types(spark, sf_dir):
+    from .operators.geojson import add_elevation_docs
+    docs = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("url"),
+        F.expr(_GJ_ALL_DOC).alias("geojson"))
+    out = add_elevation_docs(docs, fixture_tiles_df(spark), strategy="broadcast")
+    return out.select("url", "n_positions", "n_enriched", "status")
+
+
+_GEOJSON_ALL_ORACLE = """SELECT CAST(c_custkey AS STRING) AS url,
+  CAST(CASE CAST(c_custkey % 6 AS INT)
+       WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 2
+       WHEN 3 THEN 4 WHEN 4 THEN 3 ELSE 1 END AS INT) AS n_positions,
+  CAST(CASE CAST(c_custkey % 6 AS INT)
+       WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 2
+       WHEN 3 THEN 4 WHEN 4 THEN 3 ELSE 1 END AS INT) AS n_enriched,
+  'OK' AS status
+FROM customer"""
+
+
 # --- registry ---------------------------------------------------------------
 
 SPARK_QUERIES = {
@@ -276,6 +314,7 @@ SPARK_QUERIES = {
     "extract_coords": q_extract_coords,
     "missing_tiles": q_missing_tiles,
     "geojson_augment": q_geojson_augment,
+    "geojson_all_types": q_geojson_all_types,
 }
 
 from . import queries_training as _qt  # noqa: E402
@@ -292,6 +331,7 @@ ORACLES = {
     "extract_coords": _EXTRACT_ORACLE,
     "missing_tiles": _MISSING_ORACLE,
     "geojson_augment": _GEOJSON_ORACLE,
+    "geojson_all_types": _GEOJSON_ALL_ORACLE,
 }
 
 ORACLES.update(_qt.ORACLES)

@@ -300,3 +300,29 @@ def test_grid_cache_keys_on_full_payload():
     a = _cached_grid("T", "hgt", d1)
     b = _cached_grid("T", "hgt", d2)
     assert a[600, 600] != b[600, 600]
+
+
+def test_token_code_cross_engine_randomized(spark):
+    """The md5-derived token code (the shuffle-free replacement for the
+    round-1 dictionary) must agree with its DuckDB twin on arbitrary
+    tokens: ASCII, unicode, digits, punctuation, long strings, empty."""
+    import random
+    import duckdb
+    from elevation_service_spark.operators.dedup import (TOKEN_CODE_SQL,
+                                                         token_code_col)
+    rng = random.Random(42)
+    alphabet = ("abcdefghijklmnopqrstuvwxyzABC0123456789_-.:/?&%$#@!"
+                "äöüßéàçñ中文日本語한국어😀")
+    toks = ["", "the", "x"] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 60)))
+        for _ in range(400)]
+    df = spark.createDataFrame([(t,) for t in toks], ["tok"])
+    got = {r["tok"]: r["code"] for r in
+           df.select("tok", token_code_col(F.col("tok")).alias("code")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(tok VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in toks])
+    exp = {tok: code for tok, code in
+           con.execute(f"SELECT tok, {TOKEN_CODE_SQL} FROM t").fetchall()}
+    assert got == exp
+    assert all(0 <= c < 2147483647 for c in got.values())
