@@ -67,6 +67,10 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.stateful import sessionize_stream
     base = tempfile.mkdtemp(prefix="sparkgraft_sstream_")
     src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    # the parquet ts is NTZ; the cast below interprets it in the SESSION
+    # zone — force UTC so unix_micros equals the oracle's epoch_us
+    # regardless of the host session's zone (same guard as q_sessionize)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     events = load(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts"))
     # ONE global sentinel timestamp for every user: per-user sentinels
