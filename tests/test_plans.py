@@ -162,3 +162,17 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         assert "Exchange" not in agg_plan, agg_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_lat_band_partition_pruning(spark, tmp_path):
+    """The tile sink partitions by 10-degree latitude band; a
+    band-restricted read must prune partitions at scan time
+    (PartitionFilters on lat_band, not a post-scan filter)."""
+    from elevation_service_spark.sources.tiles import write_tiles
+    path = str(tmp_path / "tiles_banded")
+    write_tiles(fixture_tiles_df(spark), path)
+    df = spark.read.parquet(path).filter(F.col("lat_band") == 50)
+    plan = plan_of(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "lat_band" in pf and "50" in pf, plan
+    assert df.select("tile_key").distinct().count() == 2  # N57E011, N59E179
