@@ -46,7 +46,14 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
            .unionByName(
                edges.select(F.col("id2").alias("id"), F.col("id1").alias("nbr")))
            .cache())
-    labels = verts.select("id", F.col("id").alias("comp")).cache()
+    # each round references the previous labels TWICE (neighbor join +
+    # self join), so a cache alone leaves an exponentially-growing logical
+    # plan that OOMs the driver after ~10 rounds — localCheckpoint
+    # truncates the lineage every round (the standard iterative-algorithm
+    # pattern; on a real cluster swap in reliable checkpoint() if executor
+    # loss during the loop must be survivable)
+    labels = verts.select("id", F.col("id").alias("comp")).localCheckpoint()
+    changed = None
     for _ in range(max_iter):
         nbr_min = (sym.join(labels.select(F.col("id").alias("nbr"),
                                           F.col("comp").alias("nbr_comp")), "nbr")
@@ -55,14 +62,22 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
                       .select("id", F.least(F.col("comp"),
                                             F.coalesce(F.col("nbr_comp"),
                                                        F.col("comp"))).alias("comp"))
-                      .cache())
+                      .localCheckpoint())
         changed = (new_labels.join(labels.withColumnRenamed("comp", "old"), "id")
                    .filter(F.col("comp") != F.col("old")).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     sym.unpersist()
+    if changed:
+        # returning partially-propagated labels would silently split true
+        # components (duplicates surviving dedup) — fail LOUDLY instead;
+        # a graph with diameter > max_iter needs a bigger max_iter or the
+        # large-star/small-star O(log n) scheme (module docstring)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or switch "
+            "to large-star/small-star for long-chain graphs")
     return labels.select("id", F.col("comp").alias("component"))
 
 

@@ -103,9 +103,20 @@ def minhash_bands(sigs: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
                     F.col("b.band_key").alias("band_key")))
 
 
+def lsh_bands(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(id, band_idx, band_key) — the banded minhash signatures.  Callers
+    combining lsh_candidate_pairs and lsh_oversize_buckets on one corpus
+    should compute this ONCE (and usually .cache() it) and pass it to
+    both via ``bands=`` — tokenize + 32 minhash aggregations is the
+    expensive stage and must not run twice."""
+    return minhash_bands(minhash_signatures(docs, id_col, text_col))
+
+
 def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = None,
+                        bands: DataFrame | None = None) -> DataFrame:
     """(id1, id2) distinct candidate near-dup pairs (id1 < id2).
 
     max_bucket bounds the quadratic band-bucket blowup: a band key shared
@@ -117,7 +128,8 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     representative + the member count per dropped bucket, so the dropped
     mass is observable, not silent).  max_bucket=None keeps the exact
     uncapped semantics for oracle verification."""
-    bands = minhash_bands(minhash_signatures(docs, id_col, text_col))
+    if bands is None:
+        bands = lsh_bands(docs, id_col, text_col)
     if max_bucket is not None:
         counts = (bands.groupBy("band_idx", "band_key")
                   .agg(F.count(F.lit(1)).alias("_bn"))
@@ -135,13 +147,17 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def lsh_oversize_buckets(docs: DataFrame, max_bucket: int,
                          id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         bands: DataFrame | None = None) -> DataFrame:
     """(band_idx, band_key, n_members, representative) — the buckets that
     lsh_candidate_pairs(max_bucket=...) dropped.  Callers log/route these:
     every member of an oversize bucket shares a full signature band with
     the representative, so dedup can treat the whole bucket as one
-    near-duplicate cluster without materializing its m²/2 pairs."""
-    bands = minhash_bands(minhash_signatures(docs, id_col, text_col))
+    near-duplicate cluster without materializing its m²/2 pairs.
+    Pass a precomputed (cached) ``bands`` frame when also calling
+    lsh_candidate_pairs — see lsh_bands."""
+    if bands is None:
+        bands = lsh_bands(docs, id_col, text_col)
     return (bands.groupBy("band_idx", "band_key")
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.min("id").alias("representative"))

@@ -132,7 +132,9 @@ def _init_ring_for_density(samples: DataFrame, k: int, max_ring: int) -> int:
     r = 1
     while r < max_ring and (2 * r + 1) ** 2 * density < INIT_OVERSHOOT * k:
         r *= 2
-    return r
+    # doubling can overshoot a non-power-of-two max_ring; clamping keeps
+    # one bounded ring pass before the brute-force fallback
+    return min(r, max_ring)
 
 
 def knn_join(queries: DataFrame, samples: DataFrame, k: int,
@@ -176,6 +178,14 @@ def knn_join(queries: DataFrame, samples: DataFrame, k: int,
             # ring) — no filter, no anti-join, the whole agg is the answer
             results.append(_explode_topk(agg, metric))
             n_remaining = 0
+        elif n_done == 0:
+            # nothing finished: this ring's cache is referenced by no
+            # result — release it instead of pinning storage all session;
+            # remaining is unchanged, just expand the ring
+            agg.unpersist()
+            if not s_cached:
+                s = s.cache()
+                s_cached = True
         else:
             done = agg.filter(done_cond)
             results.append(_explode_topk(done, metric))
@@ -200,6 +210,11 @@ def knn_join(queries: DataFrame, samples: DataFrame, k: int,
             bcols += ["qlat", "qlon", "slat", "slon"]
         brute = qq.crossJoin(ss).select(*bcols)
         results.append(_explode_topk(_topk_agg(brute, k, metric), metric))
+    if not results:
+        # empty query side: the loop never appended (n_remaining == 0 after
+        # the initial count) — return an empty frame with the right schema
+        results.append(_explode_topk(_topk_agg(
+            _candidates(q.limit(0), s, 1, metric), k, metric), metric))
     out = results[0]
     for extra in results[1:]:
         out = out.unionByName(extra)

@@ -29,7 +29,7 @@ from .sources.manifest import run_resumable
 from .sources.tiles import fixture_tiles_df
 from .queries import _derived_points, _BILINEAR_ORACLE
 
-RASTER_STRIDE = 100
+RASTER_STRIDE = 10  # hits the planted void node (10, 10) — gated, not dead
 
 
 def q_raster_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,7 +39,7 @@ def q_raster_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _raster_points_oracle() -> str:
     tiles = ", ".join(f"('{t[0]}', {t[1]}, {t[2]}, {t[3]})"
                       for t in fixtures.FIXTURE_TILES)
-    vr, vc = fixtures.VOID_NODE if hasattr(fixtures, "VOID_NODE") else (10, 10)
+    vr, vc = fixtures.VOID_NODE
     return f"""WITH t(tile_key, sw_lat, sw_lon, size) AS (VALUES {tiles}),
 rr AS (SELECT *, unnest(range(0, size, {RASTER_STRIDE})) AS r FROM t),
 rc AS (SELECT *, unnest(range(0, size, {RASTER_STRIDE})) AS c FROM rr)
@@ -64,8 +64,11 @@ def q_resumable_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     first = run_resumable(job, pts, out, man, key_cols=["pid"], n_buckets=16)
     second = run_resumable(job, pts, out, man, key_cols=["pid"], n_buckets=16)
-    assert first["processed"] and not second["processed"], (first, second)
-    assert len(second["skipped"]) == len(first["processed"])
+    # gate-critical invariants: raise (assert would vanish under python -O)
+    if not first["processed"] or second["processed"]:
+        raise RuntimeError(f"resume broken: first={first} second={second}")
+    if len(second["skipped"]) != len(first["processed"]):
+        raise RuntimeError(f"manifest incomplete: first={first} second={second}")
     return (spark.read.parquet(out)
             .select("pid", "tile_key", "lat", "lon", "elevation", "status"))
 

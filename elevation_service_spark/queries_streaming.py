@@ -41,7 +41,13 @@ def _drain(stream_df: DataFrame, out: str, ckpt: str, timeout_s: int = 600):
     q = (stream_df.writeStream.format("parquet")
          .option("path", out).option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    # awaitTermination(timeout) RETURNS False on timeout instead of raising
+    # — reading the sink then would hash-compare a half-written result
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain did not finish within {timeout_s}s "
+            f"(checkpoint {ckpt}); refusing to read a partial sink")
 
 
 def q_elevation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,7 +64,9 @@ def q_elevation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
-GAP_S = 1800  # keep in sync with streaming.stateful.GAP_US
+from .streaming.stateful import GAP_US as _GAP_US  # noqa: E402
+
+GAP_S = _GAP_US // 1_000_000  # derived, cannot drift from the operator
 
 
 def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -326,3 +326,18 @@ def test_token_code_cross_engine_randomized(spark):
            con.execute(f"SELECT tok, {TOKEN_CODE_SQL} FROM t").fetchall()}
     assert got == exp
     assert all(0 <= c < 2147483647 for c in got.values())
+
+
+def test_connected_components_chain_and_convergence_guard(spark):
+    """Min-label propagation resolves a long chain given enough rounds and
+    FAILS LOUDLY (never returns partial labels) when max_iter is too small
+    for the graph diameter."""
+    import pytest as _pytest
+    from elevation_service_spark.operators.cluster import connected_components
+    chain = [(i, i + 1) for i in range(12)]  # path graph, diameter 12
+    edges = spark.createDataFrame(chain, ["id1", "id2"])
+    comps = connected_components(edges, max_iter=25).collect()
+    assert {r["component"] for r in comps} == {0}
+    assert len(comps) == 13
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)

@@ -202,3 +202,13 @@ def test_ann_ivf_nprobe_recall_monotone(spark):
             assert p2_by_q[r["qid"]][r["vec_id"]] == r["score"]
         else:
             assert kth >= r["score"]  # displaced only by better candidates
+
+
+def test_knn_empty_queries_returns_empty(spark):
+    """An empty query side must yield an empty (correctly-typed) result,
+    not crash (regression: results[0] IndexError)."""
+    samples = spark.createDataFrame([(1, 57.1, 11.1)], ["sid", "lat", "lon"])
+    empty = spark.createDataFrame([], "qid long, lat double, lon double")
+    out = knn_join(empty, samples, k=3)
+    assert out.count() == 0
+    assert out.columns == ["qid", "rank", "sid", "d2"]
