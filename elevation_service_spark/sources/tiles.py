@@ -153,6 +153,39 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def compact_parquet(spark: SparkSession, path: str, out_path: str,
+                    target_file_bytes: int = 128 << 20,
+                    sort_col: str | None = None) -> dict:
+    """Small-files compaction: rewrite a parquet dataset into
+    ceil(bytes / target_file_bytes) files (optionally range-sorted on a
+    column for locality).  Streaming sinks and per-bucket resumable writes
+    leave many tiny files; at 100 TB the resulting driver listing +
+    task-per-file overhead dominates scans, so compaction is a standing
+    maintenance op.  Returns {files_before, files_after, rows, bytes}."""
+    import math
+    from pyspark.sql import functions as F
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jvm_path, True)
+    files_before, total_bytes = 0, 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            files_before += 1
+            total_bytes += f.getLen()
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    out = (df.repartitionByRange(n_files, F.col(sort_col)) if sort_col
+           else df.coalesce(n_files) if n_files < max(files_before, 1)
+           else df.repartition(n_files))
+    out.write.mode("overwrite").parquet(out_path)
+    rows = spark.read.parquet(out_path).count()
+    files_after = len([f for f in __import__("os").listdir(out_path)
+                       if f.endswith(".parquet")]) if out_path.startswith("/") else n_files
+    return {"files_before": files_before, "files_after": files_after,
+            "rows": rows, "bytes": total_bytes}
+
+
 def write_bucketed(df: DataFrame, table: str, key: str = "tile_key",
                    n_buckets: int = 16, sort: bool = True) -> None:
     """Persist a table bucketed (and optionally sorted) by ``key`` so

@@ -204,3 +204,23 @@ def test_audio_features_stub_plumbing(spark):
     import numpy as _np
     wav64 = wav.astype(_np.float64)  # operator stats run in float64
     assert r["rms_milli"] == int(float(_np.sqrt(_np.mean(wav64 ** 2))) * 1000)
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """Compaction collapses a many-tiny-files dataset into the byte-target
+    file count while preserving every row."""
+    from elevation_service_spark.sources.tiles import compact_parquet
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 3)
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    stats = compact_parquet(spark, src, out, target_file_bytes=1 << 30)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1
+    assert stats["rows"] == 10_000
+    back = spark.read.parquet(out)
+    assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+    # sorted variant: range-partitioned on the sort col
+    out2 = str(tmp_path / "compact_sorted")
+    stats2 = compact_parquet(spark, src, out2, target_file_bytes=1, sort_col="id")
+    assert stats2["rows"] == 10_000 and stats2["files_after"] >= 2
