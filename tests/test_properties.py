@@ -96,3 +96,49 @@ def test_cell_ring_contains_own_cell_and_parent_consistent(lat, lon):
     z, cx, cy = kernels.cell_unpack(cid)
     px, py = kernels.mercator_xy(np.array([lat]), np.array([lon]), 11)
     assert (cx >> 1, cy >> 1) == (int(px[0]), int(py[0]))
+
+
+# --- GeoJSON walk totality fuzz ---------------------------------------------
+
+import json as _json
+
+from hypothesis import strategies as _st
+
+from elevation_service_spark.operators.geojson import (validated_positions,
+                                                       walk_positions)
+
+_json_scalars = _st.one_of(_st.none(), _st.booleans(),
+                           _st.integers(-1e6, 1e6),
+                           _st.floats(allow_nan=False, allow_infinity=False),
+                           _st.text(max_size=8))
+_json_values = _st.recursive(
+    _json_scalars,
+    lambda kids: _st.one_of(_st.lists(kids, max_size=4),
+                            _st.dictionaries(_st.text(max_size=6), kids,
+                                             max_size=4)),
+    max_leaves=12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(obj=_json_values)
+def test_geojson_walk_is_total_on_arbitrary_json(obj):
+    """The walk + position validation must either return positions or raise
+    ValueError/TypeError/KeyError — never crash with anything else and
+    never loop forever (op-14 totality: arbitrary web JSON reaches this
+    code).  Whatever validated_positions accepts must be fully numeric."""
+    try:
+        positions = validated_positions(obj)
+    except (ValueError, TypeError, KeyError):
+        return
+    for pos in positions:
+        assert isinstance(pos, list) and len(pos) >= 2
+        float(pos[0]); float(pos[1])
+
+
+@settings(max_examples=300, deadline=None)
+@given(obj=_json_values)
+def test_geojson_walk_raw_never_hard_crashes(obj):
+    try:
+        list(walk_positions(obj))
+    except (ValueError, TypeError, KeyError):
+        pass

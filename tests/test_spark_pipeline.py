@@ -341,3 +341,30 @@ def test_connected_components_chain_and_convergence_guard(spark):
     assert len(comps) == 13
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=2)
+
+
+def test_lsh_cap_subset_invariants(spark):
+    """On a randomized corpus with planted duplicates: capped pairs are
+    always a SUBSET of uncapped pairs, and a cap >= corpus size is an
+    exact no-op."""
+    import random
+    from elevation_service_spark.operators import dedup
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(60):
+        if i % 4 == 0:
+            docs.append((i, "shared boilerplate tail " + " ".join(vocab[:6])))
+        else:
+            docs.append((i, " ".join(rng.choices(vocab, k=rng.randint(5, 25)))))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    full = {(r["id1"], r["id2"]) for r in dedup.lsh_candidate_pairs(df).collect()}
+    capped = {(r["id1"], r["id2"])
+              for r in dedup.lsh_candidate_pairs(df, max_bucket=5).collect()}
+    noop = {(r["id1"], r["id2"])
+            for r in dedup.lsh_candidate_pairs(df, max_bucket=60).collect()}
+    assert capped <= full
+    assert noop == full
+    # planted boilerplate bucket (15 docs > cap 5) must be gone from capped
+    boiler_ids = {i for i in range(60) if i % 4 == 0}
+    assert not any(a in boiler_ids and b in boiler_ids for a, b in capped)
