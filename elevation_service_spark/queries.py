@@ -264,6 +264,48 @@ _GEOJSON_ORACLE = """SELECT CAST(c_custkey AS STRING) AS url,
 FROM customer"""
 
 
+def q_geojson_cogroup(spark, sf_dir):
+    """The GeoJSON pipeline through the shuffle/cogroup physical strategy —
+    must match the identical doc-level oracle as the broadcast plan."""
+    from .operators.geojson import add_elevation_docs
+    docs = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("url"),
+        F.expr(_GJ_DOC).alias("geojson"))
+    out = add_elevation_docs(docs, fixture_tiles_df(spark), strategy="cogroup")
+    return out.select("url", "n_positions", "n_enriched", "status")
+
+
+# the complete op-14 point error surface in ONE hash-gated query: points
+# constructed on an OK tile, the deliberately-missing tile, the
+# corrupt-bytes tile, and out-of-range latitude
+_ES_LAT = ("CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN CAST(57.5 AS DOUBLE) "
+           "WHEN 1 THEN CAST(10.5 AS DOUBLE) WHEN 2 THEN CAST(20.5 AS DOUBLE) "
+           "ELSE CAST(95.0 AS DOUBLE) END")
+_ES_LON = ("CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN CAST(11.5 AS DOUBLE) "
+           "WHEN 1 THEN CAST(10.5 AS DOUBLE) WHEN 2 THEN CAST(20.5 AS DOUBLE) "
+           "ELSE CAST(11.5 AS DOUBLE) END")
+
+
+def q_status_surface(spark, sf_dir):
+    """op-14 total error surface: every point must come back with exactly
+    the right status and a NULL elevation for every non-OK case (the
+    engine never throws per row)."""
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        F.expr(_ES_LAT).alias("lat"), F.expr(_ES_LON).alias("lon"))
+    out = enrich_points(pts, fixture_tiles_df(spark, include_bad=True),
+                        strategy="broadcast")
+    return out.select("pid", "status", F.col("elevation").isNull().alias("elev_null"))
+
+
+_STATUS_SURFACE_ORACLE = """SELECT c_custkey AS pid,
+  CASE CAST(c_custkey % 4 AS INT)
+    WHEN 0 THEN 'OK' WHEN 1 THEN 'TILE_MISSING'
+    WHEN 2 THEN 'BAD_TILE' ELSE 'OUT_OF_BOUNDS' END AS status,
+  CAST(c_custkey % 4 AS INT) <> 0 AS elev_null
+FROM customer"""
+
+
 # all-geometry-types doc: every container shape of the reference walk
 # (Point/MultiPoint/LineString/Polygon/GeometryCollection/FeatureCollection)
 # with positions on fixture tiles; the oracle predicts the per-type
@@ -315,6 +357,8 @@ SPARK_QUERIES = {
     "missing_tiles": q_missing_tiles,
     "geojson_augment": q_geojson_augment,
     "geojson_all_types": q_geojson_all_types,
+    "geojson_cogroup": q_geojson_cogroup,
+    "status_surface": q_status_surface,
 }
 
 from . import queries_training as _qt  # noqa: E402
@@ -332,6 +376,8 @@ ORACLES = {
     "missing_tiles": _MISSING_ORACLE,
     "geojson_augment": _GEOJSON_ORACLE,
     "geojson_all_types": _GEOJSON_ALL_ORACLE,
+    "geojson_cogroup": _GEOJSON_ORACLE,
+    "status_surface": _STATUS_SURFACE_ORACLE,
 }
 
 ORACLES.update(_qt.ORACLES)
