@@ -1,0 +1,62 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+`df.sample()` is seed-dependent *per partitioning* (a repartition changes
+which rows survive), which breaks reproducibility guarantees for training
+subsets.  These operators derive the decision from a content hash of a
+key column instead — the same row lands in the same sample/split on any
+cluster, any partitioning, any engine:
+
+- ``deterministic_sample``: keep rows whose hash bucket (md5-derived,
+  uniform over [0, 10000)) falls below rate_bp basis points.
+- ``hash_split``: label every row train/val/test (or any weighted split)
+  by hash range — disjoint, exhaustive, stable under re-runs.
+
+Both are pure per-row JVM expressions (zero shuffle) and are recomputable
+by the DuckDB oracles exactly (same md5-prefix trick as
+dedup.token_code_col; reference: Spark's own sampleBy caveats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SAMPLE_BUCKETS = 10_000  # basis-point resolution
+
+
+def hash_bucket_col(key: Column, salt: str = "") -> Column:
+    """Uniform bucket in [0, 10000) from md5 of the key (plus an optional
+    salt so independent samples of the same table decorrelate)."""
+    h = F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 15)
+    return (F.conv(h, 16, 10).cast("long") % F.lit(SAMPLE_BUCKETS)).cast("int")
+
+
+def hash_bucket_sql(key_sql: str, salt: str = "") -> str:
+    """DuckDB twin of hash_bucket_col."""
+    return ("CAST(CAST(('0x' || substr(md5(CAST(" + key_sql
+            + f" AS STRING) || '{salt}'), 1, 15)) AS BIGINT) % {SAMPLE_BUCKETS} AS INT)")
+
+
+def deterministic_sample(df: DataFrame, key: str, rate_bp: int,
+                         salt: str = "") -> DataFrame:
+    """Rows whose bucket < rate_bp (rate in basis points: 100 = 1%).
+    Partitioning-independent, rerun-stable, engine-portable."""
+    return df.filter(hash_bucket_col(F.col(key), salt) < F.lit(rate_bp))
+
+
+def hash_split(df: DataFrame, key: str, splits: dict[str, int],
+               salt: str = "", label_col: str = "split") -> DataFrame:
+    """Add a split label by hash range.  splits maps label -> weight in
+    basis points and must sum to 10000 (disjoint + exhaustive), e.g.
+    {"train": 9000, "val": 500, "test": 500}."""
+    if sum(splits.values()) != SAMPLE_BUCKETS:
+        raise ValueError(f"split weights must sum to {SAMPLE_BUCKETS} bp, "
+                         f"got {sum(splits.values())}")
+    bucket = hash_bucket_col(F.col(key), salt)
+    expr, lo = None, 0
+    for label, w in splits.items():
+        hi = lo + w
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+        lo = hi
+    return df.withColumn(label_col, expr)

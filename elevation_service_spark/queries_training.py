@@ -646,6 +646,49 @@ SPARK_QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
 ORACLES["winnow_fingerprints"] = _winnow_oracle()
 
 
+# --- deterministic sampling / splits -------------------------------------------
+
+def q_doc_sample(spark, sf_dir):
+    """5% deterministic content-hash sample of documents — reproducible on
+    any partitioning/cluster (df.sample is partitioning-dependent)."""
+    from .operators.sampling import deterministic_sample
+    docs = load(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", rate_bp=500).select("doc_id", "lang")
+
+
+def q_train_split(spark, sf_dir):
+    """90/5/5 train/val/test split by hash range: per-(split, lang) counts
+    prove disjoint + exhaustive + deterministic assignment."""
+    from .operators.sampling import hash_split
+    docs = load(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id",
+                     {"train": 9000, "val": 500, "test": 500})
+    return (out.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id")))
+
+
+def _sampling_oracles():
+    from .operators.sampling import hash_bucket_sql
+    b = hash_bucket_sql("doc_id")
+    sample = f"""SELECT doc_id, lang FROM documents WHERE {b} < 500"""
+    split = f"""WITH s AS (
+  SELECT *, CASE WHEN {b} < 9000 THEN 'train'
+                 WHEN {b} < 9500 THEN 'val' ELSE 'test' END AS split
+  FROM documents)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM s GROUP BY split, lang"""
+    return sample, split
+
+
+_DOC_SAMPLE_ORACLE, _TRAIN_SPLIT_ORACLE = _sampling_oracles()
+
+SPARK_QUERIES.update({"doc_sample": q_doc_sample, "train_split": q_train_split})
+ORACLES.update({"doc_sample": _DOC_SAMPLE_ORACLE,
+                "train_split": _TRAIN_SPLIT_ORACLE})
+
+
 # --- near-dup clustering (iterative connected components) ---------------------
 
 def q_neardup_clusters(spark, sf_dir):

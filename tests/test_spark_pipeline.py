@@ -368,3 +368,27 @@ def test_lsh_cap_subset_invariants(spark):
     # planted boilerplate bucket (15 docs > cap 5) must be gone from capped
     boiler_ids = {i for i in range(60) if i % 4 == 0}
     assert not any(a in boiler_ids and b in boiler_ids for a, b in capped)
+
+
+def test_hash_sampling_partitioning_independent(spark):
+    """The deterministic sample must select the IDENTICAL row set under
+    any partitioning (the property df.sample lacks), and hash_split must
+    be disjoint + exhaustive with weights validated."""
+    import pytest as _pytest
+    from elevation_service_spark.operators.sampling import (
+        deterministic_sample, hash_split)
+    docs = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 1000).collect()}
+    b = {r["doc_id"] for r in deterministic_sample(
+        docs.repartition(17), "doc_id", 1000).collect()}
+    assert a == b and 0 < len(a) < 5000
+    split = hash_split(docs, "doc_id", {"train": 9000, "val": 500, "test": 500})
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 5000 and set(counts) == {"train", "val", "test"}
+    # independent salt decorrelates
+    c = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 1000,
+                                                   salt="v2").collect()}
+    assert c != a
+    with _pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"train": 5000, "val": 500})
