@@ -114,6 +114,32 @@ def top_terms(docs: DataFrame, id_col: str = "doc_id",
                     "tok", "tf", "df", "score_micro"))
 
 
+def top_ngrams_per_lang(docs: DataFrame, n: int = 2, k: int = 5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        lang_col: str = "lang") -> DataFrame:
+    """(lang, rank, ngram, n_occ) — the k most frequent word n-grams per
+    language (corpus statistics for curation/contamination checks).
+    Shape: per-doc lead() window builds the n-grams (partitions by doc —
+    scales with documents), one map-side-combined count per (lang, ngram),
+    then a per-lang top-k window over the counts table (vocabulary-sized,
+    far smaller than the corpus).  Ties break lexicographically."""
+    from pyspark.sql import Window
+    from .dedup import tokenize
+    toks = (docs.select(F.col(id_col).alias("_id"), F.col(lang_col).alias("lang"),
+                        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")))
+    w = Window.partitionBy("_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    grams = (toks.select("lang", F.concat_ws(" ", *parts).alias("ngram"),
+                         F.lead("tok", n - 1).over(w).alias("_t"))
+             .filter(F.col("_t").isNotNull()))
+    counts = grams.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("n_occ"))
+    rw = Window.partitionBy("lang").orderBy(F.col("n_occ").desc(), F.col("ngram").asc())
+    return (counts.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= k)
+            .select("lang", F.col("rank").cast("int").alias("rank"),
+                    "ngram", "n_occ"))
+
+
 # --- rolling-hash document fingerprinting (winnowing) -----------------------
 
 WINNOW_B = 1000003       # polynomial base

@@ -646,6 +646,31 @@ SPARK_QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
 ORACLES["winnow_fingerprints"] = _winnow_oracle()
 
 
+def q_top_bigrams(spark, sf_dir):
+    """Top-5 bigrams per language (corpus statistics; per-doc window +
+    map-side-combined counts + vocabulary-sized top-k)."""
+    return text.top_ngrams_per_lang(load(spark, sf_dir, "documents"), n=2, k=5)
+
+
+_TOP_BIGRAMS_ORACLE = """WITH t AS (
+  SELECT doc_id AS id, lang,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+g AS (
+  SELECT lang, tok || ' ' || lead(tok, 1) OVER w AS ngram,
+         lead(tok, 1) OVER w AS _t
+  FROM t WINDOW w AS (PARTITION BY id ORDER BY pos)),
+c AS (SELECT lang, ngram, CAST(count(*) AS BIGINT) AS n_occ
+      FROM g WHERE _t IS NOT NULL GROUP BY lang, ngram)
+SELECT lang, CAST(rank AS INT) AS rank, ngram, n_occ FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n_occ DESC, ngram ASC) AS rank
+  FROM c) r WHERE rank <= 5"""
+
+SPARK_QUERIES["top_bigrams"] = q_top_bigrams
+ORACLES["top_bigrams"] = _TOP_BIGRAMS_ORACLE
+
+
 # --- deterministic sampling / splits -------------------------------------------
 
 def q_doc_sample(spark, sf_dir):
