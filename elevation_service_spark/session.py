@@ -18,6 +18,14 @@ def get_spark(app: str = "spark-elevation",
               shuffle_partitions: int | None = None,
               extra_conf: dict | None = None) -> SparkSession:
     cpus = int(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Make the engine importable by executor-side Python workers regardless
+    # of the launch cwd (local mode spawns workers with the driver's env; on
+    # a real cluster use spark-submit --py-files dist/*.zip instead — see
+    # BENCH/BASELINE.md §packaging).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{pp}" if pp else repo_root
     if shuffle_partitions is None:
         # on a real cluster this would be ~2-3x total cores; locally match it
         shuffle_partitions = max(2 * cpus, 8)
