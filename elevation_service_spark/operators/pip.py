@@ -86,49 +86,79 @@ def pip_assign(points: DataFrame, polygons: DataFrame,
     return points.select(*id_cols, "lat", "lon").mapInPandas(gen, schema)
 
 
+def polygon_cells(polygons: DataFrame, cell_deg: float = 1.0) -> DataFrame:
+    """Explode each polygon to the degree-grid cells covering its bbox —
+    a pure DataFrame transform (JVM json parse + sequence/explode), with the
+    parsed ring geometry carried as a nested-array column.  No driver
+    collect, no global broadcast: the polygon table can be arbitrarily
+    large.  Output: (poly_id, minx, miny, maxx, maxy, rings, cx, cy) where
+    rings is array<array<array<array<double>>>> (MultiPolygon-normalized:
+    polys -> rings -> positions -> [lon, lat])."""
+    from pyspark.sql import functions as F
+    typ = F.get_json_object(F.col("geojson"), "$.type")
+    coords = F.get_json_object(F.col("geojson"), "$.coordinates")
+    as_poly = F.from_json(coords, "array<array<array<double>>>")
+    as_multi = F.from_json(coords, "array<array<array<array<double>>>>")
+    rings = F.when(typ == F.lit("Polygon"), F.array(as_poly)).otherwise(as_multi)
+    cell = F.lit(float(cell_deg))
+    return (polygons
+            .select("poly_id", "minx", "miny", "maxx", "maxy",
+                    rings.alias("rings"))
+            .withColumn("cx", F.explode(F.sequence(
+                F.floor(F.col("minx") / cell).cast("long"),
+                F.floor(F.col("maxx") / cell).cast("long"))))
+            .withColumn("cy", F.explode(F.sequence(
+                F.floor(F.col("miny") / cell).cast("long"),
+                F.floor(F.col("maxy") / cell).cast("long")))))
+
+
 def pip_assign_bucketed(points: DataFrame, polygons: DataFrame,
                         id_cols: tuple[str, ...] = ("pid",),
                         cell_deg: float = 1.0) -> DataFrame:
     """Range-join formulation for LARGE polygon sets (SURVEY.md §2.B
     interval/range): polygons explode to the degree-grid cells covering
-    their bbox, points carry their cell — the bbox prefilter becomes a hash
-    equi-join on the cell key instead of a broadcast, then the exact
-    ray-cast kernel verifies candidates.  Same output as pip_assign."""
-    import math as _math
+    their bbox (polygon_cells — a distributed transform), points carry
+    their cell, the bbox prefilter becomes a hash equi-join on the cell
+    key, and the exact ray-cast kernel verifies candidates inside
+    mapInPandas with the ring arrays delivered through the join row.
+
+    End-to-end distributed: geometry never touches the driver and is never
+    globally broadcast (it crosses the shuffle once per covering cell, and
+    once per candidate point-pair row in the join output — bounded, unlike
+    an O(total-vertices) driver collect).  Same output as pip_assign."""
     from pyspark.sql import functions as F
-    spark = points.sparkSession
-    polys = _parse_polygons(polygons.collect())
-
-    # polygon -> covering cells (driver-side: polygon count is the big-table
-    # case only relative to broadcast payload; the cell explosion itself is
-    # tiny rows). For truly huge polygon tables this same explode runs as a
-    # DataFrame transform over the polygon table.
-    cell_rows = []
-    for i, (poly_id, minx, miny, maxx, maxy, _rings) in enumerate(polys):
-        for cx in range(_math.floor(minx / cell_deg), _math.floor(maxx / cell_deg) + 1):
-            for cy in range(_math.floor(miny / cell_deg), _math.floor(maxy / cell_deg) + 1):
-                cell_rows.append((poly_id, i, cx, cy))
-    cells = spark.createDataFrame(cell_rows, ["poly_id", "_poly_idx", "cx", "cy"])
-
+    cells = polygon_cells(polygons, cell_deg)
+    cell = F.lit(float(cell_deg))
     pts = (points.select(*id_cols, "lat", "lon")
-           .withColumn("cx", F.floor(F.col("lon") / F.lit(cell_deg)).cast("long"))
-           .withColumn("cy", F.floor(F.col("lat") / F.lit(cell_deg)).cast("long")))
+           .withColumn("cx", F.floor(F.col("lon") / cell).cast("long"))
+           .withColumn("cy", F.floor(F.col("lat") / cell).cast("long")))
+    # a point lies in exactly one cell and a polygon covers each cell once,
+    # so the join emits each candidate (point, polygon) pair exactly once
     cand = pts.join(cells, ["cx", "cy"]).drop("cx", "cy")
 
-    bc = spark.sparkContext.broadcast([(p[1], p[2], p[3], p[4], p[5]) for p in polys])
     schema = T.StructType([cand.schema[c] for c in id_cols]
                           + [T.StructField("lat", T.DoubleType(), False),
                              T.StructField("lon", T.DoubleType(), False),
                              T.StructField("poly_id", T.StringType(), False)])
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        meta = bc.value
+        parsed: dict[str, list] = {}  # per-worker ring-array cache
         for pdf in batches:
             lat = pdf["lat"].to_numpy(np.float64)
             lon = pdf["lon"].to_numpy(np.float64)
             keep = np.zeros(len(pdf), dtype=bool)
-            for pi, grp in pdf.groupby("_poly_idx").indices.items():
-                minx, miny, maxx, maxy, multi = meta[pi]
+            for pid_, grp in pdf.groupby("poly_id").indices.items():
+                row0 = int(grp[0])
+                multi = parsed.get(pid_)
+                if multi is None:
+                    multi = [[np.asarray([list(pos) for pos in ring], np.float64)
+                              for ring in poly]
+                             for poly in pdf["rings"].iloc[row0]]
+                    parsed[pid_] = multi
+                minx = float(pdf["minx"].iloc[row0])
+                miny = float(pdf["miny"].iloc[row0])
+                maxx = float(pdf["maxx"].iloc[row0])
+                maxy = float(pdf["maxy"].iloc[row0])
                 la, lo = lat[grp], lon[grp]
                 m = (lo >= minx) & (lo <= maxx) & (la >= miny) & (la <= maxy)
                 inside = np.zeros(len(grp), dtype=bool)
@@ -139,7 +169,6 @@ def pip_assign_bucketed(points: DataFrame, polygons: DataFrame,
                         hit |= kernels.point_in_polygon(la[sub], lo[sub], rings)
                     inside[sub] = hit
                 keep[grp[inside]] = True
-            out = pdf.loc[keep, list(id_cols) + ["lat", "lon", "poly_id"]]
-            yield out
+            yield pdf.loc[keep, list(id_cols) + ["lat", "lon", "poly_id"]]
 
     return cand.mapInPandas(gen, schema)

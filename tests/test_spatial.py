@@ -212,3 +212,52 @@ def test_knn_empty_queries_returns_empty(spark):
     out = knn_join(empty, samples, k=3)
     assert out.count() == 0
     assert out.columns == ["qid", "rank", "sid", "d2"]
+
+
+def test_pip_bucketed_large_polygon_set_no_driver_collect(spark, monkeypatch):
+    """VERDICT r2 #2: the bucketed path must handle polygon tables too big
+    to broadcast/collect.  100k polygons are generated distributively; a
+    collect spy proves the operator never pulls geometry to the driver, and
+    the result matches a closed-form expectation."""
+    from pyspark.sql import DataFrame
+
+    from elevation_service_spark.operators.pip import pip_assign_bucketed
+
+    n = 100_000
+    n_loc = 64_800  # 360 x 180 distinct 1-degree locations
+    polys = spark.range(n).selectExpr(
+        "concat('P', id) AS poly_id",
+        f"CAST(id % 360 AS DOUBLE) - 180.0 + 0.5 AS lon0",
+        f"CAST((id % {n_loc}) DIV 360 AS DOUBLE) - 90.0 + 0.5 AS lat0",
+    ).selectExpr(
+        "poly_id",
+        "lon0 - 0.2 AS minx", "lat0 - 0.2 AS miny",
+        "lon0 + 0.2 AS maxx", "lat0 + 0.2 AS maxy",
+        """format_string(
+            '{"type":"Polygon","coordinates":[[[%.6f,%.6f],[%.6f,%.6f],[%.6f,%.6f],[%.6f,%.6f],[%.6f,%.6f]]]}',
+            lon0 - 0.2, lat0 - 0.2, lon0 + 0.2, lat0 - 0.2,
+            lon0 + 0.2, lat0 + 0.2, lon0 - 0.2, lat0 + 0.2,
+            lon0 - 0.2, lat0 - 0.2) AS geojson""",
+    )
+
+    # one query point at the centre of every 648th location
+    locs = list(range(0, n_loc, 648))
+    pts = spark.createDataFrame(
+        [(i, (loc % n_loc) // 360 - 90 + 0.5, loc % 360 - 180 + 0.5)
+         for i, loc in enumerate(locs)],
+        ["pid", "lat", "lon"],
+    )
+
+    calls = []
+    orig_collect = DataFrame.collect
+    monkeypatch.setattr(
+        DataFrame, "collect",
+        lambda self: (calls.append(1), orig_collect(self))[1])
+
+    out = pip_assign_bucketed(pts, polys)
+    got = out.groupBy().count().toPandas()["count"][0]
+    assert not calls, "pip_assign_bucketed collected a DataFrame to the driver"
+
+    # location L is covered by polygon ids {L, L + 64800, ...} < n
+    expected = sum(2 if loc < n - n_loc else 1 for loc in locs)
+    assert got == expected
