@@ -176,3 +176,20 @@ def test_lat_band_partition_pruning(spark, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
     assert "lat_band" in pf and "50" in pf, plan
     assert df.select("tile_key").distinct().count() == 2  # N57E011, N59E179
+
+
+def test_pair_queries_single_tokenize_no_window(spark):
+    """VERDICT r2 #3: simhash_pairs and jaccard_pairs must not re-tokenize
+    the corpus per branch.  simhash_pairs fuses minhash+simhash into one
+    aggregate and carries the fingerprint through the band explode (one
+    scan, one tokenize); jaccard_pairs builds shingles with array HOFs
+    (zero Window / token shuffle) and tokenizes only for the minhash."""
+    from elevation_service_spark import queries as Q
+    for name, max_scans in (("simhash_pairs", 1), ("jaccard_pairs", 3)):
+        df = Q.SPARK_QUERIES[name](spark, "/root/testdata/sf0.001")
+        df.collect()  # let AQE finalize so ReusedExchange is applied
+        final = (df._jdf.queryExecution().executedPlan().toString()
+                 .split("== Initial Plan ==")[0])
+        assert final.count("posexplode") == 1, f"{name}: tokenized twice"
+        assert final.count("Window [") == 0, f"{name}: token window shuffle"
+        assert final.count("documents.parquet") <= max_scans, name
