@@ -15,6 +15,8 @@ order-independent, and reproducible by the DuckDB oracle.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -105,6 +107,31 @@ def embedding_near_dup_pairs(emb: DataFrame, min_score: int,
             .filter(F.col("score") >= min_score))
 
 
+EXPR_MAX_CENTROIDS = 64
+
+
+def _centroid_probe_udf(spark, cents: list[tuple[int, list[int]]], nprobe: int):
+    """Arrow-vectorized top-``nprobe`` centroid assignment against a
+    broadcast integer centroid matrix — the scale path for k-means-realistic
+    centroid counts (thousands), where a per-centroid Catalyst expression
+    tree stops being viable (VERDICT r2 #4).  Semantics are identical to
+    the expression path: integer-dot argmax, ties to the LOWEST cid (cents
+    arrive cid-sorted; stable argsort preserves that on equal scores)."""
+    mat = np.asarray([cv for _, cv in cents], dtype=np.int64)
+    ids = np.asarray([cid for cid, _ in cents], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((mat, ids))
+
+    @F.pandas_udf("array<long>")
+    def topn(ev: pd.Series) -> pd.Series:
+        cmat, cids_ = bc.value
+        vecs = np.asarray(ev.tolist(), dtype=np.int64)
+        scores = vecs @ cmat.T
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(cids_[order]))
+
+    return topn
+
+
 def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                  n_centroids: int = 8, centroid_ids: list[int] | None = None,
                  nprobe: int = 1,
@@ -116,7 +143,13 @@ def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     deterministic sample of the corpus (a k-means step would swap in
     transparently — the partition/search plumbing is identical).  Raising
     nprobe is the standard IVF recall/cost dial: candidates grow ~linearly
-    with probed lists; recall is measured vs brute force in tests."""
+    with probed lists; recall is measured vs brute force in tests.
+
+    Two physical centroid-assignment strategies, same semantics:
+    <= EXPR_MAX_CENTROIDS keeps a pure-JVM (score, -cid) struct-array
+    expression (whole-stage codegen, DuckDB-oracle-exact); above that, a
+    broadcast centroid matrix + one Arrow-batched argmax pandas UDF
+    (_centroid_probe_udf) keeps plan size O(1) in centroid count."""
     cids = centroid_ids or list(range(10, 10 + n_centroids))
     cents = (emb.filter(F.col(id_col).isin(cids))
              .select(F.col(id_col).alias("cid"), _quant(F.col(vec_col)).alias("cv"))
@@ -124,37 +157,48 @@ def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     cents = sorted(((r["cid"], r["cv"]) for r in cents))
     base = emb.select(F.col(id_col).alias("vec_id"), _quant(F.col(vec_col)).alias("ev"))
 
-    def centroid_structs(vec_c):
-        # (score, -cid) structs — linear-size expression tree (a when-chain
-        # fold would duplicate subtrees exponentially and send Catalyst
-        # analysis into minutes); struct ordering is lexicographic, so max
-        # picks the highest score and, on ties, the LOWEST cid via the
-        # negated field
-        cands = []
-        for cid, cv in cents:
-            score = None
-            for i, c in enumerate(cv):
-                term = F.element_at(vec_c, i + 1) * F.lit(int(c))
-                score = term if score is None else score + term
-            cands.append(F.struct(score.alias("s"), F.lit(-cid).alias("nc")))
-        return F.array(*cands)
+    if len(cents) <= EXPR_MAX_CENTROIDS:
+        def centroid_structs(vec_c):
+            # (score, -cid) structs — linear-size expression tree (a when-chain
+            # fold would duplicate subtrees exponentially and send Catalyst
+            # analysis into minutes); struct ordering is lexicographic, so max
+            # picks the highest score and, on ties, the LOWEST cid via the
+            # negated field
+            cands = []
+            for cid, cv in cents:
+                score = None
+                for i, c in enumerate(cv):
+                    term = F.element_at(vec_c, i + 1) * F.lit(int(c))
+                    score = term if score is None else score + term
+                cands.append(F.struct(score.alias("s"), F.lit(-cid).alias("nc")))
+            return F.array(*cands)
 
-    def centroid_expr(vec_c):
-        return -F.array_max(centroid_structs(vec_c))["nc"]
-
-    assigned = base.withColumn("centroid", centroid_expr(F.col("ev")))
-    q = assigned.filter(F.col("vec_id").isin(query_ids))
-    if nprobe <= 1:
-        q = q.select(F.col("vec_id").alias("qid"), F.col("ev").alias("qv"),
-                     F.col("centroid").alias("qcentroid"))
+        assigned = base.withColumn(
+            "centroid", -F.array_max(centroid_structs(F.col("ev")))["nc"])
+        q = assigned.filter(F.col("vec_id").isin(query_ids))
+        if nprobe <= 1:
+            q = q.select(F.col("vec_id").alias("qid"), F.col("ev").alias("qv"),
+                         F.col("centroid").alias("qcentroid"))
+        else:
+            # top-nprobe centroids per query: sort the (score, -cid) structs
+            # descending, take nprobe, explode — one probe row per (query, list)
+            probes = F.slice(F.reverse(F.array_sort(centroid_structs(F.col("ev")))),
+                             1, nprobe)
+            q = (q.select(F.col("vec_id").alias("qid"), F.col("ev").alias("qv"),
+                          F.explode(probes).alias("_p"))
+                 .select("qid", "qv", (-F.col("_p")["nc"]).alias("qcentroid")))
     else:
-        # top-nprobe centroids per query: sort the (score, -cid) structs
-        # descending, take nprobe, explode — one probe row per (query, list)
-        probes = F.slice(F.reverse(F.array_sort(centroid_structs(F.col("ev")))),
-                         1, nprobe)
-        q = (q.select(F.col("vec_id").alias("qid"), F.col("ev").alias("qv"),
-                      F.explode(probes).alias("_p"))
-             .select("qid", "qv", (-F.col("_p")["nc"]).alias("qcentroid")))
+        assign1 = _centroid_probe_udf(emb.sparkSession, cents, 1)
+        assigned = base.withColumn(
+            "centroid", F.element_at(assign1(F.col("ev")), 1))
+        q = assigned.filter(F.col("vec_id").isin(query_ids))
+        if nprobe <= 1:
+            q = q.select(F.col("vec_id").alias("qid"), F.col("ev").alias("qv"),
+                         F.col("centroid").alias("qcentroid"))
+        else:
+            probe_n = _centroid_probe_udf(emb.sparkSession, cents, nprobe)
+            q = (q.select(F.col("vec_id").alias("qid"), F.col("ev").alias("qv"),
+                          F.explode(probe_n(F.col("ev"))).alias("qcentroid")))
     # a vector lives in exactly one inverted list, so probing several lists
     # never duplicates a (qid, vec_id) candidate — no distinct needed
     cand = (assigned.join(F.broadcast(q), F.col("centroid") == F.col("qcentroid"))

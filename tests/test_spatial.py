@@ -261,3 +261,44 @@ def test_pip_bucketed_large_polygon_set_no_driver_collect(spark, monkeypatch):
     # location L is covered by polygon ids {L, L + 64800, ...} < n
     expected = sum(2 if loc < n - n_loc else 1 for loc in locs)
     assert got == expected
+
+
+def test_ann_ivf_1024_centroids_udf_path(spark):
+    """VERDICT r2 #4: above EXPR_MAX_CENTROIDS the centroid assignment must
+    switch to the broadcast-matrix pandas-UDF argmax, keeping plan size O(1)
+    in centroid count.  Golden = numpy replication of the IVF semantics
+    (argmax assignment, lowest-cid ties, nprobe lists, exact rerank)."""
+    import numpy as np
+
+    from elevation_service_spark.operators.similarity import (
+        QUANT_SCALE, ann_ivf_topk)
+
+    n, dim, n_cent, k, nprobe = 3000, 16, 1024, 5, 2
+    rng = np.random.default_rng(11)
+    vecs = rng.uniform(-1.0, 1.0, size=(n, dim))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    query_ids = [2900, 2950, 2999]
+
+    out = ann_ivf_topk(emb, query_ids, k=k, n_centroids=n_cent,
+                       centroid_ids=list(range(n_cent)), nprobe=nprobe)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, "expected the pandas-UDF assign path"
+    assert len(plan) < 200_000, f"plan blew up with centroid count: {len(plan)}"
+    got = {(r["qid"], r["rank"]): (r["vec_id"], r["score"]) for r in out.collect()}
+
+    # numpy golden
+    qv = np.floor(vecs * QUANT_SCALE + 0.5).astype(np.int64)
+    cmat = qv[:n_cent]
+    scores = qv @ cmat.T                      # (n, n_cent)
+    order = np.argsort(-scores, axis=1, kind="stable")
+    assign = order[:, 0]
+    expected = {}
+    for qid in query_ids:
+        probes = set(order[qid, :nprobe].tolist())
+        cand = [(int(-(qv[qid] @ qv[v])), v) for v in range(n)
+                if v != qid and assign[v] in probes]
+        for rank, (neg, v) in enumerate(sorted(cand)[:k], 1):
+            expected[(qid, rank)] = (v, -neg)
+    assert got == expected
