@@ -62,8 +62,11 @@ def q_resumable_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     def job(pending: DataFrame) -> DataFrame:
         return enrich_points(pending, tiles, strategy="broadcast")
 
-    first = run_resumable(job, pts, out, man, key_cols=["pid"], n_buckets=16)
-    second = run_resumable(job, pts, out, man, key_cols=["pid"], n_buckets=16)
+    # group_size exercises the incremental write+mark rounds under the gate
+    first = run_resumable(job, pts, out, man, key_cols=["pid"], n_buckets=16,
+                          group_size=8)
+    second = run_resumable(job, pts, out, man, key_cols=["pid"], n_buckets=16,
+                           group_size=8)
     # gate-critical invariants: raise (assert would vanish under python -O)
     if not first["processed"] or second["processed"]:
         raise RuntimeError(f"resume broken: first={first} second={second}")

@@ -58,36 +58,58 @@ def with_bucket(df: DataFrame, key_cols: list[str], n_buckets: int) -> DataFrame
 
 
 def run_resumable(df_fn, input_df: DataFrame, out_path: str, manifest_path: str,
-                  key_cols: list[str], n_buckets: int = 64) -> dict:
+                  key_cols: list[str], n_buckets: int = 64,
+                  group_size: int | None = None) -> dict:
     """Execute ``df_fn(bucketed_pending_input) -> DataFrame`` over only the
     buckets not yet in the manifest; write results partitioned by bucket
     (dynamic overwrite); record per-bucket metrics.  Returns a summary
     {"processed": [...], "skipped": [...]}.
-    """
+
+    ``group_size`` bounds the blast radius of a crash (VERDICT r2 #5): with
+    N pending buckets and group_size=g, the run executes ceil(N/g) write+mark
+    rounds, and a crash loses only the in-flight group — every earlier group
+    is already marked and skipped on resume.  group_size=None keeps the
+    single-job fast path (one scan, coarsest recovery).  Trade-off at scale:
+    each group's job re-evaluates the input scan+filter (the bucket column
+    is computed, so no partition pruning on the INPUT side); pick g so that
+    recompute-on-crash cost ~ balances (N/g - 1) extra input scans, or store
+    the input bucketed by the same key so the filter prunes."""
     spark = input_df.sparkSession
     manifest = PartitionManifest(manifest_path)
     done = set(manifest.completed())
     bucketed = with_bucket(input_df, key_cols, n_buckets)
     pending = bucketed.filter(~F.col(PART_COL).isin(list(done))) if done else bucketed
-    present = [r[PART_COL] for r in pending.select(PART_COL).distinct().collect()]
+    present = sorted(int(r[PART_COL]) for r in
+                     pending.select(PART_COL).distinct().collect())
     if not present:
         return {"processed": [], "skipped": sorted(done)}
-    out = df_fn(pending)
-    assert PART_COL in out.columns, "df_fn must preserve the bucket column"
-    (out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(PART_COL).parquet(out_path))
-    # per-bucket lineage metrics from the just-written data (re-read: cheap,
-    # column-pruned, and reflects exactly what landed on disk)
-    written = spark.read.parquet(out_path).filter(F.col(PART_COL).isin(present))
+
+    g = group_size or len(present)
+    groups = [present[i:i + g] for i in range(0, len(present), g)]
+
     metric_cols = [F.count(F.lit(1)).alias("rows")]
-    if "status" in out.columns:
+    has_status = "status" in df_fn(pending.limit(0)).columns
+    if has_status:
         metric_cols.append(
             F.sum(F.when(F.col("status") == "OK", 1).otherwise(0)).alias("rows_ok"))
-    stats = {r[PART_COL]: r.asDict() for r in
-             written.groupBy(PART_COL).agg(*metric_cols).collect()}
-    for b in present:
-        m = stats.get(b, {"rows": 0})
-        m.pop(PART_COL, None)
-        manifest.mark(int(b), m)
-    return {"processed": sorted(int(b) for b in present), "skipped": sorted(done)}
+
+    for grp in groups:
+        grp_pending = pending.filter(F.col(PART_COL).isin(grp))
+        out = df_fn(grp_pending)
+        assert PART_COL in out.columns, "df_fn must preserve the bucket column"
+        # data lands BEFORE the marks: a crash between them rewrites the
+        # group (idempotent dynamic overwrite) on resume
+        (out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(PART_COL).parquet(out_path))
+        # per-bucket lineage metrics from the just-written data (re-read:
+        # cheap, column-pruned, partition-pruned to the group, and reflects
+        # exactly what landed on disk)
+        written = spark.read.parquet(out_path).filter(F.col(PART_COL).isin(grp))
+        stats = {r[PART_COL]: r.asDict() for r in
+                 written.groupBy(PART_COL).agg(*metric_cols).collect()}
+        for b in grp:
+            m = stats.get(b, {"rows": 0})
+            m.pop(PART_COL, None)
+            manifest.mark(int(b), m)
+    return {"processed": present, "skipped": sorted(done)}
