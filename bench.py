@@ -125,6 +125,26 @@ def q_lsh_capped_pathological(spark, sf_dir):
     return lsh_candidate_pairs(docs, max_bucket=64)
 
 
+def q_knn_hotcell(spark, sf_dir):
+    """Degenerate-cell guard (VERDICT r2 #6): one million samples inside a
+    SINGLE 0.25-degree grid cell, 10 queries in the same cell — every
+    sample is a ring-1 candidate for every query.  The two-level sharded
+    top-k (knn.TOPK_SHARDS) bounds any one aggregation group's
+    collect_list state to ~candidates/shards, so the row measures the
+    guarded path completing flat instead of OOMing one group."""
+    from elevation_service_spark.operators.knn import knn_join
+    n = 1_000_000
+    samples = spark.range(0, n, 1, CPUS * 2).select(
+        F.col("id").alias("sid"),
+        (F.lit(57.0) + (F.col("id") % 1000) / 10000.0).alias("lat"),
+        (F.lit(11.0) + ((F.col("id") * 7919) % 1000) / 10000.0).alias("lon"))
+    queries = spark.range(0, 10).select(
+        F.col("id").alias("qid"),
+        (F.lit(57.0) + F.col("id") / 1000.0).alias("lat"),
+        (F.lit(11.0) + F.col("id") / 1000.0).alias("lon"))
+    return knn_join(queries, samples, k=5)
+
+
 def _registry_queries():
     import __spark_entry__ as entrymod
     qs = entrymod.queries()
@@ -140,6 +160,7 @@ BENCH_QUERIES = {
     "enrich_cogroup_salted": q_enrich_cogroup_salted,
     "extract_coords_bulk": q_bench_extract,
     "lsh_capped_pathological": q_lsh_capped_pathological,
+    "knn_hotcell": q_knn_hotcell,
 }
 
 

@@ -93,17 +93,34 @@ def _candidates(queries: DataFrame, samples: DataFrame, r: int,
     return q.join(s, ["cx", "cy"]).select(*cols)
 
 
+TOPK_SHARDS = 32  # bounds any one group's collect_list state (see _topk_agg)
+
+
 def _topk_agg(cand: DataFrame, k: int, metric: bool) -> DataFrame:
     """(qid, topk:array<struct>, n [, qlat, qlon]) — per-query top-k and
-    candidate count in ONE aggregation.  struct field order (d2, sid, ...)
-    makes array_sort rank by (d2 asc, sid asc); sid is unique so any
-    trailing fields never influence the order."""
+    candidate count.  struct field order (d2, sid, ...) makes array_sort
+    rank by (d2 asc, sid asc); sid is unique so any trailing fields never
+    influence the order.
+
+    Two-level partial top-k (VERDICT r2 #6): level 1 groups by
+    (qid, hash(sid) % TOPK_SHARDS) and keeps only each shard's best k, so a
+    degenerate cell funneling millions of samples into one query's ring
+    splits its collect_list state across the shards (candidates/SHARDS per
+    group) instead of building one million-struct array; level 2 merges the
+    <= SHARDS*k survivors per query.  The global top-k equals the top-k of
+    the per-shard top-ks, so results are bit-identical to the single-level
+    aggregate; the exact candidate count n survives as sum of shard counts."""
     fields = ["d2", "sid"] + (["slat", "slon"] if metric else [])
-    aggs = [F.slice(F.array_sort(F.collect_list(F.struct(*fields))), 1, k).alias("topk"),
-            F.count(F.lit(1)).alias("n")]
+    l1_aggs = [F.slice(F.array_sort(F.collect_list(F.struct(*fields))), 1, k).alias("tp"),
+               F.count(F.lit(1)).alias("np")]
+    l2_aggs = [F.slice(F.array_sort(F.flatten(F.collect_list("tp"))), 1, k).alias("topk"),
+               F.sum("np").alias("n")]
     if metric:
-        aggs += [F.first("qlat").alias("qlat"), F.first("qlon").alias("qlon")]
-    return cand.groupBy("qid").agg(*aggs)
+        l1_aggs += [F.first("qlat").alias("qlat"), F.first("qlon").alias("qlon")]
+        l2_aggs += [F.first("qlat").alias("qlat"), F.first("qlon").alias("qlon")]
+    l1 = (cand.withColumn("_sh", F.pmod(F.hash("sid"), F.lit(TOPK_SHARDS)))
+          .groupBy("qid", "_sh").agg(*l1_aggs))
+    return l1.groupBy("qid").agg(*l2_aggs)
 
 
 def _explode_topk(agg: DataFrame, metric: bool) -> DataFrame:
@@ -161,10 +178,12 @@ def knn_join(queries: DataFrame, samples: DataFrame, k: int,
     adaptive = init_ring is None
     r = 1 if adaptive else init_ring
     first = True
+    pinned = []  # cached frames to release once the result is materialized
     while r <= max_ring and n_remaining > 0:
         bq = n_remaining * (2 * r + 1) ** 2 <= BROADCAST_Q_ROWS
         agg = _topk_agg(_candidates(remaining, s, r, metric, broadcast_q=bq),
                         k, metric).cache()
+        pinned.append(agg)
         # done := k candidates AND k-th distance strictly inside the ring
         # guarantee: any unsearched sample is in a cell at Chebyshev >= r+1,
         # hence at degree distance >= r*cs from anywhere in the query's cell
@@ -183,6 +202,7 @@ def knn_join(queries: DataFrame, samples: DataFrame, k: int,
             # result — release it instead of pinning storage all session;
             # remaining is unchanged, just expand the ring
             agg.unpersist()
+            pinned.pop()
             if not s_cached:
                 s = s.cache()
                 s_cached = True
@@ -218,4 +238,15 @@ def knn_join(queries: DataFrame, samples: DataFrame, k: int,
     out = results[0]
     for extra in results[1:]:
         out = out.unionByName(extra)
+    if s_cached:
+        pinned.append(s)
+    if pinned:
+        # Repeated knn_join calls must not accumulate pinned executor
+        # storage (ADVICE r2): materialize the small (<= |q|*k rows) result
+        # eagerly, then release every intermediate cache.  Callers keep a
+        # plain DataFrame; the checkpoint blocks are the only retained state
+        # and are garbage-collected with the returned frame.
+        out = out.localCheckpoint(eager=True)
+        for frame in pinned:
+            frame.unpersist(blocking=False)
     return out
