@@ -245,9 +245,13 @@ def terrarium_decode_rgb(rgb: np.ndarray) -> np.ndarray:
     bit-identical to the per-channel float expression while doing one
     int32 pass + one fused float pass instead of three strided float64
     channel extractions (~4x faster on a 3601 tile)."""
-    vi = np.ascontiguousarray(rgb).reshape(-1, 3).astype(np.int32)
-    e256 = (vi[:, 0] << 16) + (vi[:, 1] << 8) + vi[:, 2]
-    out = e256.astype(np.float64)
+    flat = np.ascontiguousarray(rgb).reshape(-1, 3)
+    # zero-pad each RGB triple to 4 bytes and view as big-endian uint32:
+    # the value IS R<<16 | G<<8 | B — one byte copy + one u4->f8 convert
+    # replaces three strided int32 channel extractions (~3x faster again)
+    padded = np.zeros((flat.shape[0], 4), dtype=np.uint8)
+    padded[:, 1:] = flat
+    out = padded.view(">u4").ravel().astype(np.float64)
     out *= 1.0 / 256.0
     out -= 32768.0
     return out.reshape(rgb.shape[:-1])
@@ -297,6 +301,10 @@ def decode_png_rgb(data: bytes) -> np.ndarray:
     if len(raw) == h * (stride + 1):
         arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
         ftypes = arr[:, 0]
+        if not ftypes.any():
+            # all scanlines filter 0 (this encoder's own output, and common
+            # for fast-compressed terrarium tiles): the payload IS the image
+            return arr[:, 1:].reshape(h, w, 3).copy()
         if np.isin(ftypes, (0, 2)).all():
             # whole-image vectorized unfilter for scanlines that are all
             # None(0)/Up(2) — the hot path for terrarium tiles.  Up chains
