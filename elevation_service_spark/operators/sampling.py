@@ -24,17 +24,28 @@ from pyspark.sql import functions as F
 SAMPLE_BUCKETS = 10_000  # basis-point resolution
 
 
+def _check_salt(salt: str) -> str:
+    """Salts are interpolated into oracle SQL literals: restrict to
+    [A-Za-z0-9_] so a quote/backslash can never silently desynchronize the
+    Spark and DuckDB sides (ADVICE r2)."""
+    import re
+    if not re.fullmatch(r"[A-Za-z0-9_]*", salt):
+        raise ValueError(f"salt must match [A-Za-z0-9_]*, got {salt!r}")
+    return salt
+
+
 def hash_bucket_col(key: Column, salt: str = "") -> Column:
     """Uniform bucket in [0, 10000) from md5 of the key (plus an optional
     salt so independent samples of the same table decorrelate)."""
-    h = F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 15)
+    h = F.substring(F.md5(F.concat(key.cast("string"), F.lit(_check_salt(salt)))), 1, 15)
     return (F.conv(h, 16, 10).cast("long") % F.lit(SAMPLE_BUCKETS)).cast("int")
 
 
 def hash_bucket_sql(key_sql: str, salt: str = "") -> str:
     """DuckDB twin of hash_bucket_col."""
     return ("CAST(CAST(('0x' || substr(md5(CAST(" + key_sql
-            + f" AS STRING) || '{salt}'), 1, 15)) AS BIGINT) % {SAMPLE_BUCKETS} AS INT)")
+            + f" AS STRING) || '{_check_salt(salt)}'), 1, 15)) AS BIGINT) "
+            f"% {SAMPLE_BUCKETS} AS INT)")
 
 
 def deterministic_sample(df: DataFrame, key: str, rate_bp: int,

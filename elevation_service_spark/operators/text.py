@@ -119,19 +119,21 @@ def top_ngrams_per_lang(docs: DataFrame, n: int = 2, k: int = 5,
                         lang_col: str = "lang") -> DataFrame:
     """(lang, rank, ngram, n_occ) — the k most frequent word n-grams per
     language (corpus statistics for curation/contamination checks).
-    Shape: per-doc lead() window builds the n-grams (partitions by doc —
-    scales with documents), one map-side-combined count per (lang, ngram),
+    Shape: per-row array HOF builds the n-grams (transform over the split
+    token array — NO window, NO token shuffle; same rewrite as
+    dedup.ngram_shingles), one map-side-combined count per (lang, ngram),
     then a per-lang top-k window over the counts table (vocabulary-sized,
     far smaller than the corpus).  Ties break lexicographically."""
     from pyspark.sql import Window
-    from .dedup import tokenize
-    toks = (docs.select(F.col(id_col).alias("_id"), F.col(lang_col).alias("lang"),
-                        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")))
-    w = Window.partitionBy("_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    grams = (toks.select("lang", F.concat_ws(" ", *parts).alias("ngram"),
-                         F.lead("tok", n - 1).over(w).alias("_t"))
-             .filter(F.col("_t").isNotNull()))
+    arr = F.split(F.col(text_col), " ")
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(arr, i + F.lit(j))
+                                     for j in range(n)]))
+    grams_arr = F.when(F.size(arr) >= n, gram).otherwise(
+        F.array().cast("array<string>"))
+    grams = docs.select(F.col(lang_col).alias("lang"),
+                        F.explode(grams_arr).alias("ngram"))
     counts = grams.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("n_occ"))
     rw = Window.partitionBy("lang").orderBy(F.col("n_occ").desc(), F.col("ngram").asc())
     return (counts.withColumn("rank", F.row_number().over(rw))
@@ -175,3 +177,37 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         .withColumn("_last", F.lead("h", WINNOW_W - 1).over(w))
         .filter(F.col("_last").isNotNull()))
     return wmin.select("id", "fp").distinct()
+
+
+# --- train/test contamination check ------------------------------------------
+
+def contamination_check(docs: DataFrame, n: int = 5,
+                        splits: dict[str, int] | None = None,
+                        train_label: str = "train", test_label: str = "test",
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_grams, n_overlap) — for every TEST-split document, how many of
+    its distinct word n-grams also occur anywhere in the TRAIN split: the
+    check an LLM-data team runs before trusting an eval set.  Composes three
+    gated operators: hash_split (deterministic content-hash split),
+    ngram_shingles (window-free distinct n-grams), and a distributed
+    left-semi join against the train-gram set — at 100 TB the train grams
+    never collect anywhere; the semi join IS the membership test.  Counts
+    are exact integers (engine-portable); test docs shorter than n tokens
+    have no grams and emit no row."""
+    from .sampling import hash_split
+    from .dedup import ngram_shingles
+
+    splits = splits or {"train": 9000, "val": 500, "test": 500}
+    labeled = hash_split(docs, id_col, splits)
+    sh = (ngram_shingles(labeled, id_col, text_col, n)
+          .join(labeled.select(F.col(id_col).alias("id"), "split"), "id"))
+    train_grams = (sh.filter(F.col("split") == train_label)
+                   .select("shingle").distinct())
+    test_sh = sh.filter(F.col("split") == test_label).select("id", "shingle")
+    totals = test_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    overlap = (test_sh.join(train_grams, "shingle", "left_semi")
+               .groupBy("id").agg(F.count(F.lit(1)).alias("n_overlap")))
+    return (totals.join(overlap, "id", "left")
+            .select("id", "n_grams",
+                    F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+                    .alias("n_overlap")))

@@ -671,6 +671,72 @@ SPARK_QUERIES["top_bigrams"] = q_top_bigrams
 ORACLES["top_bigrams"] = _TOP_BIGRAMS_ORACLE
 
 
+def q_top_trigrams_lang(spark, sf_dir):
+    """Top-5 trigrams per language (VERDICT r2 #8: the per-lang n-gram
+    statistic gated at larger n) — window-free array-HOF n-grams."""
+    return text.top_ngrams_per_lang(load(spark, sf_dir, "documents"), n=3, k=5)
+
+
+_TOP_TRIGRAMS_ORACLE = """WITH t AS (
+  SELECT doc_id AS id, lang,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+g AS (
+  SELECT lang,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS ngram,
+         lead(tok, 2) OVER w AS _t
+  FROM t WINDOW w AS (PARTITION BY id ORDER BY pos)),
+c AS (SELECT lang, ngram, CAST(count(*) AS BIGINT) AS n_occ
+      FROM g WHERE _t IS NOT NULL GROUP BY lang, ngram)
+SELECT lang, CAST(rank AS INT) AS rank, ngram, n_occ FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n_occ DESC, ngram ASC) AS rank
+  FROM c) r WHERE rank <= 5"""
+
+SPARK_QUERIES["top_trigrams_lang"] = q_top_trigrams_lang
+ORACLES["top_trigrams_lang"] = _TOP_TRIGRAMS_ORACLE
+
+
+def q_contamination(spark, sf_dir):
+    """Train/test n-gram contamination (VERDICT r2 #8): distinct 5-gram
+    overlap of every test-split doc against the train split — composes
+    hash_split + ngram_shingles + a distributed left-semi membership join.
+    The daily pre-eval check of an LLM-data pipeline, hash-gated."""
+    return text.contamination_check(load(spark, sf_dir, "documents"), n=5)
+
+
+def _contamination_oracle() -> str:
+    from .operators.sampling import hash_bucket_sql
+    b = hash_bucket_sql("doc_id")
+    lead_chain = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, 5)])
+    return f"""WITH s AS (
+  SELECT doc_id AS id, text,
+         CASE WHEN {b} < 9000 THEN 'train'
+              WHEN {b} < 9500 THEN 'val' ELSE 'test' END AS split
+  FROM documents),
+tok AS (SELECT id, split,
+        generate_subscripts(string_split(text, ' '), 1) AS pos,
+        unnest(string_split(text, ' ')) AS tok
+        FROM s),
+sh0 AS (SELECT id, split, {lead_chain} AS shingle,
+        lead(tok, 4) OVER w AS _t
+        FROM tok WINDOW w AS (PARTITION BY id ORDER BY pos)),
+sh AS (SELECT DISTINCT id, split, shingle FROM sh0 WHERE _t IS NOT NULL),
+tr AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+te AS (SELECT id, shingle FROM sh WHERE split = 'test'),
+tot AS (SELECT id, CAST(count(*) AS BIGINT) AS n_grams FROM te GROUP BY id),
+ov AS (SELECT id, CAST(count(*) AS BIGINT) AS n_overlap
+       FROM te WHERE shingle IN (SELECT shingle FROM tr) GROUP BY id)
+SELECT tot.id, tot.n_grams,
+       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+FROM tot LEFT JOIN ov ON ov.id = tot.id"""
+
+
+SPARK_QUERIES["contamination_check"] = q_contamination
+ORACLES["contamination_check"] = _contamination_oracle()
+
+
 # --- deterministic sampling / splits -------------------------------------------
 
 def q_doc_sample(spark, sf_dir):

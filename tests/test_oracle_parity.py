@@ -67,6 +67,7 @@ def test_gate_order_covers_all_component_families():
         "dedup_exact", "lsh_pairs", "neardup_clusters",
         "ann_topk", "ann_lsh", "ann_ivf", "knn", "pip", "pip_bucketed",
         "asof_join", "train_split",
+        "contamination_check", "top_trigrams_lang",
     ]
     for name in must_gate:
         assert order.index(name) < 50, f"{name} at {order.index(name)} >= 50"
