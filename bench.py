@@ -293,6 +293,19 @@ def main():
     total = round(time.time() - t_total0, 3)
     cpu_after = _host_cpu_score()
     flag = times.get("flagship_enrich") or 1e-9
+    # measured (not asserted) per-worker grid-cache locality: one more
+    # flagship pass with accumulators; forced via an aggregate action
+    # because accumulator updates do not propagate through the noop sink
+    from elevation_service_spark.operators.lookup import (
+        enrich_points, grid_cache_accumulators)
+    accs = grid_cache_accumulators(spark)
+    mdf = enrich_points(_bench_points(spark, SF_DIR), _gz_tiles(spark),
+                        strategy="broadcast", prune_tiles=False,
+                        cache_metrics=accs)
+    mdf.agg(F.sum(F.col("elevation").isNotNull().cast("long"))).collect()
+    cache = {k: a.value for k, a in accs.items()}
+    lookups = cache["hits"] + cache["misses"]
+    cache["hit_rate"] = round(cache["hits"] / lookups, 4) if lookups else None
     print(json.dumps({
         "metric": "headline suite wall-clock (flagship elevation enrichment + operator set)",
         "value": total,
@@ -302,6 +315,9 @@ def main():
         "cpus": CPUS,
         "flagship_points": n,
         "flagship_lookups_per_sec": round(n / flag, 1),
+        # per-worker decoded-grid cache counters for the flagship job
+        # (locality evidence: a handful of misses per worker, hits ~ batches)
+        "grid_cache": cache,
         # single-thread M ops/s before/after the suite — host-weather probe
         # for cross-run normalization (shared-vCPU box; see BENCH/BASELINE.md)
         "host_cpu_mops": [cpu_before, cpu_after],

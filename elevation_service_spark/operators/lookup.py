@@ -51,6 +51,18 @@ STATUS_BAD_TILE = "BAD_TILE"
 _GRID_CACHE: OrderedDict = OrderedDict()
 _GRID_CACHE_MAX_BYTES = int(__import__("os").environ.get(
     "SPARK_GRAFT_GRID_CACHE_BYTES", str(2 << 30)))
+# per-worker counters; surfaced to the driver through accumulators when the
+# caller passes cache_metrics (grid_cache_accumulators) — the locality claim
+# (cache -> join-locality parity) is then measured per job, not asserted
+_GRID_CACHE_STATS = {"hits": 0, "misses": 0, "evictions": 0}
+
+
+def grid_cache_accumulators(spark) -> dict:
+    """Driver-side accumulators for the per-worker grid cache; pass as
+    ``enrich_points(..., cache_metrics=...)`` and read ``.value`` after the
+    job.  hit_rate = hits / (hits + misses)."""
+    sc = spark.sparkContext
+    return {k: sc.accumulator(0) for k in ("hits", "misses", "evictions")}
 
 
 def decode_tile_bytes(encoding: str, data: bytes) -> np.ndarray:
@@ -72,13 +84,16 @@ def _cached_grid(tile_key: str, encoding: str, data: bytes) -> np.ndarray:
     ck = (tile_key, encoding, len(data), zlib.crc32(data))
     grid = _GRID_CACHE.get(ck)
     if grid is None:
+        _GRID_CACHE_STATS["misses"] += 1
         grid = decode_tile_bytes(encoding, data).astype(np.float64)
         _GRID_CACHE[ck] = grid
         total = sum(g.nbytes for g in _GRID_CACHE.values())
         while total > _GRID_CACHE_MAX_BYTES and len(_GRID_CACHE) > 1:
             _, evicted = _GRID_CACHE.popitem(last=False)
             total -= evicted.nbytes
+            _GRID_CACHE_STATS["evictions"] += 1
     else:
+        _GRID_CACHE_STATS["hits"] += 1
         _GRID_CACHE.move_to_end(ck)
     return grid
 
@@ -150,7 +165,8 @@ def enrich_points(points: DataFrame, tiles: DataFrame, *,
                   strategy: str = "auto",
                   salt_factor: int | None = None,
                   broadcast_bytes_threshold: int = 512 << 20,
-                  prune_tiles: bool = True) -> DataFrame:
+                  prune_tiles: bool = True,
+                  cache_metrics: dict | None = None) -> DataFrame:
     """Add (tile_key, elevation, status) to a points DataFrame.
 
     points: any schema containing lat:double, lon:double.
@@ -163,7 +179,8 @@ def enrich_points(points: DataFrame, tiles: DataFrame, *,
         # table instead (cogroup is not stream-composable)
         if strategy == "cogroup":
             raise ValueError("cogroup strategy is not supported on streaming points")
-        return _enrich_broadcast(points, tiles, interpolation, prune_tiles=False)
+        return _enrich_broadcast(points, tiles, interpolation,
+                                 prune_tiles=False, cache_metrics=cache_metrics)
     if strategy == "auto":
         needed = points.select("tile_key").distinct()
         sz = (tiles.join(needed, "tile_key", "left_semi")
@@ -171,12 +188,14 @@ def enrich_points(points: DataFrame, tiles: DataFrame, *,
               .collect()[0]["b"])
         strategy = "broadcast" if sz <= broadcast_bytes_threshold else "cogroup"
     if strategy == "broadcast":
-        return _enrich_broadcast(points, tiles, interpolation, prune_tiles)
+        return _enrich_broadcast(points, tiles, interpolation, prune_tiles,
+                                 cache_metrics=cache_metrics)
     return _enrich_cogroup(points, tiles, interpolation, salt_factor)
 
 
 def _enrich_broadcast(points: DataFrame, tiles: DataFrame,
-                      interpolation: str, prune_tiles: bool = True) -> DataFrame:
+                      interpolation: str, prune_tiles: bool = True,
+                      cache_metrics: dict | None = None) -> DataFrame:
     spark = points.sparkSession
     src = tiles
     if prune_tiles:
@@ -204,6 +223,14 @@ def _enrich_broadcast(points: DataFrame, tiles: DataFrame,
 
     def lookup(tid: pd.Series, lat_s: pd.Series, lon_s: pd.Series) -> pd.DataFrame:
         tile_map = bc.value
+        if cache_metrics:
+            # resolve the module at call time: this nested fn is cloudpickled
+            # BY VALUE, which snapshots referenced globals — a direct
+            # _GRID_CACHE_STATS reference would read a frozen copy while
+            # _cached_grid (pickled by reference) mutates the real module's
+            from elevation_service_spark.operators import lookup as _live
+            stats = _live._GRID_CACHE_STATS
+            stats0 = dict(stats)
         n = len(tid)
         lat = lat_s.to_numpy(dtype=np.float64)
         lon = lon_s.to_numpy(dtype=np.float64)
@@ -217,6 +244,9 @@ def _enrich_broadcast(points: DataFrame, tiles: DataFrame,
                                           tile_map.get(key), interpolation)
             elev[idx] = e
             code[idx] = c
+        if cache_metrics:
+            for k, acc in cache_metrics.items():
+                acc.add(stats[k] - stats0[k])
         return pd.DataFrame({"elevation": elev, "code": code})
 
     lookup_udf = F.pandas_udf(lookup, returnType=result_type)
