@@ -180,8 +180,14 @@ def compact_parquet(spark: SparkSession, path: str, out_path: str,
            else df.repartition(n_files))
     out.write.mode("overwrite").parquet(out_path)
     rows = spark.read.parquet(out_path).count()
-    files_after = len([f for f in __import__("os").listdir(out_path)
-                       if f.endswith(".parquet")]) if out_path.startswith("/") else n_files
+    # same recursive Hadoop listing as files_before, so the reported stat is
+    # right for partitioned output dirs and relative paths alike (ADVICE r2)
+    out_jvm = spark._jvm.org.apache.hadoop.fs.Path(out_path)
+    out_it = fs.listFiles(out_jvm, True)
+    files_after = 0
+    while out_it.hasNext():
+        if out_it.next().getPath().getName().endswith(".parquet"):
+            files_after += 1
     return {"files_before": files_before, "files_after": files_after,
             "rows": rows, "bytes": total_bytes}
 

@@ -28,78 +28,83 @@ OUTPUT_SCHEMA = T.StructType([
     T.StructField("n_events", T.LongType(), False),
 ])
 
+# state = the user's OPEN sessions as parallel arrays, sorted by start and
+# pairwise separated by > gap.  Multiple sessions coexist only while
+# out-of-order (straggler) events are still admissible — the count is
+# bounded by (allowed lateness / gap) + 1, so the state stays small.
 STATE_SCHEMA = T.StructType([
-    T.StructField("session_start_us", T.LongType(), True),
-    T.StructField("last_ts_us", T.LongType(), True),
-    T.StructField("n_events", T.LongType(), True),
+    T.StructField("starts_us", T.ArrayType(T.LongType()), True),
+    T.StructField("lasts_us", T.ArrayType(T.LongType()), True),
+    T.StructField("n_events", T.ArrayType(T.LongType()), True),
 ])
 
 GAP_US = 30 * 60 * 1_000_000  # 30 min
 
 
+def _merge_events(sessions: list[list[int]], ts_list: list[int]) -> list[list[int]]:
+    """Fold events into a sorted disjoint session list (gap connectivity):
+    exactly the partition the batch twin's order-by-ts + split-on-gap
+    produces, independent of arrival order or batch slicing."""
+    for ts in sorted(ts_list):
+        placed = False
+        for i, s in enumerate(sessions):
+            if ts < s[0] - GAP_US:
+                sessions.insert(i, [ts, ts, 1])
+                placed = True
+                break
+            if ts <= s[1] + GAP_US:
+                s[0] = min(s[0], ts)
+                s[1] = max(s[1], ts)
+                s[2] += 1
+                # the extension may bridge into the following session(s)
+                while i + 1 < len(sessions) and sessions[i + 1][0] - s[1] <= GAP_US:
+                    nxt = sessions.pop(i + 1)
+                    s[1] = max(s[1], nxt[1])
+                    s[2] += nxt[2]
+                placed = True
+                break
+        if not placed:
+            sessions.append([ts, ts, 1])
+    return sessions
+
+
 def _sessionize_fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                    state: GroupState) -> Iterator[pd.DataFrame]:
     user_id = int(key[0])
-    if state.hasTimedOut:
-        start, last, n = state.get
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    if state.exists:
+        starts, lasts, ns = state.get
+        sessions = [list(t) for t in zip(starts, lasts, ns)]
+    else:
+        sessions = []
+    if not state.hasTimedOut:
+        ts_all: list[int] = []
+        for pdf in pdfs:
+            ts_all.extend(int(t) for t in pdf["ts_us"])
+        sessions = _merge_events(sessions, ts_all)
+    # A session is CLOSED only once the watermark is strictly past
+    # last + gap: no admissible event (ts >= watermark) can merge into it
+    # any more.  This is what makes the emitted set independent of
+    # file->batch slicing (ADVICE r2): a gap-split or straggler session is
+    # parked in state, not emitted early, until the watermark seals it.
+    done = [s for s in sessions if s[1] + GAP_US < wm_us]
+    keep = [s for s in sessions if s[1] + GAP_US >= wm_us]
+    if keep:
+        state.update(([s[0] for s in keep], [s[1] for s in keep],
+                      [s[2] for s in keep]))
+        # wake when the earliest open session becomes sealable; never set a
+        # timeout at/behind the current watermark (late-arriving groups)
+        wm_ms = wm_us // 1000
+        next_close_ms = min(s[1] + GAP_US for s in keep) // 1000 + 1
+        state.setTimeoutTimestamp(max(next_close_ms, wm_ms + 1))
+    elif state.exists:
         state.remove()
-        yield pd.DataFrame({"user_id": [user_id], "session_start_us": [start],
-                            "session_end_us": [last], "n_events": [n]})
-        return
-    start, last, n = state.get if state.exists else (None, None, 0)
-    closed = {"user_id": [], "session_start_us": [], "session_end_us": [],
-              "n_events": []}
-
-    def emit(s, e, cnt):
-        closed["user_id"].append(user_id)
-        closed["session_start_us"].append(s)
-        closed["session_end_us"].append(e)
-        closed["n_events"].append(cnt)
-
-    ts_all = []
-    for pdf in pdfs:
-        ts_all.extend(int(t) for t in pdf["ts_us"])
-    # straggler session accumulator: events more than a gap BEFORE the open
-    # session's start split into their own session(s) — matching the batch
-    # twin q_sessionize, which orders by ts and would never merge them —
-    # instead of being folded in via min(start, ts)
-    sg_start = sg_last = None
-    sg_n = 0
-    for ts in sorted(ts_all):
-        if last is not None and ts - last > GAP_US:
-            emit(start, last, n)
-            start, last, n = ts, ts, 1
-        elif start is not None and start - ts > GAP_US:
-            if sg_last is not None and ts - sg_last > GAP_US:
-                emit(sg_start, sg_last, sg_n)
-                sg_start = sg_last = None
-                sg_n = 0
-            sg_start = ts if sg_start is None else sg_start
-            sg_last = ts
-            sg_n += 1
-        else:
-            # late/out-of-order events within the gap fold into the session
-            start = ts if start is None else min(start, ts)
-            last = ts if last is None else max(last, ts)
-            n += 1
-    if sg_start is not None:
-        if start is not None and start - sg_last <= GAP_US:
-            # the open session's start moved back (folded events) to within
-            # a gap of the stragglers — they are one session after all
-            start = sg_start
-            n += sg_n
-        else:
-            # stragglers are older than the open session by > gap (and far
-            # behind the watermark) — close them now, not via state
-            emit(sg_start, sg_last, sg_n)
-    state.update((start, last, n))
-    # close the open session via event-time timeout once the watermark has
-    # moved a full gap past its last event; the timeout must never be set
-    # behind the current watermark (late-arriving groups)
-    wm_ms = state.getCurrentWatermarkMs()
-    state.setTimeoutTimestamp(max(last // 1000 + GAP_US // 1000, wm_ms + 1))
-    if closed["user_id"]:
-        yield pd.DataFrame(closed)
+    if done:
+        yield pd.DataFrame({
+            "user_id": [user_id] * len(done),
+            "session_start_us": [s[0] for s in done],
+            "session_end_us": [s[1] for s in done],
+            "n_events": [s[2] for s in done]})
 
 
 def sessionize_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

@@ -105,3 +105,57 @@ def test_stateful_sessionize_splits_far_stragglers(spark, tmp_path):
     assert sg["session_end_us"] == us("2024-01-01T09:00:00") and sg["n_events"] == 1
     main = got[us("2024-01-01T12:00:00")]
     assert main["session_end_us"] == us("2024-01-01T12:10:00") and main["n_events"] == 2
+
+
+def test_straggler_merges_with_later_batch_event(spark, tmp_path):
+    """ADVICE r2: an out-of-order session older than the open one must NOT
+    be emitted inside its arrival micro-batch — a later batch can deliver
+    an event within the gap of it, and the batch twin would merge them.
+    The session-list state parks it until the watermark seals it."""
+    import datetime
+
+    def us(s):
+        return int(datetime.datetime.fromisoformat(s + "+00:00").timestamp()
+                   * 1_000_000)
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        q = (sessionize_stream(stream).writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    # batch 0: open session at 11:35 + a straggler at 11:00 (35 min > gap
+    # older; admitted because the watermark is still unset).  After the
+    # batch, watermark = 11:35 - 10 min = 11:25.
+    _write_batch(src / "b0.json", [
+        (7, "2024-01-01T11:35:00"),
+        (7, "2024-01-01T11:00:00"),
+    ])
+    run_once()
+    # batch 1: 11:28 is still admissible (> watermark) and sits within the
+    # gap of BOTH the straggler and the open session — the batch twin makes
+    # ONE session of all three events.  The old behavior had already
+    # emitted (11:00, 11:00, 1) and can never merge; the session-list state
+    # must bridge to (11:00, 11:35, 3).
+    _write_batch(src / "b1.json", [
+        (7, "2024-01-01T11:28:00"),
+        (7, "2024-01-02T12:00:00"),
+    ])
+    run_once()
+    _write_batch(src / "b2.json", [
+        (7, "2024-01-03T12:00:00"),  # advances watermark; seals day-2 session
+    ])
+    run_once()
+    got = {(r["session_start_us"], r["session_end_us"]): r["n_events"]
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {
+        (us("2024-01-01T11:00:00"), us("2024-01-01T11:35:00")): 3,
+        (us("2024-01-02T12:00:00"), us("2024-01-02T12:00:00")): 1,
+    }, got
