@@ -8,11 +8,10 @@ changes.  Each iteration is one hash join (edges ⨝ labels) + one groupBy
 min + one full-outer-free left join; convergence needs O(graph diameter)
 iterations, and near-dup components are short-diameter by construction
 (members of a cluster share bands/shingles with a common core).  For
-adversarial long-chain graphs the alternating large-star/small-star
-scheme (Kiveris et al., "Connected Components in MapReduce and Beyond")
-drops to O(log n) rounds with the same per-round join shape — a drop-in
-swap documented here rather than implemented, since near-dup graphs do
-not produce long chains.
+adversarial long-chain graphs, connected_components_star implements the
+alternating large-star/small-star scheme (Kiveris et al., "Connected
+Components in MapReduce and Beyond"): O(log n) rounds with the same
+per-round join shape — same output contract, drop-in swap.
 
 Scale: labels and edges shuffle on vertex id each round; the driver sees
 ONE small count job per round (changed-label count).  Edges are cached
@@ -79,6 +78,75 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
             f"({changed} labels still changing); raise max_iter or switch "
             "to large-star/small-star for long-chain graphs")
     return labels.select("id", F.col("comp").alias("component"))
+
+
+def connected_components_star(edges: DataFrame,
+                              vertices: DataFrame | None = None,
+                              max_iter: int = 50) -> DataFrame:
+    """(id, component) via alternating large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — O(log n) rounds
+    on ANY graph shape, including the adversarial long chains where
+    min-label propagation needs O(diameter) rounds.  Same output contract
+    as connected_components: component = min vertex id reachable.
+
+    Per round: large-star hangs every strictly-larger neighbor of u under
+    min(Γ(u) ∪ u); small-star re-hangs every downhill neighbor under the
+    group minimum.  Both are one groupBy + one join on vertex id.
+    Convergence = the edge multiset stops changing (count + order-free
+    hash signature, one tiny agg job per round)."""
+    everts = (edges.select(F.col("id1").alias("id"))
+              .unionByName(edges.select(F.col("id2").alias("id"))))
+    verts = everts if vertices is None else everts.unionByName(
+        vertices.select(F.col(vertices.columns[0]).alias("id")))
+    verts = verts.distinct()
+
+    e = (edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct().localCheckpoint())
+
+    def _signature(df):
+        # mod keeps the order-free sum inside int64 under ANSI overflow checks
+        row = df.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.pmod(F.xxhash64("src", "dst"),
+                                  F.lit(1_000_000_007))).alias("h")).first()
+        return (row["n"], row["h"])
+
+    def _large_star(df):
+        sym = (df.unionByName(df.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst"))))
+        mins = (sym.groupBy("src")
+                .agg(F.least(F.min("dst"), F.first("src")).alias("m")))
+        return (sym.filter(F.col("dst") > F.col("src"))
+                .join(mins, "src")
+                .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                .filter(F.col("src") != F.col("dst")).distinct())
+
+    def _small_star(df):
+        o = (df.select(F.greatest("src", "dst").alias("src"),
+                       F.least("src", "dst").alias("dst")).distinct())
+        mins = o.groupBy("src").agg(F.min("dst").alias("m"))
+        hang = (o.join(mins, "src")
+                .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
+        self_edges = mins.select("src", F.col("m").alias("dst"))
+        return (hang.unionByName(self_edges)
+                .filter(F.col("src") != F.col("dst")).distinct())
+
+    sig = _signature(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — not expected for any graph (O(log n) bound); check "
+            "for non-deterministic edge input")
+    # converged: e is a star (child -> root, root = component min)
+    return (verts.join(e.select(F.col("src").alias("id"),
+                                F.col("dst").alias("component")), "id", "left")
+            .select("id", F.coalesce(F.col("component"), F.col("id"))
+                    .alias("component")))
 
 
 def dedup_survivors(docs: DataFrame, components: DataFrame,

@@ -417,6 +417,7 @@ _DEMOTED = [
     "dedup_survivors",   # connected components evidenced by neardup_clusters
     "geojson_cogroup",   # cogroup strategy evidenced by elevation_cogroup
     "top_bigrams",       # superseded in the head by top_trigrams_lang (larger n)
+    "neardup_clusters_star",  # identical oracle to neardup_clusters (alt algorithm)
 ]
 
 

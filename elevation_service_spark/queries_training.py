@@ -822,13 +822,26 @@ _SURVIVORS_ORACLE = f"""WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
 comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
 SELECT id, component, id = component AS is_survivor FROM comps"""
 
+def q_neardup_clusters_star(spark, sf_dir):
+    """Same dedup-group computation through the O(log n) alternating
+    large-star/small-star scheme — identical output contract (and oracle)
+    as the min-label variant, proving the swap-in really is drop-in."""
+    from .operators.cluster import connected_components_star
+    docs = load(spark, sf_dir, "documents")
+    edges = (dedup.jaccard_pairs(docs)
+             .filter(F.col("inter") * 2 >= F.col("uni")))
+    return connected_components_star(edges, docs.select("doc_id"))
+
+
 SPARK_QUERIES.update({
     "neardup_clusters": q_neardup_clusters,
     "dedup_survivors": q_dedup_survivors,
+    "neardup_clusters_star": q_neardup_clusters_star,
 })
 ORACLES.update({
     "neardup_clusters": _CLUSTERS_ORACLE,
     "dedup_survivors": _SURVIVORS_ORACLE,
+    "neardup_clusters_star": _CLUSTERS_ORACLE,
 })
 
 

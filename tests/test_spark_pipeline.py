@@ -392,3 +392,31 @@ def test_hash_sampling_partitioning_independent(spark):
     assert c != a
     with _pytest.raises(ValueError):
         hash_split(docs, "doc_id", {"train": 5000, "val": 500})
+
+
+def test_connected_components_star_long_chain_and_random(spark):
+    """large-star/small-star converges in O(log n) rounds on a 4096-node
+    chain (min-label would need ~4096) and matches min-label propagation
+    on a random graph."""
+    import random
+
+    from elevation_service_spark.operators.cluster import (
+        connected_components, connected_components_star)
+
+    # chain 0-1-2-...-4095: one component rooted at 0
+    chain = spark.range(4095).selectExpr("id AS id1", "id + 1 AS id2")
+    comps = connected_components_star(chain, max_iter=20).collect()
+    assert len(comps) == 4096
+    assert {r["component"] for r in comps} == {0}
+
+    # random graph: agree with the propagation variant exactly
+    rng = random.Random(3)
+    edges = [(rng.randrange(400), rng.randrange(400)) for _ in range(300)]
+    edf = spark.createDataFrame(edges, ["id1", "id2"])
+    verts = spark.range(400).select(F.col("id"))
+    star = {(r["id"], r["component"])
+            for r in connected_components_star(edf, vertices=verts).collect()}
+    prop = {(r["id"], r["component"])
+            for r in connected_components(edf, vertices=verts,
+                                          max_iter=80).collect()}
+    assert star == prop
