@@ -110,6 +110,58 @@ def embedding_near_dup_pairs(emb: DataFrame, min_score: int,
 EXPR_MAX_CENTROIDS = 64
 
 
+def kmeans_centroids(emb: DataFrame, k: int, iters: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     salt: str = "km") -> list[tuple[int, list[int]]]:
+    """Learned IVF centroids: quantized Lloyd iterations, fully distributed.
+
+    - init: deterministic content-hash sample of k corpus vectors
+      (partitioning-independent, rerun-stable — same scheme as
+      operators/sampling.py), so runs are reproducible without RNG state;
+    - assign: broadcast-matrix argmax (_centroid_probe_udf — the same
+      kernel the search path uses);
+    - update: posexplode the vectors and average per (centroid, dim) — one
+      map-side-combined aggregation, never collecting vectors; means are
+      re-quantized to ints so every iteration (and the final search) stays
+      in exact integer arithmetic.
+
+    Only the k centroid vectors ever reach the driver (k*dim ints per
+    iteration — the k-means state, small by definition).  Empty clusters
+    keep their previous centroid.  Returns [(cid, quantized_vec)] sorted by
+    cid, ready for ann_ivf_topk(centroids=...)."""
+    base = (emb.select(F.col(id_col).alias("vec_id"),
+                       _quant(F.col(vec_col)).alias("ev")))
+    # deterministic k-sample: smallest-k by md5(vec_id || salt) — a
+    # distributed TakeOrdered (orderBy+limit), NOT a global window
+    bucket = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(salt)))
+    seed_rows = (base.withColumn("_b", bucket)
+                 .orderBy("_b", "vec_id").limit(k)
+                 .select("vec_id", "ev").collect())
+    cents = sorted((i, [int(x) for x in r["ev"]])
+                   for i, r in enumerate(sorted(seed_rows,
+                                                key=lambda r: r["vec_id"])))
+    spark = emb.sparkSession
+    for _ in range(iters):
+        assign1 = _centroid_probe_udf(spark, cents, 1)
+        assigned = base.withColumn("cid", F.element_at(assign1(F.col("ev")), 1))
+        dims = (assigned.select("cid", F.posexplode("ev").alias("dim", "v"))
+                .groupBy("cid", "dim")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")))
+        rows = (dims.groupBy("cid")
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "s", "n")))
+                     .alias("ds"))
+                .collect())
+        new = dict(cents)  # empty clusters keep their previous centroid
+        for r in rows:
+            # integer mean, round half away from zero — exact and stable
+            new[int(r["cid"])] = [
+                int((2 * d["s"] + d["n"]) // (2 * d["n"])) if d["s"] >= 0
+                else -int((2 * -d["s"] + d["n"]) // (2 * d["n"]))
+                for d in r["ds"]]
+        cents = sorted(new.items())
+    return cents
+
+
 def _centroid_probe_udf(spark, cents: list[tuple[int, list[int]]], nprobe: int):
     """Arrow-vectorized top-``nprobe`` centroid assignment against a
     broadcast integer centroid matrix — the scale path for k-means-realistic
@@ -135,13 +187,15 @@ def _centroid_probe_udf(spark, cents: list[tuple[int, list[int]]], nprobe: int):
 def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                  n_centroids: int = 8, centroid_ids: list[int] | None = None,
                  nprobe: int = 1,
+                 centroids: list[tuple[int, list[int]]] | None = None,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(qid, rank, vec_id, score) — IVF-style ANN: vectors are assigned to
     their nearest centroid (integer-dot argmax, deterministic tie-break by
     centroid index) and queries search their ``nprobe`` nearest centroids'
-    inverted lists, exact rerank within.  Centroids here are a
-    deterministic sample of the corpus (a k-means step would swap in
-    transparently — the partition/search plumbing is identical).  Raising
+    inverted lists, exact rerank within.  Centroids are either a
+    deterministic sample of the corpus (centroid_ids — the oracle-gated
+    form) or learned vectors passed via ``centroids=`` (kmeans_centroids —
+    the quality path; identical partition/search plumbing).  Raising
     nprobe is the standard IVF recall/cost dial: candidates grow ~linearly
     with probed lists; recall is measured vs brute force in tests.
 
@@ -150,11 +204,16 @@ def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     expression (whole-stage codegen, DuckDB-oracle-exact); above that, a
     broadcast centroid matrix + one Arrow-batched argmax pandas UDF
     (_centroid_probe_udf) keeps plan size O(1) in centroid count."""
-    cids = centroid_ids or list(range(10, 10 + n_centroids))
-    cents = (emb.filter(F.col(id_col).isin(cids))
-             .select(F.col(id_col).alias("cid"), _quant(F.col(vec_col)).alias("cv"))
-             .collect())
-    cents = sorted(((r["cid"], r["cv"]) for r in cents))
+    if centroids is not None:
+        # learned centroids (e.g. kmeans_centroids) — already quantized ints
+        cents = sorted((int(c), [int(x) for x in v]) for c, v in centroids)
+    else:
+        cids = centroid_ids or list(range(10, 10 + n_centroids))
+        cents = (emb.filter(F.col(id_col).isin(cids))
+                 .select(F.col(id_col).alias("cid"),
+                         _quant(F.col(vec_col)).alias("cv"))
+                 .collect())
+        cents = sorted(((r["cid"], r["cv"]) for r in cents))
     base = emb.select(F.col(id_col).alias("vec_id"), _quant(F.col(vec_col)).alias("ev"))
 
     if len(cents) <= EXPR_MAX_CENTROIDS:

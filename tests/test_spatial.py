@@ -302,3 +302,51 @@ def test_ann_ivf_1024_centroids_udf_path(spark):
         for rank, (neg, v) in enumerate(sorted(cand)[:k], 1):
             expected[(qid, rank)] = (v, -neg)
     assert got == expected
+
+
+def test_kmeans_centroids_learn_blobs_and_feed_ivf(spark):
+    """Learned IVF centroids: quantized distributed Lloyd iterations find
+    three well-separated blobs (assignment purity ~1), and ann_ivf_topk
+    consumes them via centroids= with exact numpy-replicated results."""
+    import numpy as np
+
+    from elevation_service_spark.operators.similarity import (
+        QUANT_SCALE, ann_ivf_topk, kmeans_centroids)
+
+    rng = np.random.default_rng(7)
+    dim, per = 8, 200
+    blob_means = np.array([[0.8] * dim, [-0.8] * dim,
+                           [0.8, -0.8] * (dim // 2)])
+    vecs = np.concatenate([m + rng.normal(0, 0.05, size=(per, dim))
+                           for m in blob_means])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>")
+
+    cents = kmeans_centroids(emb, k=3, iters=4)
+    assert [c for c, _ in cents] == [0, 1, 2]
+    # every learned centroid sits on one distinct blob mean (within 3 sigma)
+    qmeans = np.floor(blob_means * QUANT_SCALE + 0.5)
+    matched = set()
+    for _, cv in cents:
+        d = np.abs(qmeans - np.array(cv)).max(axis=1)
+        best = int(np.argmin(d))
+        assert d[best] < 0.15 * QUANT_SCALE, (cv, d)
+        matched.add(best)
+    assert matched == {0, 1, 2}
+
+    # the search path consumes learned centroids exactly
+    query_ids = [0, 250, 599]
+    out = ann_ivf_topk(emb, query_ids, k=4, centroids=cents, nprobe=1)
+    got = {(r["qid"], r["rank"]): (r["vec_id"], r["score"])
+           for r in out.collect()}
+    qv = np.floor(vecs * QUANT_SCALE + 0.5).astype(np.int64)
+    cmat = np.array([cv for _, cv in cents], dtype=np.int64)
+    assign = np.argsort(-(qv @ cmat.T), axis=1, kind="stable")[:, 0]
+    expected = {}
+    for qid in query_ids:
+        cand = [(int(-(qv[qid] @ qv[v])), v) for v in range(len(vecs))
+                if v != qid and assign[v] == assign[qid]]
+        for rank, (neg, v) in enumerate(sorted(cand)[:4], 1):
+            expected[(qid, rank)] = (v, -neg)
+    assert got == expected
