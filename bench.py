@@ -145,6 +145,17 @@ def q_knn_hotcell(spark, sf_dir):
     return knn_join(queries, samples, k=5)
 
 
+def q_dedup_pipeline_capped(spark, sf_dir):
+    """The production near-dup shape end-to-end in ONE tokenize pass:
+    fused minhash+simhash aggregate -> banded LSH with the oversize-bucket
+    cap applied pre-join -> hamming verification through the band self-join
+    (simhash rides the explode; no second corpus scan).  Bounded output on
+    the dup-dense corpus where uncapped pairs grow quadratically."""
+    from elevation_service_spark.operators.dedup import simhash_near_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_pairs(docs, max_bucket=64)
+
+
 def _registry_queries():
     import __spark_entry__ as entrymod
     qs = entrymod.queries()
@@ -161,6 +172,7 @@ BENCH_QUERIES = {
     "extract_coords_bulk": q_bench_extract,
     "lsh_capped_pathological": q_lsh_capped_pathological,
     "knn_hotcell": q_knn_hotcell,
+    "dedup_pipeline_capped": q_dedup_pipeline_capped,
 }
 
 

@@ -217,7 +217,8 @@ def minhash_and_simhash(docs: DataFrame, id_col: str = "doc_id",
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 8,
                        pairs: DataFrame | None = None,
-                       hashes: DataFrame | None = None) -> DataFrame:
+                       hashes: DataFrame | None = None,
+                       max_bucket: int | None = None) -> DataFrame:
     """(id1, id2, hamming) — near-dup pairs by simhash hamming distance,
     pre-filtered by LSH candidates (never all-pairs).
 
@@ -241,6 +242,15 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
                 .filter(F.col("hamming") <= max_hamming))
     both = minhash_and_simhash(docs, id_col, text_col)
     bands = minhash_bands(both, extra_cols=("simhash",))
+    if max_bucket is not None:
+        # same pre-join oversize-bucket drop as lsh_candidate_pairs, applied
+        # to the fused bands so the capped production pipeline stays ONE
+        # tokenize pass (use lsh_oversize_buckets to observe dropped mass)
+        ok = (bands.groupBy("band_idx", "band_key")
+              .agg(F.count(F.lit(1)).alias("_bn"))
+              .filter(F.col("_bn") <= max_bucket)
+              .select("band_idx", "band_key"))
+        bands = bands.join(ok, ["band_idx", "band_key"], "left_semi")
     a, b = bands.alias("a"), bands.alias("b")
     # simhash is functionally dependent on id, so distinct over
     # (id1, id2, h1, h2) has exactly lsh_candidate_pairs' cardinality
