@@ -418,6 +418,7 @@ _DEMOTED = [
     "geojson_cogroup",   # cogroup strategy evidenced by elevation_cogroup
     "top_bigrams",       # superseded in the head by top_trigrams_lang (larger n)
     "neardup_clusters_star",  # identical oracle to neardup_clusters (alt algorithm)
+    "quality_filter",    # pure projection composing already-gated text signals
 ]
 
 

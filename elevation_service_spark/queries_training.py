@@ -737,6 +737,57 @@ SPARK_QUERIES["contamination_check"] = q_contamination
 ORACLES["contamination_check"] = _contamination_oracle()
 
 
+def q_quality_filter(spark, sf_dir):
+    """Curation gate: length / diversity / stopword / language checks with
+    machine-readable reject reasons — one projection, zero shuffle."""
+    return text.quality_filter(load(spark, sf_dir, "documents"))
+
+
+def _quality_filter_oracle() -> str:
+    langs = sorted(text.LANG_MARKERS)
+    score_exprs = ", ".join(
+        "len(list_filter(string_split(text, ' '), t -> t IN ({m}))) AS s_{l}".format(
+            m=", ".join(f"'{w}'" for w in text.LANG_MARKERS[l]), l=l)
+        for l in langs)
+    chain = []
+    for lang in langs:
+        conds = [f"s_{lang} > 0"]
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">=" if other > lang else ">"
+            conds.append(f"s_{lang} {op} s_{other}")
+        chain.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""WITH s AS (SELECT doc_id AS id,
+  len(string_split(text, ' ')) AS n_tok,
+  len(list_distinct(string_split(text, ' '))) AS n_uniq,
+  len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_IN}))) AS n_stop,
+  list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS sum_len,
+  {score_exprs}
+  FROM documents),
+p AS (SELECT id,
+  CAST(n_tok AS BIGINT) AS n_tokens,
+  CAST(floor(n_uniq * 1000 / n_tok) AS BIGINT) AS uniq_milli,
+  CAST(n_stop AS BIGINT) AS n_stopwords,
+  CAST(floor(sum_len * 1000 / n_tok) AS BIGINT) AS avg_milli,
+  CASE {' '.join(chain)} ELSE 'und' END AS lang_pred
+  FROM s),
+r AS (SELECT *, concat_ws(',',
+    CASE WHEN n_tokens < {text.QF_MIN_TOKENS} THEN 'TOO_SHORT' END,
+    CASE WHEN uniq_milli < {text.QF_MIN_UNIQ_MILLI} THEN 'LOW_DIVERSITY' END,
+    CASE WHEN avg_milli > {text.QF_MAX_AVG_TOKLEN_MILLI} THEN 'LONG_TOKENS' END,
+    CASE WHEN n_stopwords = 0 THEN 'NO_STOPWORDS' END,
+    CASE WHEN lang_pred = 'und' THEN 'LANG_UNKNOWN' END) AS reasons
+  FROM p)
+SELECT id, n_tokens, uniq_milli, n_stopwords, lang_pred,
+  CASE WHEN reasons = '' THEN 'KEEP' ELSE 'REJECT' END AS verdict, reasons
+FROM r"""
+
+
+SPARK_QUERIES["quality_filter"] = q_quality_filter
+ORACLES["quality_filter"] = _quality_filter_oracle()
+
+
 # --- deterministic sampling / splits -------------------------------------------
 
 def q_doc_sample(spark, sf_dir):
