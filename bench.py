@@ -306,8 +306,8 @@ def main():
     cpu_after = _host_cpu_score()
     flag = times.get("flagship_enrich") or 1e-9
     # measured (not asserted) per-worker grid-cache locality: one more
-    # flagship pass with accumulators; forced via an aggregate action
-    # because accumulator updates do not propagate through the noop sink
+    # flagship pass with accumulators, forced via an aggregate over the
+    # UDF output (count() would prune the UDF projection entirely)
     from elevation_service_spark.operators.lookup import (
         enrich_points, grid_cache_accumulators)
     accs = grid_cache_accumulators(spark)
