@@ -221,13 +221,121 @@ def reassemble_geojson(docs: DataFrame, enriched: DataFrame,
     return joined.mapInPandas(gen, _DOC_OUT_SCHEMA)
 
 
+def add_elevation_docs_fused(docs: DataFrame, tiles: DataFrame, *,
+                             interpolation: str = "bilinear",
+                             url_col: str = "url", geojson_col: str = "geojson",
+                             max_doc_bytes: int = DEFAULT_MAX_DOC_BYTES) -> DataFrame:
+    """Single-pass POST /geojson: ONE mapInPandas walks, enriches (broadcast
+    tile map + the same batch-vectorized kernel as enrich_points'
+    broadcast strategy), and rewrites each document in place — one JSON
+    parse + one dump per doc, ZERO shuffle, and the document string
+    crosses the Arrow boundary once each way (the flatten→enrich→reassemble
+    pipeline parses twice and ships the doc text in twice).  Output rows,
+    statuses, and elevation values are identical to add_elevation_docs
+    (same walk, same kernel, same grid cache).  Requires the tile working
+    set to broadcast; use strategy="cogroup" otherwise."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from .lookup import _enrich_one_tile_codes
+
+    spark = docs.sparkSession
+    rows = tiles.select("tile_key", "sw_lat", "sw_lon", "encoding", "data").collect()
+    bc = spark.sparkContext.broadcast(
+        {(r["sw_lat"] + 90) * 512 + (r["sw_lon"] + 180):
+         (r["sw_lat"], r["sw_lon"], r["encoding"], bytes(r["data"]))
+         for r in rows})
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tile_map = bc.value
+        for pdf in batches:
+            # pass 1: parse + validate every doc, flatten the batch's
+            # positions into one vector for the kernel
+            parsed: list = []  # (url, obj|None, positions|None, status, start, n)
+            lats: list[float] = []
+            lons: list[float] = []
+            for url, raw in zip(pdf[url_col], pdf[geojson_col]):
+                if raw is not None and len(raw.encode("utf-8")) > max_doc_bytes:
+                    parsed.append((url, None, None, "TOO_LARGE", 0, 0))
+                    continue
+                try:
+                    obj = json.loads(raw)
+                except (ValueError, TypeError):
+                    parsed.append((url, None, None, "INVALID_JSON", 0, 0))
+                    continue
+                try:
+                    positions = validated_positions(obj)
+                except (ValueError, TypeError, KeyError):
+                    parsed.append((url, None, None, "NOT_GEOJSON", 0, 0))
+                    continue
+                parsed.append((url, obj, positions, None, len(lats), len(positions)))
+                for pos in positions:
+                    lons.append(float(pos[0]))
+                    lats.append(float(pos[1]))
+            # pass 2: enrich the whole batch, grouped by tile id exactly
+            # like _enrich_broadcast (non-finite coords get sentinel -1 ->
+            # no tile; the kernel statuses them OUT_OF_BOUNDS regardless)
+            lat = np.asarray(lats, dtype=np.float64)
+            lon = np.asarray(lons, dtype=np.float64)
+            elev = np.full(len(lat), np.nan)
+            if len(lat):
+                finite = np.isfinite(lat) & np.isfinite(lon)
+                tid = np.full(len(lat), -1, dtype=np.int64)
+                tid[finite] = ((np.floor(lat[finite]).astype(np.int64) + 90) * 512
+                               + np.floor(lon[finite]).astype(np.int64) + 180)
+                for key, idx in pd.Series(tid).groupby(tid, sort=False).indices.items():
+                    e, _c = _enrich_one_tile_codes(lat[idx], lon[idx],
+                                                   tile_map.get(key), interpolation)
+                    elev[idx] = e
+            # pass 3: write coords[2] back and serialize once
+            out = {"url": [], "geojson_out": [], "n_positions": [],
+                   "n_enriched": [], "status": []}
+            for url, obj, positions, status, start, n_pos in parsed:
+                geojson_out, n_enr = None, 0
+                if status is None:
+                    for i, pos in enumerate(positions):
+                        ele = elev[start + i]
+                        if ele == ele:  # not NaN
+                            if len(pos) >= 3:
+                                pos[2] = float(ele)
+                            else:
+                                pos.append(float(ele))
+                            n_enr += 1
+                    geojson_out = canonical_json(obj)
+                    status = ("EMPTY" if n_pos == 0
+                              else "OK" if n_enr == n_pos else "PARTIAL")
+                out["url"].append(url)
+                out["geojson_out"].append(geojson_out)
+                out["n_positions"].append(n_pos)
+                out["n_enriched"].append(n_enr)
+                out["status"].append(status)
+            yield pd.DataFrame({
+                "url": pd.Series(out["url"], dtype=object),
+                "geojson_out": pd.Series(out["geojson_out"], dtype=object),
+                "n_positions": pd.Series(out["n_positions"], dtype="int32"),
+                "n_enriched": pd.Series(out["n_enriched"], dtype="int32"),
+                "status": pd.Series(out["status"], dtype=object),
+            })
+
+    return (docs.select(F.col(url_col).alias("url"), geojson_col)
+            .mapInPandas(gen, _DOC_OUT_SCHEMA))
+
+
 def add_elevation_docs(docs: DataFrame, tiles: DataFrame, *,
                        interpolation: str = "bilinear",
                        strategy: str = "auto",
                        max_doc_bytes: int = DEFAULT_MAX_DOC_BYTES) -> DataFrame:
-    """The full POST /geojson equivalent: flatten → tile join + kernel →
-    re-assemble.  Returns (url, geojson_out, n_positions, n_enriched,
-    status)."""
+    """The full POST /geojson equivalent.  Returns (url, geojson_out,
+    n_positions, n_enriched, status).
+
+    strategy="fused" (and the small-tile-set side of "auto") runs the
+    single-pass map-only form (add_elevation_docs_fused); "broadcast" keeps
+    the flatten → enrich → re-assemble pipeline with the broadcast kernel
+    join; "cogroup" shuffles positions by tile for working sets too big to
+    broadcast."""
+    if strategy == "fused":
+        return add_elevation_docs_fused(docs, tiles, interpolation=interpolation,
+                                        max_doc_bytes=max_doc_bytes)
     flat = flatten_geojson(docs, max_doc_bytes=max_doc_bytes)
     enriched = enrich_points(flat, tiles, interpolation=interpolation,
                              strategy=strategy)

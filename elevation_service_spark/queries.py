@@ -251,11 +251,15 @@ _GJ_DOC = ("'{\"type\":\"Point\",\"coordinates\":[' || " + _GJ_LONS + " || ',' |
 
 
 def q_geojson_augment(spark, sf_dir):
+    """Single-pass fused form (r3): one mapInPandas parses, enriches with
+    the broadcast tile map, and rewrites — zero shuffle, one parse+dump per
+    doc.  The flatten→enrich→reassemble pipeline stays gated via
+    geojson_all_types (broadcast) and geojson_cogroup (shuffle)."""
     from .operators.geojson import add_elevation_docs
     docs = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").cast("string").alias("url"),
         F.expr(_GJ_DOC).alias("geojson"))
-    out = add_elevation_docs(docs, fixture_tiles_df(spark), strategy="broadcast")
+    out = add_elevation_docs(docs, fixture_tiles_df(spark), strategy="fused")
     return out.select("url", "n_positions", "n_enriched", "status")
 
 

@@ -206,3 +206,23 @@ def test_too_large_document_statused_without_parse(spark):
         assert out[url]["geojson_out"] is None
         assert out[url]["n_positions"] == 0
     assert out["small"]["status"] == "OK"
+
+
+def test_fused_strategy_byte_identical_to_pipeline(spark):
+    """add_elevation_docs(strategy='fused') must produce byte-identical
+    rows (geojson_out included) to the flatten->enrich->reassemble form on
+    the full fixture set — all 9 geometry/container types PLUS the error
+    docs (invalid JSON, non-GeoJSON, malformed positions, empty)."""
+    rows = fixtures.geojson_docs()
+    docs = spark.createDataFrame(
+        [(r["url"], r["geojson"]) for r in rows], ["url", "geojson"])
+    tiles = fixture_tiles_df(spark)
+    pipe = sorted(map(tuple, add_elevation_docs(
+        docs, tiles, strategy="broadcast").collect()))
+    fused = sorted(map(tuple, add_elevation_docs(
+        docs, tiles, strategy="fused").collect()))
+    assert pipe == fused
+    # the fused plan is map-only: no Exchange anywhere
+    plan = (add_elevation_docs(docs, tiles, strategy="fused")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
