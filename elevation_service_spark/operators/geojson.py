@@ -317,8 +317,16 @@ def add_elevation_docs_fused(docs: DataFrame, tiles: DataFrame, *,
                 "status": pd.Series(out["status"], dtype=object),
             })
 
-    return (docs.select(F.col(url_col).alias("url"), geojson_col)
-            .mapInPandas(gen, _DOC_OUT_SCHEMA))
+    out_in = docs.select(F.col(url_col).alias("url"), geojson_col)
+    # a map-only plan inherits the input partitioning; a thin local input
+    # (one parquet file -> one split) would serialize the whole batch onto
+    # one core.  At real scale the scan supplies the partitions and this is
+    # a no-op; locally it pays one doc-string shuffle for full parallelism
+    # (the same price the flatten->reassemble pipeline paid implicitly).
+    target = spark.sparkContext.defaultParallelism
+    if out_in.rdd.getNumPartitions() < target:
+        out_in = out_in.repartition(target)
+    return out_in.mapInPandas(gen, _DOC_OUT_SCHEMA)
 
 
 def add_elevation_docs(docs: DataFrame, tiles: DataFrame, *,
