@@ -430,6 +430,8 @@ _DEMOTED = [
     "top_bigrams",       # superseded in the head by top_trigrams_lang (larger n)
     "neardup_clusters_star",  # identical oracle to neardup_clusters (alt algorithm)
     "quality_filter",    # pure projection composing already-gated text signals
+    "source_quality",    # rollup of quality_filter (same exprs + one groupBy)
+    "embedding_survivors",  # composes embedding_neardup + CC + survivors (all gated)
 ]
 
 

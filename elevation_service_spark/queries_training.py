@@ -788,6 +788,60 @@ SPARK_QUERIES["quality_filter"] = q_quality_filter
 ORACLES["quality_filter"] = _quality_filter_oracle()
 
 
+def q_source_quality(spark, sf_dir):
+    """Per-source curation rollup: how many docs each crawl source
+    contributes and how many survive the quality gate — the table a data
+    team reads before deciding which sources to keep crawling."""
+    docs = load(spark, sf_dir, "documents")
+    qf = text.quality_filter(docs)
+    src = docs.select(F.col("doc_id").alias("id"), "source")
+    return (qf.join(src, "id").groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("verdict") == "KEEP").cast("long")).alias("n_keep")))
+
+
+def _source_quality_oracle() -> str:
+    return f"""WITH q AS ({_quality_filter_oracle()})
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN q.verdict = 'KEEP' THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM q JOIN documents d ON d.doc_id = q.id
+GROUP BY d.source"""
+
+
+def q_embedding_survivors(spark, sf_dir):
+    """Embedding-space dedup end-to-end: bucketed cosine near-dup pairs →
+    connected components → one survivor per component (the vector twin of
+    dedup_survivors over text)."""
+    from .operators.cluster import connected_components, dedup_survivors
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(emb, min_score=1).select("id1", "id2")
+    comps = connected_components(pairs, emb.select("vec_id"))
+    return dedup_survivors(emb, comps, id_col="vec_id")
+
+
+def _embedding_survivors_oracle() -> str:
+    return f"""WITH RECURSIVE ep AS ({_embedding_neardup_oracle()}),
+sym AS (SELECT id1 AS id, id2 AS nbr FROM ep
+        UNION ALL SELECT id2 AS id, id1 AS nbr FROM ep),
+verts AS (SELECT vec_id AS id FROM embeddings),
+reach(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT s.id, r.comp FROM sym s JOIN reach r ON r.id = s.nbr),
+comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+SELECT id, component, id = component AS is_survivor FROM comps"""
+
+
+SPARK_QUERIES.update({
+    "source_quality": q_source_quality,
+    "embedding_survivors": q_embedding_survivors,
+})
+ORACLES.update({
+    "source_quality": _source_quality_oracle(),
+    "embedding_survivors": _embedding_survivors_oracle(),
+})
+
+
 # --- deterministic sampling / splits -------------------------------------------
 
 def q_doc_sample(spark, sf_dir):
