@@ -432,6 +432,7 @@ _DEMOTED = [
     "quality_filter",    # pure projection composing already-gated text signals
     "source_quality",    # rollup of quality_filter (same exprs + one groupBy)
     "embedding_survivors",  # composes embedding_neardup + CC + survivors (all gated)
+    "lsh_oversize",      # dropped-mass report twin of lsh_pairs_capped
 ]
 
 

@@ -832,13 +832,47 @@ comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
 SELECT id, component, id = component AS is_survivor FROM comps"""
 
 
+_BOILER = ("the same boilerplate footer navigation copyright text repeated "
+           "across the crawl")
+_OVERSIZE_CAP = 16
+
+
+def q_lsh_oversize(spark, sf_dir):
+    """Observable dropped mass: a third of the corpus is replaced with one
+    boilerplate text, and the query reports every band bucket the
+    max_bucket cap would drop — (band_idx, band_key, n_members,
+    representative).  This is the report a dedup pipeline logs so capped
+    candidate generation is auditable, not silent."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_BOILER))
+         .otherwise(F.col("text")).alias("text"))
+    return dedup.lsh_oversize_buckets(docs, max_bucket=_OVERSIZE_CAP)
+
+
+def _lsh_oversize_oracle() -> str:
+    boiler_tok = _TOK_CTE.replace(
+        "string_split(text, ' ')",
+        f"string_split(CASE WHEN doc_id % 3 = 0 THEN '{_BOILER}' "
+        "ELSE text END, ' ')")
+    bands_cte = _PAIRS_CTE.replace(_TOK_CTE, boiler_tok).split(",\npairs AS")[0]
+    return f"""WITH {bands_cte}
+SELECT band_idx, band_key,
+       CAST(count(*) AS BIGINT) AS n_members,
+       min(id) AS representative
+FROM bands GROUP BY band_idx, band_key
+HAVING count(*) > {_OVERSIZE_CAP}"""
+
+
 SPARK_QUERIES.update({
     "source_quality": q_source_quality,
     "embedding_survivors": q_embedding_survivors,
+    "lsh_oversize": q_lsh_oversize,
 })
 ORACLES.update({
     "source_quality": _source_quality_oracle(),
     "embedding_survivors": _embedding_survivors_oracle(),
+    "lsh_oversize": _lsh_oversize_oracle(),
 })
 
 
