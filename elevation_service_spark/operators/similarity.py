@@ -141,23 +141,45 @@ def kmeans_centroids(emb: DataFrame, k: int, iters: int = 5,
                    for i, r in enumerate(sorted(seed_rows,
                                                 key=lambda r: r["vec_id"])))
     spark = emb.sparkSession
+
+    def partial_sums(batches):
+        # per-partition numpy partial sums: each partition emits at most k
+        # rows of (cid, dim-sum vector, count) — the shuffle volume is
+        # partitions x k x dim longs, NOT rows x dim exploded rows
+        acc: dict[int, list] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf["cid"].to_numpy()
+            vecs = np.asarray(pdf["ev"].tolist(), dtype=np.int64)
+            for cid in np.unique(cids):
+                m = cids == cid
+                ent = acc.setdefault(int(cid),
+                                     [np.zeros(vecs.shape[1], np.int64), 0])
+                ent[0] += vecs[m].sum(axis=0)
+                ent[1] += int(m.sum())
+        yield pd.DataFrame({
+            "cid": list(acc.keys()),
+            "s": [e[0].tolist() for e in acc.values()],
+            "n": [e[1] for e in acc.values()]})
+
     for _ in range(iters):
         assign1 = _centroid_probe_udf(spark, cents, 1)
         assigned = base.withColumn("cid", F.element_at(assign1(F.col("ev")), 1))
-        dims = (assigned.select("cid", F.posexplode("ev").alias("dim", "v"))
-                .groupBy("cid", "dim")
-                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")))
-        rows = (dims.groupBy("cid")
-                .agg(F.array_sort(F.collect_list(F.struct("dim", "s", "n")))
-                     .alias("ds"))
-                .collect())
+        parts = (assigned.select("cid", "ev")
+                 .mapInPandas(partial_sums, "cid long, s array<long>, n long")
+                 .collect())  # <= partitions x k tiny rows: the k-means state
+        sums: dict[int, list] = {}
+        for r in parts:
+            ent = sums.setdefault(int(r["cid"]), [np.zeros(len(r["s"]), np.int64), 0])
+            ent[0] += np.asarray(r["s"], dtype=np.int64)
+            ent[1] += int(r["n"])
         new = dict(cents)  # empty clusters keep their previous centroid
-        for r in rows:
+        for cid, (svec, n) in sums.items():
             # integer mean, round half away from zero — exact and stable
-            new[int(r["cid"])] = [
-                int((2 * d["s"] + d["n"]) // (2 * d["n"])) if d["s"] >= 0
-                else -int((2 * -d["s"] + d["n"]) // (2 * d["n"]))
-                for d in r["ds"]]
+            new[cid] = [int((2 * s + n) // (2 * n)) if s >= 0
+                        else -int((2 * -s + n) // (2 * n))
+                        for s in svec.tolist()]
         cents = sorted(new.items())
     return cents
 

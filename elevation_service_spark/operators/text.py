@@ -194,16 +194,26 @@ def contamination_check(docs: DataFrame, n: int = 5,
     never collect anywhere; the semi join IS the membership test.  Counts
     are exact integers (engine-portable); test docs shorter than n tokens
     have no grams and emit no row."""
-    from .sampling import hash_split
+    from .sampling import SAMPLE_BUCKETS, hash_bucket_col
     from .dedup import ngram_shingles
 
     splits = splits or {"train": 9000, "val": 500, "test": 500}
-    labeled = hash_split(docs, id_col, splits)
-    sh = (ngram_shingles(labeled, id_col, text_col, n)
-          .join(labeled.select(F.col(id_col).alias("id"), "split"), "id"))
-    train_grams = (sh.filter(F.col("split") == train_label)
+    if sum(splits.values()) != SAMPLE_BUCKETS:
+        raise ValueError(f"split weights must sum to {SAMPLE_BUCKETS}")
+    bounds, lo = {}, 0
+    for label, w in splits.items():
+        bounds[label] = (lo, lo + w)
+        lo += w
+    # the split label is a pure function of the doc id (hash_split's exact
+    # bucket rule), so it is recomputed as an expression on the shingle rows
+    # — no join of the corpus-sized shingle table against a label table
+    b = hash_bucket_col(F.col("id"))
+    sh = ngram_shingles(docs, id_col, text_col, n)
+    tr_lo, tr_hi = bounds[train_label]
+    te_lo, te_hi = bounds[test_label]
+    train_grams = (sh.filter((b >= tr_lo) & (b < tr_hi))
                    .select("shingle").distinct())
-    test_sh = sh.filter(F.col("split") == test_label).select("id", "shingle")
+    test_sh = sh.filter((b >= te_lo) & (b < te_hi)).select("id", "shingle")
     totals = test_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     overlap = (test_sh.join(train_grams, "shingle", "left_semi")
                .groupBy("id").agg(F.count(F.lit(1)).alias("n_overlap")))
@@ -221,7 +231,8 @@ QF_MAX_AVG_TOKLEN_MILLI = 15_000  # mean token length <= 15 chars
 
 
 def quality_filter(docs: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """(id, n_tokens, uniq_milli, n_stopwords, lang_pred, verdict, reasons)
     — the curation gate an LLM-data pipeline applies before training:
     length / lexical-diversity / stopword / language checks with explicit
@@ -262,6 +273,7 @@ def quality_filter(docs: DataFrame, id_col: str = "doc_id",
     reasons = F.concat_ws(",", *[F.when(cond, F.lit(name)) for name, cond in checks])
     return docs.select(
         F.col(id_col).alias("id"),
+        *keep_cols,
         n_tokens.alias("n_tokens"),
         uniq_milli.alias("uniq_milli"),
         n_stop.alias("n_stopwords"),

@@ -793,9 +793,10 @@ def q_source_quality(spark, sf_dir):
     contributes and how many survive the quality gate — the table a data
     team reads before deciding which sources to keep crawling."""
     docs = load(spark, sf_dir, "documents")
-    qf = text.quality_filter(docs)
-    src = docs.select(F.col("doc_id").alias("id"), "source")
-    return (qf.join(src, "id").groupBy("source")
+    # keep_cols passthrough: verdicts and the source ride ONE projection —
+    # one scan, no self-join of documents
+    qf = text.quality_filter(docs, keep_cols=("source",))
+    return (qf.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum((F.col("verdict") == "KEEP").cast("long")).alias("n_keep")))
 
