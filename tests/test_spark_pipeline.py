@@ -420,3 +420,45 @@ def test_connected_components_star_long_chain_and_random(spark):
             for r in connected_components(edf, vertices=verts,
                                           max_iter=80).collect()}
     assert star == prop
+
+
+def test_ngram_hof_matches_python_reference(spark):
+    """The array-HOF shingle/n-gram builders (r3 rewrite of the lead()
+    windows) must agree with a direct Python reference on randomized docs:
+    empty strings, repeated tokens, docs shorter than n, multi-spaces."""
+    import random
+
+    from collections import Counter
+
+    from elevation_service_spark.operators.dedup import ngram_shingles
+    from elevation_service_spark.operators.text import top_ngrams_per_lang
+
+    rng = random.Random(17)
+    vocab = ["a", "bb", "ccc", "dd", "", "e f"]  # "" and a spaced token
+    rows = []
+    for i in range(60):
+        n_tok = rng.randrange(0, 9)
+        text = " ".join(rng.choice(vocab) for _ in range(n_tok))
+        rows.append((i, text, rng.choice(["en", "de"])))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    for n in (2, 3, 5):
+        got = {(r["id"], r["shingle"])
+               for r in ngram_shingles(docs, n=n).collect()}
+        exp = set()
+        for i, text, _lang in rows:
+            toks = text.split(" ")
+            if len(toks) >= n:
+                for j in range(len(toks) - n + 1):
+                    exp.add((i, " ".join(toks[j:j + n])))
+        assert got == exp, f"n={n}"
+
+    # counting variant (multiplicity, per lang)
+    got_counts = {(r["lang"], r["ngram"]): r["n_occ"]
+                  for r in top_ngrams_per_lang(docs, n=2, k=10**6).collect()}
+    exp_counter = Counter()
+    for i, text, lang in rows:
+        toks = text.split(" ")
+        for j in range(len(toks) - 1):
+            exp_counter[(lang, " ".join(toks[j:j + 2]))] += 1
+    assert got_counts == dict(exp_counter)
