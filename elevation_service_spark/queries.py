@@ -105,11 +105,13 @@ FROM h"""
 
 
 def _q_elevation(spark: SparkSession, sf_dir: str, *, encoding: str | None = None,
-                 interpolation: str = "bilinear", strategy: str = "broadcast") -> DataFrame:
+                 interpolation: str = "bilinear", strategy: str = "broadcast",
+                 partition_by_key: bool = False) -> DataFrame:
     pts = _derived_points(spark, sf_dir)
     enc = {t[0]: encoding for t in _TILES} if encoding else None
     tiles = fixture_tiles_df(spark, encodings=enc)
-    out = enrich_points(pts, tiles, interpolation=interpolation, strategy=strategy)
+    out = enrich_points(pts, tiles, interpolation=interpolation, strategy=strategy,
+                        partition_by_key=partition_by_key)
     return out.select("pid", "tile_key", "lat", "lon", "elevation", "status")
 
 
@@ -120,8 +122,11 @@ def q_elevation_hgt(spark, sf_dir):
 
 
 def q_elevation_terrarium(spark, sf_dir):
-    """Same pipeline with every tile stored as terrarium PNG (graft §1.5)."""
-    return _q_elevation(spark, sf_dir, encoding="terrarium-png")
+    """Same pipeline with every tile stored as terrarium PNG (graft §1.5).
+    partition_by_key spreads the expensive PNG decodes: each worker decodes
+    only its own tiles (decode parallelism without cache duplication)."""
+    return _q_elevation(spark, sf_dir, encoding="terrarium-png",
+                        partition_by_key=True)
 
 
 def q_elevation_nearest(spark, sf_dir):
