@@ -429,15 +429,21 @@ _DEMOTED = [
     "approx_distinct",   # no_oracle by design -> rows-only row anyway
     "simhash",           # signatures subsumed by simhash_pairs
     "doc_sample",        # sampling.py evidenced by train_split
-    "events_running",    # window fns evidenced by sessionize/track_cumlen/top_customers
+    "events_running",    # window fns evidenced by sessionize/top_customers
     "dedup_survivors",   # connected components evidenced by neardup_clusters
     "geojson_cogroup",   # cogroup strategy evidenced by elevation_cogroup
     "top_bigrams",       # superseded in the head by top_trigrams_lang (larger n)
-    "neardup_clusters_star",  # identical oracle to neardup_clusters (alt algorithm)
-    "quality_filter",    # pure projection composing already-gated text signals
-    "source_quality",    # rollup of quality_filter (same exprs + one groupBy)
-    "embedding_survivors",  # composes embedding_neardup + CC + survivors (all gated)
-    "lsh_oversize",      # dropped-mass report twin of lsh_pairs_capped
+    # r4 rotation (VERDICT r3 task 2): the five genuinely-distinct
+    # compositions (quality_filter, source_quality, embedding_survivors,
+    # neardup_clusters_star, lsh_oversize) move INTO the 50-row head; these
+    # five driver-proven-in-r3 twins take their tail slots (operator family
+    # stays head-covered: bilinear/broadcast by elevation_hgt, geojson walk
+    # by geojson_augment, text signals by text_stats/quality_filter).
+    "elevation_nearest",  # r3-driver-proven; interpolation dial of elevation_hgt
+    "geojson_all_types",  # r3-driver-proven; same walk as geojson_augment
+    "token_count",       # r3-driver-proven; signal re-gated inside quality_filter
+    "lang_id",           # r3-driver-proven; lang chain re-gated in quality_filter
+    "top_terms",         # r3-driver-proven; tf-idf twin of top_trigrams_lang
 ]
 
 

@@ -68,6 +68,9 @@ def test_gate_order_covers_all_component_families():
         "ann_topk", "ann_lsh", "ann_ivf", "knn", "pip", "pip_bucketed",
         "asof_join", "train_split",
         "contamination_check", "top_trigrams_lang",
+        # r4 rotation: the five formerly-demoted distinct compositions
+        "quality_filter", "source_quality", "embedding_survivors",
+        "neardup_clusters_star", "lsh_oversize",
     ]
     for name in must_gate:
         assert order.index(name) < 50, f"{name} at {order.index(name)} >= 50"
