@@ -205,15 +205,18 @@ def contamination_check(docs: DataFrame, n: int = 5,
         bounds[label] = (lo, lo + w)
         lo += w
     # the split label is a pure function of the doc id (hash_split's exact
-    # bucket rule), so it is recomputed as an expression on the shingle rows
-    # — no join of the corpus-sized shingle table against a label table
-    b = hash_bucket_col(F.col("id"))
-    sh = ngram_shingles(docs, id_col, text_col, n)
+    # bucket rule), so docs are filtered to their split BEFORE shingling —
+    # one md5 per doc (not per shingle row), and splits outside
+    # train/test (e.g. val) are never shingled at all; no join of the
+    # corpus-sized shingle table against a label table either way
+    b = hash_bucket_col(F.col(id_col))
     tr_lo, tr_hi = bounds[train_label]
     te_lo, te_hi = bounds[test_label]
-    train_grams = (sh.filter((b >= tr_lo) & (b < tr_hi))
+    train_grams = (ngram_shingles(docs.filter((b >= tr_lo) & (b < tr_hi)),
+                                  id_col, text_col, n)
                    .select("shingle").distinct())
-    test_sh = sh.filter((b >= te_lo) & (b < te_hi)).select("id", "shingle")
+    test_sh = ngram_shingles(docs.filter((b >= te_lo) & (b < te_hi)),
+                             id_col, text_col, n).select("id", "shingle")
     totals = test_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     overlap = (test_sh.join(train_grams, "shingle", "left_semi")
                .groupBy("id").agg(F.count(F.lit(1)).alias("n_overlap")))
