@@ -92,8 +92,10 @@ def connected_components_star(edges: DataFrame,
     Per round: large-star hangs every strictly-larger neighbor of u under
     min(Γ(u) ∪ u); small-star re-hangs every downhill neighbor under the
     group minimum.  Both are one groupBy + one join on vertex id.
-    Convergence = the edge multiset stops changing (count + order-free
-    hash signature, one tiny agg job per round)."""
+    Convergence = the edge set stops changing: a cheap (count, order-free
+    hash signature) pre-check per round, then a structural exceptAll
+    equality confirm at the match (signature collisions cannot terminate
+    the loop early on a non-star state)."""
     everts = (edges.select(F.col("id1").alias("id"))
               .unionByName(edges.select(F.col("id2").alias("id"))))
     verts = everts if vertices is None else everts.unionByName(
@@ -132,10 +134,18 @@ def connected_components_star(edges: DataFrame,
 
     sig = _signature(e)
     for _ in range(max_iter):
+        prev = e
         e = _small_star(_large_star(e)).localCheckpoint()
         new_sig = _signature(e)
         if new_sig == sig:
-            break
+            # signature match is a fast pre-check only: a (count, hash-sum)
+            # collision between two DISTINCT successive edge sets would
+            # otherwise terminate on a non-star state (wrong/duplicated
+            # components).  Confirm the fixpoint structurally ONCE — both
+            # sides are distinct sets, so two anti-joins prove equality.
+            if (e.exceptAll(prev).isEmpty()
+                    and prev.exceptAll(e).isEmpty()):
+                break
         sig = new_sig
     else:
         raise RuntimeError(
