@@ -106,7 +106,7 @@ FROM h"""
 
 def _q_elevation(spark: SparkSession, sf_dir: str, *, encoding: str | None = None,
                  interpolation: str = "bilinear", strategy: str = "broadcast",
-                 partition_by_key: bool = False) -> DataFrame:
+                 partition_by_key: bool | None = None) -> DataFrame:
     pts = _derived_points(spark, sf_dir)
     enc = {t[0]: encoding for t in _TILES} if encoding else None
     tiles = fixture_tiles_df(spark, encodings=enc)
@@ -123,10 +123,10 @@ def q_elevation_hgt(spark, sf_dir):
 
 def q_elevation_terrarium(spark, sf_dir):
     """Same pipeline with every tile stored as terrarium PNG (graft §1.5).
-    partition_by_key spreads the expensive PNG decodes: each worker decodes
-    only its own tiles (decode parallelism without cache duplication)."""
-    return _q_elevation(spark, sf_dir, encoding="terrarium-png",
-                        partition_by_key=True)
+    partition_by_key AUTO-engages (all-expensive working set, single-split
+    input): each worker decodes only its own tiles — decode parallelism
+    without cache duplication, no caller opt-in needed (r4)."""
+    return _q_elevation(spark, sf_dir, encoding="terrarium-png")
 
 
 def q_elevation_nearest(spark, sf_dir):

@@ -178,6 +178,37 @@ def test_lat_band_partition_pruning(spark, tmp_path):
     assert df.select("tile_key").distinct().count() == 2  # N57E011, N59E179
 
 
+def test_partition_by_key_auto(spark):
+    """VERDICT r3 #4: strategy-level auto for partition_by_key — the
+    expensive-decode (terrarium PNG) working set on a few-split input gets
+    the tile-key shuffle WITHOUT caller opt-in; the cheap-decode HGT plan
+    stays map-only."""
+    import __spark_entry__ as entrymod
+    terra = entrymod.queries()["elevation_terrarium"](spark, SF)
+    assert "hashpartitioning(tile_key" in plan_of(terra), plan_of(terra)
+    hgt = entrymod.queries()["elevation_hgt"](spark, SF)
+    assert "Exchange" not in plan_of(hgt), plan_of(hgt)
+
+
+def test_contamination_split_filter_below_shingle_explode(spark):
+    """VERDICT r3 #5: the hash-split filter must run on DOC rows before the
+    n-gram explode — one md5 per doc, and non-train/test splits (val) never
+    shingled.  Pin: every Generate (explode) node in the optimized plan has
+    the md5-bucket Filter strictly BELOW it (in its child subtree)."""
+    from elevation_service_spark.operators.text import contamination_check
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = contamination_check(docs)
+    plan = df._jdf.queryExecution().optimizedPlan()
+    generates = [n for n in _iter_logical(plan)
+                 if n.getClass().getSimpleName() == "Generate"]
+    assert generates, "expected shingle explode in plan"
+    for g in generates:
+        below = [n for n in _iter_logical(g)][1:]
+        assert any(n.getClass().getSimpleName() == "Filter" and "md5" in n.toString()
+                   for n in below), \
+            "md5 split filter not pushed below the shingle explode"
+
+
 def test_pair_queries_single_tokenize_no_window(spark):
     """VERDICT r2 #3: simhash_pairs and jaccard_pairs must not re-tokenize
     the corpus per branch.  simhash_pairs fuses minhash+simhash into one
