@@ -221,10 +221,19 @@ def reassemble_geojson(docs: DataFrame, enriched: DataFrame,
     return joined.mapInPandas(gen, _DOC_OUT_SCHEMA)
 
 
+def tiles_bytes(tiles: DataFrame) -> int:
+    """Total payload bytes of a tile table — one tiny map-side agg."""
+    from pyspark.sql import functions as F
+    return (tiles.agg(F.coalesce(F.sum(F.length("data")), F.lit(0)).alias("b"))
+            .collect()[0]["b"])
+
+
 def add_elevation_docs_fused(docs: DataFrame, tiles: DataFrame, *,
                              interpolation: str = "bilinear",
                              url_col: str = "url", geojson_col: str = "geojson",
-                             max_doc_bytes: int = DEFAULT_MAX_DOC_BYTES) -> DataFrame:
+                             max_doc_bytes: int = DEFAULT_MAX_DOC_BYTES,
+                             broadcast_bytes_threshold: int = 512 << 20,
+                             _tiles_bytes: int | None = None) -> DataFrame:
     """Single-pass POST /geojson: ONE mapInPandas walks, enriches (broadcast
     tile map + the same batch-vectorized kernel as enrich_points'
     broadcast strategy), and rewrites each document in place — one JSON
@@ -232,13 +241,27 @@ def add_elevation_docs_fused(docs: DataFrame, tiles: DataFrame, *,
     crosses the Arrow boundary once each way (the flatten→enrich→reassemble
     pipeline parses twice and ships the doc text in twice).  Output rows,
     statuses, and elevation values are identical to add_elevation_docs
-    (same walk, same kernel, same grid cache).  Requires the tile working
-    set to broadcast; use strategy="cogroup" otherwise."""
+    (same walk, same kernel, same grid cache).
+
+    The needed-tile working set is only knowable by PARSING the docs (the
+    very pass fusion eliminates), so this path broadcasts the WHOLE tile
+    table — guarded by ``broadcast_bytes_threshold`` (ADVICE r3: an
+    unguarded collect here OOMs the driver on a large tile table).  Callers
+    go through add_elevation_docs, which probes the size and falls back to
+    the flatten→enrich→reassemble pipeline (which CAN left-semi-prune
+    tiles) when the table is too big; a direct oversize call raises."""
     import numpy as np
     from pyspark.sql import functions as F
 
     from .lookup import _enrich_one_tile_codes
 
+    sz = tiles_bytes(tiles) if _tiles_bytes is None else _tiles_bytes
+    if sz > broadcast_bytes_threshold:
+        raise ValueError(
+            f"tile table is {sz} bytes > broadcast threshold "
+            f"{broadcast_bytes_threshold}; the fused single-pass form cannot "
+            "prune tiles — use add_elevation_docs(strategy='auto'/'broadcast'/"
+            "'cogroup'), which prunes to the docs' tile working set")
     spark = docs.sparkSession
     rows = tiles.select("tile_key", "sw_lat", "sw_lon", "encoding", "data").collect()
     bc = spark.sparkContext.broadcast(
@@ -330,18 +353,29 @@ def add_elevation_docs_fused(docs: DataFrame, tiles: DataFrame, *,
 def add_elevation_docs(docs: DataFrame, tiles: DataFrame, *,
                        interpolation: str = "bilinear",
                        strategy: str = "auto",
-                       max_doc_bytes: int = DEFAULT_MAX_DOC_BYTES) -> DataFrame:
+                       max_doc_bytes: int = DEFAULT_MAX_DOC_BYTES,
+                       broadcast_bytes_threshold: int = 512 << 20) -> DataFrame:
     """The full POST /geojson equivalent.  Returns (url, geojson_out,
     n_positions, n_enriched, status).
 
-    strategy="fused" (and the small-tile-set side of "auto") runs the
-    single-pass map-only form (add_elevation_docs_fused); "broadcast" keeps
-    the flatten → enrich → re-assemble pipeline with the broadcast kernel
-    join; "cogroup" shuffles positions by tile for working sets too big to
-    broadcast."""
-    if strategy == "fused":
-        return add_elevation_docs_fused(docs, tiles, interpolation=interpolation,
-                                        max_doc_bytes=max_doc_bytes)
+    strategy="fused" runs the single-pass map-only form
+    (add_elevation_docs_fused) when the WHOLE tile table fits the broadcast
+    threshold, falling back to the pipeline otherwise (the fused pass
+    cannot prune tiles — ADVICE r3); "auto" makes the same size-probed
+    choice, routing small tile tables through the fused form and large
+    ones through the pipeline with enrich_points' own auto
+    broadcast/cogroup pick; "broadcast" / "cogroup" force the flatten →
+    enrich → re-assemble pipeline with that kernel-join strategy."""
+    if strategy in ("fused", "auto"):
+        sz = tiles_bytes(tiles)  # sum(length(data)) — the data column is a
+        # full scan on a big tile table, so probe ONCE and hand the result down
+        if sz <= broadcast_bytes_threshold:
+            return add_elevation_docs_fused(
+                docs, tiles, interpolation=interpolation,
+                max_doc_bytes=max_doc_bytes,
+                broadcast_bytes_threshold=broadcast_bytes_threshold,
+                _tiles_bytes=sz)
+        strategy = "auto"  # oversize: pipeline + enrich's own size probe
     flat = flatten_geojson(docs, max_doc_bytes=max_doc_bytes)
     enriched = enrich_points(flat, tiles, interpolation=interpolation,
                              strategy=strategy)

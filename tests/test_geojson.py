@@ -226,3 +226,29 @@ def test_fused_strategy_byte_identical_to_pipeline(spark):
     plan = (add_elevation_docs(docs, tiles, strategy="fused")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_fused_broadcast_guard_and_auto_routing(spark):
+    """ADVICE r3: the fused form collects the WHOLE tile table (it cannot
+    prune without parsing docs), so (a) strategy='auto' routes small tile
+    sets through the fused map-only plan, (b) an over-threshold table falls
+    back to the prunable pipeline instead of an unbounded driver collect,
+    and (c) a direct oversize fused call raises."""
+    import pytest
+
+    from elevation_service_spark.operators.geojson import add_elevation_docs_fused
+    rows = fixtures.geojson_docs()
+    docs = spark.createDataFrame(
+        [(r["url"], r["geojson"]) for r in rows], ["url", "geojson"])
+    tiles = fixture_tiles_df(spark)
+    # (a) auto -> fused on a small tile set: map-only plan
+    auto_df = add_elevation_docs(docs, tiles, strategy="auto")
+    assert "Exchange" not in auto_df._jdf.queryExecution().executedPlan().toString()
+    # (b) tiny threshold forces the pipeline fallback — still correct rows
+    small = sorted(map(tuple, auto_df.collect()))
+    piped = sorted(map(tuple, add_elevation_docs(
+        docs, tiles, strategy="fused", broadcast_bytes_threshold=10).collect()))
+    assert small == piped
+    # (c) direct fused call refuses an over-threshold table loudly
+    with pytest.raises(ValueError, match="broadcast threshold"):
+        add_elevation_docs_fused(docs, tiles, broadcast_bytes_threshold=10)
