@@ -444,6 +444,9 @@ _DEMOTED = [
     "token_count",       # r3-driver-proven; signal re-gated inside quality_filter
     "lang_id",           # r3-driver-proven; lang chain re-gated in quality_filter
     "top_terms",         # r3-driver-proven; tf-idf twin of top_trigrams_lang
+    "track_cumlen",      # r3-driver-proven running sums; window family stays
+                         # covered by sessionize/top_customers (slot freed
+                         # for the new ann_ivf_kmeans gate row)
 ]
 
 

@@ -1127,8 +1127,83 @@ SELECT 1 AS lvl, cx >> 1 AS cx, cy >> 1 AS cy, CAST(count(*) AS BIGINT) AS n
 FROM cells GROUP BY (cx >> 1), (cy >> 1)"""
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF over LEARNED centroids (VERDICT r3 #3): kmeans_centroids runs
+    two quantized-integer Lloyd rounds distributively (deterministic
+    md5-smallest-k init, broadcast-argmax assign, per-partition integer
+    partial sums, half-away-from-zero integer means), then ann_ivf_topk
+    searches the learned inverted lists.  Every arithmetic step is integer-
+    exact, so the DuckDB oracle replays the identical rounds as chained
+    CTEs — the learned-centroid quality path joins the hash gate."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, KMEANS_K, iters=KMEANS_ITERS)
+    return similarity.ann_ivf_topk(emb, ANN_QUERY_IDS, ANN_K, centroids=cents)
+
+
+def _ann_ivf_kmeans_oracle():
+    qids = ", ".join(map(str, ANN_QUERY_IDS))
+    # one Lloyd round: centroids {prev} -> assignment -> integer means,
+    # empty clusters keep their previous centroid (LEFT JOIN + COALESCE);
+    # the // operands are made non-negative in both CASE branches, so
+    # DuckDB truncation == Python floor == the Spark kernel's formula
+    def lloyd(prev: str, nxt: str) -> str:
+        return f"""s_{nxt} AS (
+  SELECT e.vec_id, c.cid, CAST(list_dot_product(e.v, c.cv) AS BIGINT) AS s
+  FROM e, {prev} c),
+a_{nxt} AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM s_{nxt}) t WHERE rn = 1),
+d_{nxt} AS (
+  SELECT a.cid, d.i, sum(e.v[d.i]) AS sm, count(*) AS n
+  FROM a_{nxt} a JOIN e ON e.vec_id = a.vec_id, dims d
+  GROUP BY a.cid, d.i),
+m_{nxt} AS (
+  SELECT cid, list(CASE WHEN sm >= 0 THEN (2 * sm + n) // (2 * n)
+                        ELSE -((2 * -sm + n) // (2 * n)) END ORDER BY i) AS cv
+  FROM d_{nxt} GROUP BY cid),
+{nxt} AS (
+  SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN m_{nxt} m USING (cid))"""
+
+    rounds = ",\n".join(lloyd(f"c{i}", f"c{i + 1}") for i in range(KMEANS_ITERS))
+    return f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * {similarity.QUANT_SCALE} + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS v
+  FROM embeddings),
+dims AS (SELECT unnest(generate_series(1, (SELECT max(len(embedding)) FROM embeddings))) AS i),
+seeds AS (
+  SELECT vec_id, v FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || 'km'), vec_id LIMIT {KMEANS_K}),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv FROM seeds),
+{rounds},
+sF AS (
+  SELECT e.vec_id, c.cid, CAST(list_dot_product(e.v, c.cv) AS BIGINT) AS s
+  FROM e, c{KMEANS_ITERS} c),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM sF) t WHERE rn = 1),
+q AS (SELECT a.vec_id AS qid, a.cid AS qc, e.v AS qv
+      FROM assign a JOIN e ON e.vec_id = a.vec_id WHERE a.vec_id IN ({qids})),
+cand AS (
+  SELECT q.qid, a.vec_id, CAST(list_dot_product(q.qv, e.v) AS BIGINT) AS score
+  FROM q JOIN assign a ON a.cid = q.qc JOIN e ON e.vec_id = a.vec_id
+  WHERE a.vec_id <> q.qid)
+SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+  FROM cand) r WHERE rank <= {ANN_K}"""
+
+
 SPARK_QUERIES.update({"ann_ivf": q_ann_ivf, "ann_ivf_probe2": q_ann_ivf_probe2,
+                      "ann_ivf_kmeans": q_ann_ivf_kmeans,
                       "cell_rollup": q_cell_rollup})
 ORACLES.update({"ann_ivf": _ann_ivf_oracle(),
                 "ann_ivf_probe2": _ann_ivf_probe2_oracle(),
+                "ann_ivf_kmeans": _ann_ivf_kmeans_oracle(),
                 "cell_rollup": _cell_rollup_oracle()})
