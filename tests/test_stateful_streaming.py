@@ -2,7 +2,9 @@
 gap sessionization with cross-batch state and event-time timeout."""
 
 import json
+import os
 
+import pytest
 from pyspark.sql import types as T
 
 from elevation_service_spark.streaming.stateful import sessionize_stream
@@ -158,4 +160,52 @@ def test_straggler_merges_with_later_batch_event(spark, tmp_path):
     assert got == {
         (us("2024-01-01T11:00:00"), us("2024-01-01T11:35:00")): 3,
         (us("2024-01-02T12:00:00"), us("2024-01-02T12:00:00")): 1,
+    }, got
+
+
+# The exact r2-ADVICE interleaving (a straggler session that the old code
+# emitted early, then a later-batch event that must merge into it), sliced
+# into files four different ways.  Every layout keeps each event admissible
+# (>= the watermark at its arrival batch) — slicing-independence is only
+# promised for non-dropped events — and every layout must emit the
+# identical closed-session set (VERDICT r3 #8 regression pin).
+_E1100, _E1128, _E1135 = ("2024-01-01T11:00:00", "2024-01-01T11:28:00",
+                          "2024-01-01T11:35:00")
+_ED2, _ED3 = "2024-01-02T12:00:00", "2024-01-03T12:00:00"
+_SLICINGS = [
+    [[_E1135, _E1100, _E1128, _ED2, _ED3]],            # one batch
+    [[_E1135, _E1100], [_E1128, _ED2], [_ED3]],        # the ADVICE replay
+    [[_E1100], [_E1135], [_E1128], [_ED2], [_ED3]],    # one event per batch
+    [[_E1100, _E1135], [_E1128], [_ED2, _ED3]],        # straggler-first pair
+]
+
+
+@pytest.mark.parametrize("slicing", _SLICINGS,
+                         ids=["1batch", "advice", "perevent", "pairs"])
+def test_straggler_emitted_set_is_slicing_invariant(spark, tmp_path, slicing):
+    import datetime
+
+    def us(s):
+        return int(datetime.datetime.fromisoformat(s + "+00:00").timestamp()
+                   * 1_000_000)
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    for i, batch in enumerate(slicing):
+        path = src / f"b{i}.json"
+        _write_batch(path, [(7, ts) for ts in batch])
+        # file order = batch order: pin with strictly increasing mtimes
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    q = (sessionize_stream(stream).writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300)
+    got = {(r["session_start_us"], r["session_end_us"]): r["n_events"]
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {
+        (us(_E1100), us(_E1135)): 3,  # straggler bridged, never emitted early
+        (us(_ED2), us(_ED2)): 1,      # sealed by the day-3 watermark advance
     }, got
