@@ -447,6 +447,8 @@ _DEMOTED = [
     "track_cumlen",      # r3-driver-proven running sums; window family stays
                          # covered by sessionize/top_customers (slot freed
                          # for the new ann_ivf_kmeans gate row)
+    "pip_oversize",      # new r4 report; parity-gated here, PIP family
+                         # driver-evidenced by pip/pip_bucketed
 ]
 
 

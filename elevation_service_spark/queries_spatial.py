@@ -99,6 +99,49 @@ def q_pip_bucketed(spark, sf_dir):
     return pip_assign_bucketed(pts, _polygons_df(spark))
 
 
-SPARK_QUERIES = {"knn": q_knn, "pip": q_pip, "pip_bucketed": q_pip_bucketed}
+# polygon bboxes derived from customer keys; every 10th is continent-sized
+_PO_LON0 = "CAST((c_custkey * 53) % 300 AS DOUBLE) - CAST(150 AS DOUBLE)"
+_PO_LAT0 = "CAST((c_custkey * 37) % 140 AS DOUBLE) - CAST(70 AS DOUBLE)"
+_PO_HALF = ("CASE WHEN c_custkey % 10 = 0 THEN CAST(25.0 AS DOUBLE) "
+            "ELSE CAST(0.4 AS DOUBLE) END")
+_PO_MAX_CELLS = 1024
+
+
+def q_pip_oversize(spark, sf_dir):
+    """Covering-cell explosion report (r4, mirrors lsh_oversize): polygons
+    whose bbox would fan out to >max_cells rows in the bucketed PIP join
+    are surfaced BEFORE the explode — closed-form bbox arithmetic, no
+    Generate in the plan however big the worst bbox is."""
+    from .operators.pip import polygon_oversize_report
+    polys = load(spark, sf_dir, "customer").select(
+        F.concat(F.lit("P"), F.col("c_custkey").cast("string")).alias("poly_id"),
+        (F.expr(_PO_LON0) - F.expr(_PO_HALF)).alias("minx"),
+        (F.expr(_PO_LAT0) - F.expr(_PO_HALF)).alias("miny"),
+        (F.expr(_PO_LON0) + F.expr(_PO_HALF)).alias("maxx"),
+        (F.expr(_PO_LAT0) + F.expr(_PO_HALF)).alias("maxy"))
+    return polygon_oversize_report(polys, cell_deg=1.0,
+                                   max_cells=_PO_MAX_CELLS)
+
+
+_PIP_OVERSIZE_ORACLE = f"""WITH p AS (
+  SELECT 'P' || CAST(c_custkey AS VARCHAR) AS poly_id,
+         ({_PO_LON0}) - ({_PO_HALF}) AS minx,
+         ({_PO_LAT0}) - ({_PO_HALF}) AS miny,
+         ({_PO_LON0}) + ({_PO_HALF}) AS maxx,
+         ({_PO_LAT0}) + ({_PO_HALF}) AS maxy
+  FROM customer),
+r AS (
+  SELECT poly_id,
+         (CAST(floor(maxx) AS BIGINT) - CAST(floor(minx) AS BIGINT) + 1)
+         * (CAST(floor(maxy) AS BIGINT) - CAST(floor(miny) AS BIGINT) + 1)
+         AS n_cells,
+         minx, miny, maxx, maxy
+  FROM p)
+SELECT * FROM r WHERE n_cells > {_PO_MAX_CELLS}"""
+
+
+SPARK_QUERIES = {"knn": q_knn, "pip": q_pip, "pip_bucketed": q_pip_bucketed,
+                 "pip_oversize": q_pip_oversize}
 ORACLES = {"knn": _KNN_ORACLE, "pip": _pip_oracle(),
-           "pip_bucketed": _pip_oracle()}
+           "pip_bucketed": _pip_oracle(),
+           "pip_oversize": _PIP_OVERSIZE_ORACLE}
