@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from .lookup import enrich_points
+from .lookup import enrich_points, tiles_bytes
 
 _GEOM_TYPES = {"Point", "MultiPoint", "LineString", "MultiLineString",
                "Polygon", "MultiPolygon", "GeometryCollection", "Feature",
@@ -221,13 +221,6 @@ def reassemble_geojson(docs: DataFrame, enriched: DataFrame,
     return joined.mapInPandas(gen, _DOC_OUT_SCHEMA)
 
 
-def tiles_bytes(tiles: DataFrame) -> int:
-    """Total payload bytes of a tile table — one tiny map-side agg."""
-    from pyspark.sql import functions as F
-    return (tiles.agg(F.coalesce(F.sum(F.length("data")), F.lit(0)).alias("b"))
-            .collect()[0]["b"])
-
-
 def add_elevation_docs_fused(docs: DataFrame, tiles: DataFrame, *,
                              interpolation: str = "bilinear",
                              url_col: str = "url", geojson_col: str = "geojson",
@@ -377,6 +370,9 @@ def add_elevation_docs(docs: DataFrame, tiles: DataFrame, *,
                 _tiles_bytes=sz)
         strategy = "auto"  # oversize: pipeline + enrich's own size probe
     flat = flatten_geojson(docs, max_doc_bytes=max_doc_bytes)
+    # forward the caller's driver-memory bound: enrich's broadcast-vs-
+    # cogroup pick must honor the same threshold the fused guard applied
     enriched = enrich_points(flat, tiles, interpolation=interpolation,
-                             strategy=strategy)
+                             strategy=strategy,
+                             broadcast_bytes_threshold=broadcast_bytes_threshold)
     return reassemble_geojson(docs, enriched, max_doc_bytes=max_doc_bytes)

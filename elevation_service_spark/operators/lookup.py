@@ -145,6 +145,15 @@ def _enrich_one_tile(lat: np.ndarray, lon: np.ndarray,
     return elev, _STATUS_LOOKUP[code]
 
 
+def tiles_bytes(tiles: DataFrame) -> int:
+    """Total payload bytes of a tile table — one tiny map-side agg.  The
+    single size metric behind every broadcast-vs-spill decision (enrich's
+    broadcast/cogroup pick and the fused-GeoJSON guard), so the two can
+    never diverge."""
+    return (tiles.agg(F.coalesce(F.sum(F.length("data")), F.lit(0)).alias("b"))
+            .collect()[0]["b"])
+
+
 def with_tile_key(points: DataFrame, key_col: str = "tile_key") -> DataFrame:
     if key_col in points.columns:
         return points
@@ -197,9 +206,7 @@ def enrich_points(points: DataFrame, tiles: DataFrame, *,
                                  prune_tiles=False, cache_metrics=cache_metrics)
     if strategy == "auto":
         needed = points.select("tile_key").distinct()
-        sz = (tiles.join(needed, "tile_key", "left_semi")
-              .agg(F.coalesce(F.sum(F.length("data")), F.lit(0)).alias("b"))
-              .collect()[0]["b"])
+        sz = tiles_bytes(tiles.join(needed, "tile_key", "left_semi"))
         strategy = "broadcast" if sz <= broadcast_bytes_threshold else "cogroup"
     if strategy == "broadcast":
         return _enrich_broadcast(points, tiles, interpolation, prune_tiles,
@@ -209,6 +216,32 @@ def enrich_points(points: DataFrame, tiles: DataFrame, *,
 
 
 _CHEAP_DECODE = ("hgt", "hgt.gz")
+
+# logical operators whose presence means the points are already (re)spread
+# by a shuffle — the file count of the underlying scans then says nothing
+# about the frame's real partitioning
+_SHUFFLE_OPS = ("Join", "Aggregate", "Repartition", "Window",
+                "Sort", "Deduplicate")
+
+
+def _few_input_splits(points: DataFrame, spark) -> bool:
+    """True when the points frame is a shuffle-free derivation of fewer
+    input files than cores — the case where the scan undersupplies
+    parallelism and a tile-key spread pays for itself.  Metadata-only:
+    inspects the optimized plan string and the scan's file list, never
+    touches ``points.rdd`` (materializing the RDD executes upstream
+    shuffle stages eagerly under AQE, and the pre-AQE partition count it
+    reports is wrong anyway).  Conservative on both edges: any
+    shuffle-producing operator in the plan -> False (that shuffle already
+    distributed the rows), and a non-file source -> False."""
+    try:
+        plan = points._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    if any(op in plan for op in _SHUFFLE_OPS):
+        return False
+    files = points.inputFiles()
+    return bool(files) and len(files) < spark.sparkContext.defaultParallelism
 
 
 def _enrich_broadcast(points: DataFrame, tiles: DataFrame,
@@ -229,9 +262,7 @@ def _enrich_broadcast(points: DataFrame, tiles: DataFrame,
         # the points over tiles only when the decode bill is dominated by
         # expensive encodings AND the scan undersupplies parallelism
         n_exp = sum(1 for r in rows if r["encoding"] not in _CHEAP_DECODE)
-        if (2 * n_exp > len(rows)
-                and points.rdd.getNumPartitions()
-                < spark.sparkContext.defaultParallelism):
+        if 2 * n_exp > len(rows) and _few_input_splits(points, spark):
             points = points.repartition(F.col("tile_key"))
     # tiles keyed by packed int id (sw_lat+90)*360 + (sw_lon+180): an int32
     # crosses the Arrow boundary per row instead of a string, and the

@@ -119,30 +119,43 @@ def polygon_cells(polygons: DataFrame, cell_deg: float = 1.0) -> DataFrame:
                 F.floor(F.col("maxy") / cell).cast("long")))))
 
 
-# per-worker parsed-ring LRU, bounded by total vertex BYTES (ADVICE r3:
-# an unbounded dict held one full vertex-array copy per distinct poly_id a
-# long-lived task ever saw — the very large-polygon-set regime this path
-# targets would exhaust worker memory)
-_RING_CACHE: "OrderedDict[str, list]" = __import__("collections").OrderedDict()
-_RING_CACHE_MAX_BYTES = int(__import__("os").environ.get(
+RING_CACHE_MAX_BYTES = int(__import__("os").environ.get(
     "SPARK_GRAFT_RING_CACHE_BYTES", str(256 << 20)))
 
 
-def _cached_rings(poly_id: str, raw_rings) -> list:
-    multi = _RING_CACHE.get(poly_id)
-    if multi is None:
+class _RingCache:
+    """PER-TASK parsed-ring LRU, bounded by total vertex bytes (ADVICE r3:
+    the unbounded dict held one vertex-array copy per distinct poly_id a
+    long-lived task ever saw).  Deliberately NOT worker-global: a reused
+    Python worker outlives the job, and a module-level cache keyed by
+    poly_id would serve STALE geometry to a later job that reuses ids with
+    different rings (the same hazard lookup._cached_grid documents; rings
+    are too large to content-hash cheaply, so scope beats keying here).
+    One task sees one job's polygons, and the payoff — reuse across the
+    many Arrow batches of a task — is preserved.  Byte total is maintained
+    incrementally (a full rescan per miss is O(polygons²))."""
+
+    def __init__(self, max_bytes: int = RING_CACHE_MAX_BYTES):
+        from collections import OrderedDict
+        self._d: OrderedDict[str, tuple[list, int]] = OrderedDict()
+        self._bytes = 0
+        self._max = max_bytes
+
+    def get(self, poly_id: str, raw_rings) -> list:
+        ent = self._d.get(poly_id)
+        if ent is not None:
+            self._d.move_to_end(poly_id)
+            return ent[0]
         multi = [[np.asarray([list(pos) for pos in ring], np.float64)
                   for ring in poly]
                  for poly in raw_rings]
-        _RING_CACHE[poly_id] = multi
-        total = sum(a.nbytes for m in _RING_CACHE.values()
-                    for poly in m for a in poly)
-        while total > _RING_CACHE_MAX_BYTES and len(_RING_CACHE) > 1:
-            _, ev = _RING_CACHE.popitem(last=False)
-            total -= sum(a.nbytes for poly in ev for a in poly)
-    else:
-        _RING_CACHE.move_to_end(poly_id)
-    return multi
+        nb = sum(a.nbytes for poly in multi for a in poly)
+        self._d[poly_id] = (multi, nb)
+        self._bytes += nb
+        while self._bytes > self._max and len(self._d) > 1:
+            _, (_, evb) = self._d.popitem(last=False)
+            self._bytes -= evb
+        return multi
 
 
 def pip_assign_bucketed(points: DataFrame, polygons: DataFrame,
@@ -200,10 +213,11 @@ def pip_assign_bucketed(points: DataFrame, polygons: DataFrame,
                                else object) for f in schema.fields}
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache = _RingCache()  # per-task: amortizes parses across batches
         for pdf in batches:
             frames = []
             for pid_, rows, raw_rings in zip(pdf["poly_id"], pdf["_pts"], pdf["rings"]):
-                multi = _cached_rings(pid_, raw_rings)
+                multi = cache.get(pid_, raw_rings)
                 grp = pd.DataFrame(list(rows))
                 la = grp["lat"].to_numpy(np.float64)
                 lo = grp["lon"].to_numpy(np.float64)
