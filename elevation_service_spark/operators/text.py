@@ -226,6 +226,48 @@ def contamination_check(docs: DataFrame, n: int = 5,
                     .alias("n_overlap")))
 
 
+# --- repetition signals (Gopher-style) ----------------------------------------
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, top_tok_milli, dup2_milli, dup3_milli) — the
+    repetition quality signals a curation pipeline applies alongside
+    quality_filter (the Gopher/C4 rules family): the share of token
+    occurrences taken by the single most frequent token, and the share of
+    2-/3-gram occurrences that are duplicates of an earlier gram.
+    Boilerplate, keyword-stuffed, and looping generated text all spike
+    these.  Pure per-row array-HOF Column arithmetic: ONE scan, ZERO
+    shuffle, no Python; all ratios are exact floor(x*1000/n) integers so
+    the DuckDB oracle reproduces them bit-for-bit."""
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks).cast("long")
+    top_n = F.aggregate(
+        F.array_distinct(toks), F.lit(0),
+        lambda acc, u: F.greatest(acc, F.size(F.filter(toks, lambda x: x == u))))
+    top_milli = F.floor(top_n.cast("long") * 1000 / n_tokens).cast("long")
+
+    def dup_milli(n: int):
+        gram = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j))
+                                         for j in range(n)]))
+        # sequence(start, stop) DESCENDS when start > stop — short docs
+        # must yield an empty gram array, not reversed garbage
+        grams = F.when(F.size(toks) >= n, gram).otherwise(
+            F.array().cast("array<string>"))
+        dup = (F.size(grams) - F.size(F.array_distinct(grams))).cast("long")
+        return F.when(F.size(grams) > 0,
+                      F.floor(dup * 1000 / F.size(grams))) \
+                .otherwise(F.lit(0)).cast("long")
+
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_tokens.alias("n_tokens"),
+        top_milli.alias("top_tok_milli"),
+        dup_milli(2).alias("dup2_milli"),
+        dup_milli(3).alias("dup3_milli"))
+
+
 # --- curation quality filter --------------------------------------------------
 
 QF_MIN_TOKENS = 5

@@ -449,6 +449,8 @@ _DEMOTED = [
                          # for the new ann_ivf_kmeans gate row)
     "pip_oversize",      # new r4 report; parity-gated here, PIP family
                          # driver-evidenced by pip/pip_bucketed
+    "repetition_stats",  # new r4 signals; parity-gated here, text-signal
+                         # family driver-evidenced by quality_filter
 ]
 
 

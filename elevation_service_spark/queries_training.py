@@ -788,6 +788,36 @@ SPARK_QUERIES["quality_filter"] = q_quality_filter
 ORACLES["quality_filter"] = _quality_filter_oracle()
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals: top-token concentration and
+    duplicate 2-/3-gram occurrence shares, one scan, zero shuffle."""
+    return text.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+_REPETITION_ORACLE = """WITH t AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS tk FROM documents),
+s AS (SELECT id, len(tk) AS n_tok,
+  list_max(list_transform(list_distinct(tk),
+                          u -> len(list_filter(tk, x -> x = u)))) AS top_n,
+  CASE WHEN len(tk) >= 2 THEN list_transform(generate_series(1, len(tk) - 1),
+       i -> tk[i] || ' ' || tk[i + 1]) ELSE []::VARCHAR[] END AS g2,
+  CASE WHEN len(tk) >= 3 THEN list_transform(generate_series(1, len(tk) - 2),
+       i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]) ELSE []::VARCHAR[] END AS g3
+  FROM t)
+SELECT id, CAST(n_tok AS BIGINT) AS n_tokens,
+  CAST(floor(top_n * 1000 / n_tok) AS BIGINT) AS top_tok_milli,
+  CAST(CASE WHEN len(g2) > 0
+       THEN floor((len(g2) - len(list_distinct(g2))) * 1000 / len(g2))
+       ELSE 0 END AS BIGINT) AS dup2_milli,
+  CAST(CASE WHEN len(g3) > 0
+       THEN floor((len(g3) - len(list_distinct(g3))) * 1000 / len(g3))
+       ELSE 0 END AS BIGINT) AS dup3_milli
+FROM s"""
+
+SPARK_QUERIES["repetition_stats"] = q_repetition_stats
+ORACLES["repetition_stats"] = _REPETITION_ORACLE
+
+
 def q_source_quality(spark, sf_dir):
     """Per-source curation rollup: how many docs each crawl source
     contributes and how many survive the quality gate — the table a data

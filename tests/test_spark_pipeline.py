@@ -462,3 +462,30 @@ def test_ngram_hof_matches_python_reference(spark):
         for j in range(len(toks) - 1):
             exp_counter[(lang, " ".join(toks[j:j + 2]))] += 1
     assert got_counts == dict(exp_counter)
+
+
+def test_repetition_stats_semantics_and_plan(spark):
+    """Gopher-style repetition signals: handcrafted docs with known ratios,
+    the 1-token / no-gram edge, and a map-only no-Python plan."""
+    from pyspark.sql import functions as F
+
+    from elevation_service_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"),        # one token 4x: top=1000, all grams dup
+         (2, "a b c d"),                    # all distinct: top=250, no dups
+         (3, "x"),                          # 1 token: no 2/3-grams -> 0
+         (4, "a b a b a b")],               # top a=3/6=500; 2-grams: 5 occ, 2 distinct
+        ["doc_id", "text"])
+    got = {r["id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["top_tok_milli"] == 1000
+    assert got[1]["dup2_milli"] == 666   # 3 grams, 1 distinct -> floor(2000/3)
+    assert got[1]["dup3_milli"] == 500   # 2 grams, 1 distinct
+    assert got[2]["top_tok_milli"] == 250
+    assert got[2]["dup2_milli"] == 0 and got[2]["dup3_milli"] == 0
+    assert got[3]["n_tokens"] == 1
+    assert got[3]["dup2_milli"] == 0 and got[3]["dup3_milli"] == 0
+    assert got[4]["top_tok_milli"] == 500
+    assert got[4]["dup2_milli"] == 600   # 5 occurrences, 2 distinct -> floor(3000/5)
+    plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
