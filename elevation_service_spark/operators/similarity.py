@@ -184,6 +184,189 @@ def kmeans_centroids(emb: DataFrame, k: int, iters: int = 5,
     return cents
 
 
+PQ_M = 4      # subspaces
+PQ_K = 16     # codes per subspace
+
+
+def _int_mean(s: int, n: int) -> int:
+    """Integer mean, round half away from zero — the shared Lloyd rule."""
+    return (2 * s + n) // (2 * n) if s >= 0 else -((2 * -s + n) // (2 * n))
+
+
+def pq_train(emb: DataFrame, m: int = PQ_M, k: int = PQ_K, iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             salt: str = "pq") -> list[list[tuple[int, list[int]]]]:
+    """Product-quantization codebooks: split the vector into ``m``
+    subspaces and run quantized-integer Lloyd per subspace, all subspaces
+    learned in ONE distributed pass per iteration.
+
+    - init: the same deterministic md5-smallest-k corpus sample as
+      kmeans_centroids, sliced per subspace (code id = seed's vec_id rank);
+    - assign: L2 argmin per subspace (ties -> lowest code) via one
+      Arrow-batched UDF against the broadcast codebook tensor;
+    - update: per-partition numpy partial sums -> integer means
+      (half away from zero), empty codes keep their previous centroid.
+
+    Driver state is m*k*d_sub ints per iteration.  Returns
+    ``codebooks[m] = [(code, subvec)]`` sorted by code, ready for
+    ann_pq_topk.  Every step is integer-exact, so a DuckDB oracle can
+    replay training bit-for-bit (queries_training.ann_pq)."""
+    base = (emb.select(F.col(id_col).alias("vec_id"),
+                       _quant(F.col(vec_col)).alias("ev")))
+    dim = base.agg(F.max(F.size("ev"))).collect()[0][0]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    bucket = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(salt)))
+    seed_rows = (base.withColumn("_b", bucket)
+                 .orderBy("_b", "vec_id").limit(k)
+                 .select("vec_id", "ev").collect())
+    seeds = [r["ev"] for r in sorted(seed_rows, key=lambda r: r["vec_id"])]
+    cbs = [[(c, [int(x) for x in sv[mm * d_sub:(mm + 1) * d_sub]])
+            for c, sv in enumerate(seeds)] for mm in range(m)]
+    spark = emb.sparkSession
+
+    def partial_sums_fn(mats):
+        def partial_sums(batches):
+            # per-partition sums: at most m*k rows of (m, code, sum-vec, n)
+            acc: dict[tuple[int, int], list] = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray(pdf["ev"].tolist(), dtype=np.int64)
+                codes = _pq_codes(X, mats)
+                for mm in range(mats.shape[0]):
+                    sub = X[:, mm * d_sub:(mm + 1) * d_sub]
+                    for c in np.unique(codes[:, mm]):
+                        sel = codes[:, mm] == c
+                        ent = acc.setdefault((mm, int(c)),
+                                             [np.zeros(d_sub, np.int64), 0])
+                        ent[0] += sub[sel].sum(axis=0)
+                        ent[1] += int(sel.sum())
+            yield pd.DataFrame({
+                "m": [mc[0] for mc in acc],
+                "code": [mc[1] for mc in acc],
+                "s": [e[0].tolist() for e in acc.values()],
+                "n": [e[1] for e in acc.values()]})
+        return partial_sums
+
+    for _ in range(iters):
+        mats = np.asarray([[cv for _, cv in cb] for cb in cbs], dtype=np.int64)
+        parts = (base.select("ev")
+                 .mapInPandas(partial_sums_fn(mats),
+                              "m long, code long, s array<long>, n long")
+                 .collect())
+        sums: dict[tuple[int, int], list] = {}
+        for r in parts:
+            ent = sums.setdefault((int(r["m"]), int(r["code"])),
+                                  [np.zeros(d_sub, np.int64), 0])
+            ent[0] += np.asarray(r["s"], dtype=np.int64)
+            ent[1] += int(r["n"])
+        new = [dict(cb) for cb in cbs]  # empty codes keep previous centroid
+        for (mm, c), (svec, n) in sums.items():
+            new[mm][c] = [_int_mean(int(s), n) for s in svec.tolist()]
+        cbs = [sorted(d.items()) for d in new]
+    return cbs
+
+
+def _pq_codes(X: np.ndarray, mats: np.ndarray) -> np.ndarray:
+    """L2 argmin per subspace; np.argmin takes the FIRST minimum, i.e.
+    ties break to the lowest code — matching the oracle's (dd ASC, code
+    ASC) row_number rule."""
+    m, _k, d_sub = mats.shape
+    out = np.empty((len(X), m), dtype=np.int32)
+    for mm in range(m):
+        sub = X[:, mm * d_sub:(mm + 1) * d_sub]
+        d2 = ((sub[:, None, :] - mats[mm][None, :, :]) ** 2).sum(axis=2)
+        out[:, mm] = np.argmin(d2, axis=1)
+    return out
+
+
+def pq_encode(emb: DataFrame, codebooks, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, ev, codes) — each vector compressed to m small ints (the
+    5-12x storage cut PQ exists for); ONE Arrow-batched pass, no shuffle."""
+    mats = np.asarray([[cv for _, cv in cb] for cb in codebooks],
+                      dtype=np.int64)
+    bc = emb.sparkSession.sparkContext.broadcast(mats)
+
+    @F.pandas_udf("array<int>")
+    def codes_udf(ev: pd.Series) -> pd.Series:
+        X = np.asarray(ev.tolist(), dtype=np.int64)
+        return pd.Series(list(_pq_codes(X, bc.value)))
+
+    return (emb.select(F.col(id_col).alias("vec_id"),
+                       _quant(F.col(vec_col)).alias("ev"))
+            .withColumn("codes", codes_udf(F.col("ev"))))
+
+
+def ann_pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+                codebooks=None, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                rerank: int | None = None) -> DataFrame:
+    """(qid, rank, vec_id, score) — asymmetric PQ search (ADC): database
+    vectors are scored through their codes only, score = sum over
+    subspaces of dot(query_sub, codebook[code]).  The 100 TB shape: after
+    the one encode pass, search is a SCAN — the per-query lookup tables
+    (m*k ints each) fold into pure JVM Column arithmetic, so the only
+    Python is the encode UDF and the only shuffle is the final top-k
+    window on (qid).  Approximate by construction (the standard PQ trade:
+    m*log2(k) bits per vector instead of dim floats); ADC deliberately
+    collapses fine intra-cluster ranking to code ties, so production PQ
+    re-ranks: ``rerank=R`` keeps the ADC top-R shortlist per query and
+    re-scores it with the EXACT integer dot (the vectors of R rows — not
+    the corpus — cross the wire), returning exact-top-k-of-shortlist.
+    Recall vs brute force is measured in tests for both modes."""
+    if codebooks is None:
+        codebooks = pq_train(emb, id_col=id_col, vec_col=vec_col)
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0][1])
+    enc = pq_encode(emb, codebooks, id_col, vec_col)
+    qids = sorted(int(q) for q in query_ids)
+    qrows = {r["vec_id"]: r["ev"]
+             for r in enc.filter(F.col("vec_id").isin(qids))
+             .select("vec_id", "ev").collect()}
+    score_cols = []
+    for q in qids:
+        qv = qrows[q]
+        parts = None
+        for mm in range(m):
+            qsub = qv[mm * d_sub:(mm + 1) * d_sub]
+            lut = [sum(int(a) * int(b) for a, b in zip(qsub, cv))
+                   for _, cv in codebooks[mm]]  # k ints: the ADC table
+            term = F.element_at(F.array(*[F.lit(v) for v in lut]),
+                                F.element_at(F.col("codes"), mm + 1) + 1)
+            parts = term if parts is None else parts + term
+        score_cols.append(parts.cast("long"))
+    # plain ADC never materializes vectors downstream of the encode; the
+    # ev column rides along only when a rerank pass will need it
+    carry = ["vec_id"] + (["ev"] if rerank is not None else [])
+    scored = (enc.select(*carry, F.posexplode(F.array(*score_cols))
+                         .alias("qidx", "score"))
+              .withColumn("qid", F.element_at(
+                  F.array(*[F.lit(q) for q in qids]), F.col("qidx") + 1))
+              .filter(F.col("vec_id") != F.col("qid")))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    if rerank is None:
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("qid", F.col("rank").cast("int").alias("rank"),
+                        "vec_id", "score"))
+    shortlist = (scored.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= int(rerank)))
+    # exact re-score of R rows per query: the query vector arrives as a
+    # per-qid literal array (tiny), the dot is a JVM HOF — still no Python
+    qv_arr = F.array(*[F.array(*[F.lit(int(x)) for x in qrows[q]])
+                       for q in qids])
+    qidx_of = F.array_position(F.array(*[F.lit(q) for q in qids]), F.col("qid"))
+    exact = shortlist.withColumn(
+        "score", _dot(F.element_at(qv_arr, qidx_of.cast("int")), F.col("ev")))
+    return (exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", F.col("rank").cast("int").alias("rank"),
+                    "vec_id", "score"))
+
+
 def _centroid_probe_udf(spark, cents: list[tuple[int, list[int]]], nprobe: int):
     """Arrow-vectorized top-``nprobe`` centroid assignment against a
     broadcast integer centroid matrix — the scale path for k-means-realistic

@@ -451,6 +451,8 @@ _DEMOTED = [
                          # driver-evidenced by pip/pip_bucketed
     "repetition_stats",  # new r4 signals; parity-gated here, text-signal
                          # family driver-evidenced by quality_filter
+    "ann_pq",            # new r4 PQ/ADC search; parity-gated here, ANN
+                         # family driver-evidenced by ann_topk/lsh/ivf(+kmeans)
 ]
 
 

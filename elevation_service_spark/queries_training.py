@@ -1230,10 +1230,95 @@ SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM (
   FROM cand) r WHERE rank <= {ANN_K}"""
 
 
+PQ_ITERS = 2
+
+
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (r4): per-subspace integer Lloyd codebooks
+    (pq_train), one encode pass, then asymmetric (ADC) search — per-query
+    lookup tables folded into JVM Column arithmetic, so search is a scan
+    plus one top-k window.  Training, encoding, and scoring are all
+    integer-exact; the oracle replays them as chained CTEs."""
+    emb = load(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_train(emb, iters=PQ_ITERS)
+    return similarity.ann_pq_topk(emb, ANN_QUERY_IDS, ANN_K, codebooks=cbs)
+
+
+def _ann_pq_oracle():
+    from .operators.similarity import PQ_K, PQ_M
+    qids = ", ".join(map(str, ANN_QUERY_IDS))
+    mean = ("CASE WHEN sm >= 0 THEN (2 * sm + n) // (2 * n) "
+            "ELSE -((2 * -sm + n) // (2 * n)) END")
+
+    def lloyd(prev: str, nxt: str) -> str:
+        return f"""d_{nxt} AS (
+  SELECT e.vec_id, cb.m, cb.code,
+    sum((e.v[cb.m * dsub + d.i] - cb.cv[d.i])
+        * (e.v[cb.m * dsub + d.i] - cb.cv[d.i])) AS dd
+  FROM e, {prev} cb, dims d, dd0 GROUP BY e.vec_id, cb.m, cb.code),
+a_{nxt} AS (
+  SELECT vec_id, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY dd ASC, code ASC) AS rn
+    FROM d_{nxt}) t WHERE rn = 1),
+s_{nxt} AS (
+  SELECT a.m, a.code, d.i, sum(e.v[a.m * dsub + d.i]) AS sm, count(*) AS n
+  FROM a_{nxt} a JOIN e USING (vec_id), dims d, dd0
+  GROUP BY a.m, a.code, d.i),
+m_{nxt} AS (
+  SELECT m, code, list({mean} ORDER BY i) AS cv FROM s_{nxt} GROUP BY m, code),
+{nxt} AS (
+  SELECT p.m, p.code, COALESCE(mm.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN m_{nxt} mm USING (m, code))"""
+
+    rounds = ",\n".join(lloyd(f"cb{i}", f"cb{i + 1}") for i in range(PQ_ITERS))
+    final = f"cb{PQ_ITERS}"
+    return f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * {similarity.QUANT_SCALE} + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS v
+  FROM embeddings),
+dd0 AS (SELECT (SELECT max(len(embedding)) FROM embeddings) // {PQ_M} AS dsub),
+dims AS (SELECT unnest(generate_series(1, (SELECT dsub FROM dd0))) AS i),
+ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+seeds AS (
+  SELECT vec_id, v FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || 'pq'), vec_id LIMIT {PQ_K}),
+sc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v FROM seeds),
+cb0 AS (
+  SELECT ms.m, sc.code,
+         list_transform(generate_series(1, dsub), i -> sc.v[ms.m * dsub + i]) AS cv
+  FROM ms, sc, dd0),
+{rounds},
+dF AS (
+  SELECT e.vec_id, cb.m, cb.code,
+    sum((e.v[cb.m * dsub + d.i] - cb.cv[d.i])
+        * (e.v[cb.m * dsub + d.i] - cb.cv[d.i])) AS dd
+  FROM e, {final} cb, dims d, dd0 GROUP BY e.vec_id, cb.m, cb.code),
+aF AS (
+  SELECT vec_id, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY dd ASC, code ASC) AS rn
+    FROM dF) t WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qids})),
+cand AS (
+  SELECT q.qid, a.vec_id,
+         CAST(sum(q.qv[a.m * dsub + d.i] * cb.cv[d.i]) AS BIGINT) AS score
+  FROM q CROSS JOIN aF a
+       JOIN {final} cb ON cb.m = a.m AND cb.code = a.code
+       CROSS JOIN dims d CROSS JOIN dd0
+  WHERE a.vec_id <> q.qid
+  GROUP BY q.qid, a.vec_id)
+SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+  FROM cand) r WHERE rank <= {ANN_K}"""
+
+
 SPARK_QUERIES.update({"ann_ivf": q_ann_ivf, "ann_ivf_probe2": q_ann_ivf_probe2,
                       "ann_ivf_kmeans": q_ann_ivf_kmeans,
+                      "ann_pq": q_ann_pq,
                       "cell_rollup": q_cell_rollup})
 ORACLES.update({"ann_ivf": _ann_ivf_oracle(),
                 "ann_ivf_probe2": _ann_ivf_probe2_oracle(),
                 "ann_ivf_kmeans": _ann_ivf_kmeans_oracle(),
+                "ann_pq": _ann_pq_oracle(),
                 "cell_rollup": _cell_rollup_oracle()})

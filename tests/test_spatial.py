@@ -452,3 +452,50 @@ def test_kmeans_centroids_learn_blobs_and_feed_ivf(spark):
         for rank, (neg, v) in enumerate(sorted(cand)[:4], 1):
             expected[(qid, rank)] = (v, -neg)
     assert got == expected
+
+
+def test_ann_pq_recall_and_scan_shape(spark):
+    """PQ/ADC search: (a) reasonable recall vs brute force on clustered
+    vectors, (b) the search plan is a SCAN — exactly one Python stage (the
+    encode UDF), no Exchange before the final top-k window."""
+    import numpy as np
+
+    from elevation_service_spark.operators.similarity import (
+        ann_brute_topk, ann_pq_topk, pq_train)
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 1, (6, 64))
+    rows = []
+    for i in range(240):
+        v = centers[i % 6] + rng.normal(0, 0.15, 64)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qids = [0, 1, 2]
+    cbs = pq_train(emb, iters=2)
+    got = ann_pq_topk(emb, qids, k=10, codebooks=cbs)
+    brute = ann_brute_topk(emb, qids, k=10)
+    b = {(r["qid"], r["vec_id"]) for r in brute.collect()}
+    # plain ADC: coarse — codes collapse intra-cluster ranking to ties, so
+    # top-10-of-40-member-cluster recall has a ~0.25 tie-pick floor; pin a
+    # loose sanity bound (the ORACLE pins arithmetic exactness, not recall)
+    g = {(r["qid"], r["vec_id"]) for r in got.collect()}
+    adc_recall = len(g & b) / len(b)
+    assert adc_recall >= 0.25, f"ADC recall {adc_recall} vs brute"
+    # production shape: ADC shortlist (R=50) -> exact integer-dot rerank;
+    # the shortlist captures the right cluster, the rerank restores order
+    rr = ann_pq_topk(emb, qids, k=10, codebooks=cbs, rerank=50)
+    gr = {(r["qid"], r["vec_id"]) for r in rr.collect()}
+    rr_recall = len(gr & b) / len(b)
+    assert rr_recall >= 0.8, f"rerank recall {rr_recall} vs brute"
+    # reranked scores are EXACT: equal to brute for every common pair
+    brute_scores = {(r["qid"], r["vec_id"]): r["score"]
+                    for r in brute.collect()}
+    for r in rr.collect():
+        key = (r["qid"], r["vec_id"])
+        if key in brute_scores:
+            assert r["score"] == brute_scores[key], key
+    for df in (got, rr):  # encode is the ONLY Python stage
+        plan = (df._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0])  # AQE appends the pre-plan
+        assert plan.count("ArrowEvalPython") == 1, plan
+        assert "BatchEvalPython" not in plan
