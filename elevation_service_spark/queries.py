@@ -453,6 +453,8 @@ _DEMOTED = [
                          # family driver-evidenced by quality_filter
     "ann_pq",            # new r4 PQ/ADC search; parity-gated here, ANN
                          # family driver-evidenced by ann_topk/lsh/ivf(+kmeans)
+    "stream_stream_join",  # new r4; parity-gated here, streaming family
+                           # driver-evidenced by the three gated drains
 ]
 
 

@@ -161,13 +161,63 @@ def _tile_stats_stream_oracle() -> str:
     return _TILE_STATS_STREAM_ORACLE.format(pts_cte=_PTS_CTE)
 
 
+SSJ_WINDOW_H = 6
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (r4 — the remaining core Structured
+    Streaming surface): events split by id parity into two file-source
+    streams, inner-joined on user_id with an event-time bound (b within
+    [a.ts, a.ts + 6h]).  Both sides carry watermarks (the state-cleanup
+    contract a production deployment needs — without the time bound +
+    watermarks, stream-stream join state grows forever); determinism
+    under the gate comes from availableNow draining each side in one
+    batch, so the watermark never classifies a row late and the emitted
+    inner-join set equals the batch join exactly — which is the oracle."""
+    base = tempfile.mkdtemp(prefix="sparkgraft_ssjoin_")
+    src_a, src_b, out, ckpt = (os.path.join(base, d)
+                               for d in ("a", "b", "out", "ckpt"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(src_a)
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(src_b)
+    sa = (spark.readStream.schema(ev.schema).parquet(src_a)
+          .withWatermark("ts", "1 hour").alias("a"))
+    sb = (spark.readStream.schema(ev.schema).parquet(src_b)
+          .withWatermark("ts", "1 hour").alias("b"))
+    j = sa.join(sb, F.expr(
+        "a.user_id = b.user_id AND b.ts >= a.ts "
+        f"AND b.ts <= a.ts + interval {SSJ_WINDOW_H} hours"))
+    out_df = j.select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("a_id"), F.col("b.event_id").alias("b_id"),
+        F.unix_micros(F.col("a.ts")).alias("a_ts_us"),
+        F.unix_micros(F.col("b.ts")).alias("b_ts_us"))
+    _drain(out_df, out, ckpt)
+    return spark.read.parquet(out)
+
+
+_SSJ_ORACLE = f"""WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+a AS (SELECT * FROM e WHERE event_id % 2 = 0),
+b AS (SELECT * FROM e WHERE event_id % 2 = 1)
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+       a.ts_us AS a_ts_us, b.ts_us AS b_ts_us
+FROM a JOIN b ON b.user_id = a.user_id
+  AND b.ts_us >= a.ts_us
+  AND b.ts_us <= a.ts_us + {SSJ_WINDOW_H} * 3600000000"""
+
+
 SPARK_QUERIES = {
     "elevation_stream": q_elevation_stream,
     "sessionize_stream": q_sessionize_stream,
     "tile_stats_stream": q_tile_stats_stream,
+    "stream_stream_join": q_stream_stream_join,
 }
 ORACLES = {
     "elevation_stream": _BILINEAR_ORACLE,
     "sessionize_stream": _SESSIONIZE_STREAM_ORACLE,
     "tile_stats_stream": _tile_stats_stream_oracle(),
+    "stream_stream_join": _SSJ_ORACLE,
 }
