@@ -451,10 +451,13 @@ _DEMOTED = [
                          # driver-evidenced by pip/pip_bucketed
     "repetition_stats",  # new r4 signals; parity-gated here, text-signal
                          # family driver-evidenced by quality_filter
-    "ann_pq",            # new r4 PQ/ADC search; parity-gated here, ANN
-                         # family driver-evidenced by ann_topk/lsh/ivf(+kmeans)
-    "stream_stream_join",  # new r4; parity-gated here, streaming family
-                           # driver-evidenced by the three gated drains
+    # r4 second rotation: the two flagship new capabilities (ann_pq,
+    # stream_stream_join) take head slots so they earn driver-gate rows
+    # THIS round; these two r1-r3-driver-proven queries rotate out with
+    # family-adjacent head coverage (fingerprint covers doc
+    # fingerprinting; lsh_pairs/simhash_pairs cover pair verification).
+    "winnow_fingerprints",  # r1-r3-driver-proven MOSS winnowing
+    "jaccard_pairs",        # r1-r3-driver-proven exact pair verify
 ]
 
 

@@ -65,7 +65,8 @@ def test_gate_order_covers_all_component_families():
         "image_features", "audio_features", "frame_sample_plan",
         "raster_points", "resumable_enrich",
         "dedup_exact", "lsh_pairs", "neardup_clusters",
-        "ann_topk", "ann_lsh", "ann_ivf", "ann_ivf_kmeans",
+        "ann_topk", "ann_lsh", "ann_ivf", "ann_ivf_kmeans", "ann_pq",
+        "stream_stream_join",
         "knn", "pip", "pip_bucketed",
         "asof_join", "train_split",
         "contamination_check", "top_trigrams_lang",
