@@ -458,6 +458,10 @@ _DEMOTED = [
     # fingerprinting; lsh_pairs/simhash_pairs cover pair verification).
     "winnow_fingerprints",  # r1-r3-driver-proven MOSS winnowing
     "jaccard_pairs",        # r1-r3-driver-proven exact pair verify
+    "distinct_stats",    # r1-r3-driver-proven; aggregation family stays
+                         # covered by tile_stats/pricing_summary/rollup
+                         # (slot freed for corpus_upsert — the maintenance
+                         # family's first gated query)
 ]
 
 

@@ -818,6 +818,49 @@ SPARK_QUERIES["repetition_stats"] = q_repetition_stats
 ORACLES["repetition_stats"] = _REPETITION_ORACLE
 
 
+def q_corpus_upsert(spark, sf_dir):
+    """Maintenance: MERGE-style latest-wins upsert (r4) — a new crawl
+    batch updates a third of the corpus (version 1 beats version 0) and
+    inserts brand-new docs; one union + one key-partitioned window, no
+    join.  First gated query for the maintenance family."""
+    from .operators.merge import upsert_latest
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source")
+    base = docs.withColumn("version", F.lit(0).cast("long"))
+    upd_mod = (docs.filter(F.col("doc_id") % 3 == 0)
+               .withColumn("text", F.concat(F.lit("v2 "), F.col("text")))
+               .withColumn("version", F.lit(1).cast("long")))
+    upd_new = (docs.filter(F.col("doc_id") % 7 == 0)
+               .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       F.concat(F.lit("new "), F.col("text")).alias("text"),
+                       "lang", "source")
+               .withColumn("version", F.lit(1).cast("long")))
+    merged = upsert_latest(base, upd_mod.unionByName(upd_new))
+    return merged.select("doc_id", "version",
+                         F.length("text").cast("long").alias("text_len"),
+                         "lang", "source")
+
+
+_CORPUS_UPSERT_ORACLE = """WITH base AS (
+  SELECT doc_id, text, lang, source, 0 AS version FROM documents),
+upd AS (
+  SELECT doc_id, 'v2 ' || text AS text, lang, source, 1 AS version
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'new ' || text, lang, source, 1
+  FROM documents WHERE doc_id % 7 = 0),
+u AS (SELECT *, 1 AS _src FROM upd UNION ALL SELECT *, 0 AS _src FROM base),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY version DESC, _src DESC) AS rn
+      FROM u)
+SELECT doc_id, CAST(version AS BIGINT) AS version,
+       CAST(length(text) AS BIGINT) AS text_len, lang, source
+FROM r WHERE rn = 1"""
+
+SPARK_QUERIES["corpus_upsert"] = q_corpus_upsert
+ORACLES["corpus_upsert"] = _CORPUS_UPSERT_ORACLE
+
+
 def q_source_quality(spark, sf_dir):
     """Per-source curation rollup: how many docs each crawl source
     contributes and how many survive the quality gate — the table a data

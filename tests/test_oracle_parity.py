@@ -68,7 +68,7 @@ def test_gate_order_covers_all_component_families():
         "ann_topk", "ann_lsh", "ann_ivf", "ann_ivf_kmeans", "ann_pq",
         "stream_stream_join",
         "knn", "pip", "pip_bucketed",
-        "asof_join", "train_split",
+        "asof_join", "train_split", "corpus_upsert",
         "contamination_check", "top_trigrams_lang",
         # r4 rotation: the five formerly-demoted distinct compositions
         "quality_filter", "source_quality", "embedding_survivors",

@@ -489,3 +489,24 @@ def test_repetition_stats_semantics_and_plan(spark):
     assert got[4]["dup2_milli"] == 600   # 5 occurrences, 2 distinct -> floor(3000/5)
     plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_upsert_latest_semantics(spark):
+    """MERGE latest-wins: highest version per key survives; on a version
+    tie the updates side beats base; duplicate keys INSIDE the update
+    batch resolve to the highest version; unmatched keys insert."""
+    from elevation_service_spark.operators.merge import upsert_latest
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 5), (3, "c", 0)], ["doc_id", "text", "version"])
+    upd = spark.createDataFrame(
+        [(1, "a2", 1),           # higher version -> wins
+         (2, "b2", 5),           # TIE with base -> update wins
+         (4, "d", 0),            # new key -> insert
+         (4, "d2", 2)],          # in-batch dup key -> highest version
+        ["doc_id", "text", "version"])
+    got = {r["doc_id"]: (r["text"], r["version"])
+           for r in upsert_latest(base, upd, version_col="version").collect()}
+    assert got == {1: ("a2", 1), 2: ("b2", 5), 3: ("c", 0), 4: ("d2", 2)}
+    import pytest
+    with pytest.raises(ValueError, match="schema mismatch"):
+        upsert_latest(base, upd.drop("text"))
