@@ -156,6 +156,35 @@ def q_dedup_pipeline_capped(spark, sf_dir):
     return simhash_near_pairs(docs, max_bucket=64)
 
 
+def q_pip_bucketed_big(spark, sf_dir):
+    """The redesigned group-delivery bucketed PIP (VERDICT r3 #1) at an
+    adversarial shape: one 10k-vertex polygon x 200k candidate points in
+    its bbox.  The r3 form moved ~32 GB of ring bytes through the shuffle
+    here (O(candidates x vertices)); the group form shuffles only point
+    coords and joins rings onto O(cells x shards) group rows, so this row
+    tracks that staying flat round-over-round."""
+    import math
+
+    from elevation_service_spark.operators.pip import pip_assign_bucketed
+    n_vert = 10_000
+    ring = [[0.5 + 0.45 * math.cos(2 * math.pi * i / n_vert),
+             0.5 + 0.45 * math.sin(2 * math.pi * i / n_vert)]
+            for i in range(n_vert)]
+    ring.append(ring[0])
+    gj = json.dumps({"type": "Polygon", "coordinates": [ring]})
+    polys = spark.createDataFrame(
+        [("BIG", gj, 0.05, 0.05, 0.95, 0.95)],
+        ["poly_id", "geojson", "minx", "miny", "maxx", "maxy"])
+    pts = spark.range(200_000).selectExpr(
+        "id AS pid",
+        "0.05 + ((id * 7919) % 9000) / 10000.0 AS lat",
+        "0.05 + ((id * 104729) % 9000) / 10000.0 AS lon")
+    # ONE covering cell here, so groups = shards: match the core count
+    # (the default 8/cell is tuned for many-cell inputs where cells x 8
+    # already saturates; this row exercises the degenerate-cell dial)
+    return pip_assign_bucketed(pts, polys, shards_per_cell=CPUS)
+
+
 def streaming_drain_bench(spark, sf_dir):
     """Streaming-surface throughput (VERDICT r3 #7): the stateless
     stream-static flagship — bench-scale points streamed from a parquet
@@ -206,6 +235,7 @@ BENCH_QUERIES = {
     "lsh_capped_pathological": q_lsh_capped_pathological,
     "knn_hotcell": q_knn_hotcell,
     "dedup_pipeline_capped": q_dedup_pipeline_capped,
+    "pip_bucketed_big": q_pip_bucketed_big,
 }
 
 

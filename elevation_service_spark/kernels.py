@@ -380,23 +380,40 @@ def haversine_m(lat1, lon1, lat2, lon2) -> np.ndarray:
     return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(a))
 
 
-def point_in_ring(lat: np.ndarray, lon: np.ndarray, ring: np.ndarray) -> np.ndarray:
+def point_in_ring(lat: np.ndarray, lon: np.ndarray, ring: np.ndarray,
+                  block_elems: int = 4_000_000) -> np.ndarray:
     """Vectorized even-odd ray casting: points (N,) vs one ring (M,2) of
     (lon,lat) vertices (GeoJSON order, closed or open).  Boundary points
-    follow the strict crossing rule (documented in FIXTURES.md §5)."""
+    follow the strict crossing rule (documented in FIXTURES.md §5).
+
+    Edges are processed in blocks of ~``block_elems`` N x M_chunk pair
+    cells: a single N x M broadcast materializes HALF A DOZEN 2-GB
+    intermediates for 25k points x 10k vertices (the very shape the
+    bucketed PIP's sharded groups produce) and thrashes the allocator.
+    Bit-identical to the unblocked form — per-edge crossing booleans are
+    unchanged and their integer sum is order-free."""
     ring = np.asarray(ring, dtype=np.float64)
     if ring.shape[0] > 1 and np.array_equal(ring[0], ring[-1]):
         ring = ring[:-1]
     px = np.asarray(lon, np.float64)[:, None]
     py = np.asarray(lat, np.float64)[:, None]
-    x1 = ring[:, 0][None, :]
-    y1 = ring[:, 1][None, :]
-    x2 = np.roll(ring[:, 0], -1)[None, :]
-    y2 = np.roll(ring[:, 1], -1)[None, :]
-    cond = (y1 > py) != (y2 > py)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
-    crossings = np.sum(cond & (px < xint), axis=1)
+    n = px.shape[0]
+    m = ring.shape[0]
+    x1a = ring[:, 0]
+    y1a = ring[:, 1]
+    x2a = np.roll(x1a, -1)
+    y2a = np.roll(y1a, -1)
+    step = max(1, block_elems // max(1, n))
+    crossings = np.zeros(n, dtype=np.int64)
+    for s in range(0, m, step):
+        x1 = x1a[s:s + step][None, :]
+        y1 = y1a[s:s + step][None, :]
+        x2 = x2a[s:s + step][None, :]
+        y2 = y2a[s:s + step][None, :]
+        cond = (y1 > py) != (y2 > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        crossings += np.sum(cond & (px < xint), axis=1)
     return (crossings % 2) == 1
 
 

@@ -200,10 +200,23 @@ def pip_assign_bucketed(points: DataFrame, polygons: DataFrame,
             .filter((F.col("lon") >= F.col("minx")) & (F.col("lon") <= F.col("maxx"))
                     & (F.col("lat") >= F.col("miny")) & (F.col("lat") <= F.col("maxy"))))
     shard = F.pmod(F.hash("lat", "lon"), F.lit(int(shards_per_cell)))
+    # the LAST exchange before the kernel must spread on the FULL group
+    # key: group rows are tiny in BYTES (point arrays) but heavy in
+    # ray-cast COMPUTE, and both AQE's byte-based partition coalescing and
+    # the geom join's hash-on-poly_id-only partitioning otherwise pack the
+    # shards of one polygon into a single task and run them serially
+    # (measured 25-30 s for a job whose groups total ~2 s of parallel
+    # kernel work).  An explicit-count repartition is exempt from AQE
+    # coalescing; placing it ABOVE the join keeps one compute-heavy group
+    # per core, at the documented cost of ring bytes crossing this
+    # exchange once per group — still O(groups), never per candidate.
+    spark = points.sparkSession
     grouped = (cand
                .groupBy("poly_id", "cx", "cy", shard.alias("_shard"))
                .agg(F.collect_list(F.struct(*id_cols, "lat", "lon")).alias("_pts"))
-               .join(geom, "poly_id"))
+               .join(geom, "poly_id")
+               .repartition(spark.sparkContext.defaultParallelism,
+                            "poly_id", "cx", "cy", "_shard"))
 
     schema = T.StructType([points.schema[c] for c in id_cols]
                           + [T.StructField("lat", T.DoubleType(), False),
