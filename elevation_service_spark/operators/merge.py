@@ -28,18 +28,25 @@ from pyspark.sql import functions as F
 
 def upsert_latest(base: DataFrame, updates: DataFrame,
                   key_col: str = "doc_id",
-                  version_col: str = "version") -> DataFrame:
+                  version_col: str = "version",
+                  tiebreak_cols: tuple[str, ...] = ()) -> DataFrame:
     """Latest-wins merge of ``updates`` into ``base``: one row per key,
     the row with the highest ``version`` (updates beat base on equal
     version — the MERGE "WHEN MATCHED" rule).  Both inputs must share a
     schema containing key_col and version_col.  Returns the merged table
-    (same schema, plus nothing — the bookkeeping columns are dropped)."""
+    (same schema, plus nothing — the bookkeeping columns are dropped).
+
+    If ONE SIDE can contain several rows with the same (key, version),
+    pass ``tiebreak_cols`` (compared ascending after version/side) to
+    make the survivor deterministic across reruns and partitionings;
+    without it such in-side ties pick an arbitrary row."""
     if set(base.columns) != set(updates.columns):
         raise ValueError(f"schema mismatch: {base.columns} vs {updates.columns}")
     tagged = (base.withColumn("_src", F.lit(0))
               .unionByName(updates.withColumn("_src", F.lit(1))))
     w = Window.partitionBy(key_col).orderBy(
-        F.col(version_col).desc(), F.col("_src").desc())
+        F.col(version_col).desc(), F.col("_src").desc(),
+        *[F.col(c).asc() for c in tiebreak_cols])
     return (tagged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_src"))

@@ -176,10 +176,7 @@ def kmeans_centroids(emb: DataFrame, k: int, iters: int = 5,
             ent[1] += int(r["n"])
         new = dict(cents)  # empty clusters keep their previous centroid
         for cid, (svec, n) in sums.items():
-            # integer mean, round half away from zero — exact and stable
-            new[cid] = [int((2 * s + n) // (2 * n)) if s >= 0
-                        else -int((2 * -s + n) // (2 * n))
-                        for s in svec.tolist()]
+            new[cid] = [_int_mean(int(s), n) for s in svec.tolist()]
         cents = sorted(new.items())
     return cents
 
@@ -213,14 +210,17 @@ def pq_train(emb: DataFrame, m: int = PQ_M, k: int = PQ_K, iters: int = 2,
     replay training bit-for-bit (queries_training.ann_pq)."""
     base = (emb.select(F.col(id_col).alias("vec_id"),
                        _quant(F.col(vec_col)).alias("ev")))
-    dim = base.agg(F.max(F.size("ev"))).collect()[0][0]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    d_sub = dim // m
     bucket = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(salt)))
     seed_rows = (base.withColumn("_b", bucket)
                  .orderBy("_b", "vec_id").limit(k)
                  .select("vec_id", "ev").collect())
+    if not seed_rows:
+        raise ValueError("pq_train: empty embeddings table")
+    # dim comes free from the seed collect — no extra full-corpus scan
+    dim = len(seed_rows[0]["ev"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
     seeds = [r["ev"] for r in sorted(seed_rows, key=lambda r: r["vec_id"])]
     cbs = [[(c, [int(x) for x in sv[mm * d_sub:(mm + 1) * d_sub]])
             for c, sv in enumerate(seeds)] for mm in range(m)]
@@ -326,6 +326,12 @@ def ann_pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     qrows = {r["vec_id"]: r["ev"]
              for r in enc.filter(F.col("vec_id").isin(qids))
              .select("vec_id", "ev").collect()}
+    # query ids absent from the corpus simply return no rows (the same
+    # contract as ann_brute/lsh/ivf), never a driver KeyError
+    qids = [q for q in qids if q in qrows]
+    if not qids:
+        return emb.sparkSession.createDataFrame(
+            [], "qid long, rank int, vec_id long, score long")
     score_cols = []
     for q in qids:
         qv = qrows[q]
@@ -334,7 +340,11 @@ def ann_pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
             qsub = qv[mm * d_sub:(mm + 1) * d_sub]
             lut = [sum(int(a) * int(b) for a, b in zip(qsub, cv))
                    for _, cv in codebooks[mm]]  # k ints: the ADC table
-            term = F.element_at(F.array(*[F.lit(v) for v in lut]),
+            # each literal is cast to LONG so the m-term sum accumulates
+            # 64-bit like _dot does — int32-sized LUT entries would
+            # otherwise sum in IntegerType and wrap for large-magnitude
+            # embeddings (silently diverging from the BIGINT oracle)
+            term = F.element_at(F.array(*[F.lit(v).cast("long") for v in lut]),
                                 F.element_at(F.col("codes"), mm + 1) + 1)
             parts = term if parts is None else parts + term
         score_cols.append(parts.cast("long"))

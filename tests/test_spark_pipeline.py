@@ -510,3 +510,14 @@ def test_upsert_latest_semantics(spark):
     import pytest
     with pytest.raises(ValueError, match="schema mismatch"):
         upsert_latest(base, upd.drop("text"))
+
+
+def test_upsert_tiebreak_determinism(spark):
+    """In-side (key, version) duplicates resolve by the caller-declared
+    tiebreak column, ascending — stable across reruns/partitionings."""
+    from elevation_service_spark.operators.merge import upsert_latest
+    base = spark.createDataFrame([(1, "zz", 0)], ["doc_id", "text", "version"])
+    upd = spark.createDataFrame(
+        [(1, "b", 2), (1, "a", 2)], ["doc_id", "text", "version"])
+    got = upsert_latest(base, upd, tiebreak_cols=("text",)).collect()
+    assert [(r["doc_id"], r["text"], r["version"]) for r in got] == [(1, "a", 2)]

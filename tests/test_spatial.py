@@ -499,3 +499,20 @@ def test_ann_pq_recall_and_scan_shape(spark):
                 .split("== Initial Plan ==")[0])  # AQE appends the pre-plan
         assert plan.count("ArrowEvalPython") == 1, plan
         assert "BatchEvalPython" not in plan
+
+
+def test_ann_pq_long_scores_and_missing_qid(spark):
+    """(a) ADC scores accumulate 64-bit: with component magnitude ~6 the
+    4-subspace sum exceeds 2^31 and must come back as the exact positive
+    integer, not an int32 wrap; (b) query ids absent from the corpus emit
+    no rows instead of a driver KeyError (the family-wide contract)."""
+    from elevation_service_spark.operators.similarity import ann_pq_topk
+    rows = [(i, [6.0] * 64) for i in range(3)] + [(3, [5.0] * 64)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # k=1 codebook per subspace centred on the 6.0 vectors
+    cbs = [[(0, [6000] * 16)] for _ in range(4)]
+    got = ann_pq_topk(emb, [0, 999], k=3, codebooks=cbs).collect()
+    assert {r["qid"] for r in got} == {0}      # 999 absent -> no rows, no crash
+    exp = 64 * 6000 * 6000                      # 2.304e9 > 2^31
+    assert all(r["score"] == exp for r in got), got
+    assert ann_pq_topk(emb, [999], k=3, codebooks=cbs).count() == 0
