@@ -521,3 +521,32 @@ def test_upsert_tiebreak_determinism(spark):
         [(1, "b", 2), (1, "a", 2)], ["doc_id", "text", "version"])
     got = upsert_latest(base, upd, tiebreak_cols=("text",)).collect()
     assert [(r["doc_id"], r["text"], r["version"]) for r in got] == [(1, "a", 2)]
+
+
+def test_upsert_random_replay_matches_dict_semantics(spark):
+    """Property-style replay: random base/update batches vs a Python dict
+    reference applying the same latest-wins rule (version desc, updates
+    beat base on ties, in-batch dups by the tiebreak column)."""
+    import random
+
+    from elevation_service_spark.operators.merge import upsert_latest
+
+    rng = random.Random(17)
+    for trial in range(3):
+        base_rows = [(k, f"b{rng.randrange(100)}", rng.randrange(4))
+                     for k in rng.sample(range(40), 25)]
+        upd_rows = [(rng.randrange(50), f"u{rng.randrange(100)}", rng.randrange(4))
+                    for _ in range(30)]
+        base = spark.createDataFrame(base_rows, ["doc_id", "text", "version"])
+        upd = spark.createDataFrame(upd_rows, ["doc_id", "text", "version"])
+        got = {r["doc_id"]: (r["text"], r["version"])
+               for r in upsert_latest(base, upd,
+                                      tiebreak_cols=("text",)).collect()}
+        # reference: rank tuples exactly as the window orders them
+        ref: dict = {}
+        for src, rows in ((0, base_rows), (1, upd_rows)):
+            for k, text, ver in rows:
+                cand = (-ver, -src, text)
+                if k not in ref or cand < ref[k][0]:
+                    ref[k] = (cand, (text, ver))
+        assert got == {k: v for k, (_, v) in ref.items()}, f"trial {trial}"
