@@ -154,29 +154,52 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
     """(id, fp) — distinct winnowed rolling-hash fingerprints per document
     (the Karp-Rabin + winnowing scheme of MOSS): hash every K-token window
-    with a polynomial rolling hash over dictionary codes, then keep the min
-    hash of every W consecutive window hashes.  Integer-only -> the DuckDB
-    oracle recomputes it exactly.  Built from lead() windows — shuffles
-    once on the doc id, scales with documents."""
-    from pyspark.sql import Window
-    from .dedup import token_codes
-    codes = token_codes(docs, id_col, text_col)
-    w = Window.partitionBy("id").orderBy("pos")
-    h = None
-    for j in range(WINNOW_K):
+    with a polynomial rolling hash over md5-derived token codes, then keep
+    the min hash of every W consecutive window hashes.  Integer-only ->
+    the DuckDB oracle recomputes it exactly.
+
+    WINDOW-FREE (r4): built entirely from array higher-order functions
+    over the split token array — per-token codes via transform, K-gram
+    hashes via transform over a position sequence, the W-min via
+    array_min(slice(...)), dedup via array_distinct — so NOTHING shuffles
+    except the final per-doc explode's consumers.  The r1-r3 form ran
+    lead() over Window.partitionBy(doc), hash-shuffling every token row;
+    at 100 TB that shuffle dwarfs everything downstream (same lesson as
+    ngram_shingles, VERDICT r2 #3).  Docs shorter than K+W-1 tokens emit
+    no rows (unchanged contract)."""
+    from .dedup import token_code_col
+    # each stage materializes as a REAL column before the next consumes it:
+    # referencing an array-valued expression inside an outer transform's
+    # lambda re-evaluates the WHOLE inner expression per element (no CSE
+    # across lambda elements — measured O(n^2) per doc, 60x slower), while
+    # a projected column evaluates once per row
+    codes_c = F.transform(F.split(F.col(text_col), " "),
+                          lambda t: token_code_col(t))
+    step1 = docs.select(F.col(id_col).alias("id"), codes_c.alias("_codes"))
+    codes = F.col("_codes")
+    n = F.size(codes)
+
+    def khash(i):
         # per-term mod: codes are hash values up to P (~2^31), so an
-        # unreduced 4-term sum of code*pow products would overflow int64
-        term = (F.lead("code", j).over(w)
-                * F.lit(pow(WINNOW_B, WINNOW_K - 1 - j, WINNOW_P))) % F.lit(WINNOW_P)
-        h = term if h is None else h + term
-    hashed = (codes.withColumn("_t", F.lead("code", WINNOW_K - 1).over(w))
-              .withColumn("h", h % F.lit(WINNOW_P))
-              .filter(F.col("_t").isNotNull()))
-    wmin = (hashed.withColumn(
-        "fp", F.min("h").over(w.rowsBetween(0, WINNOW_W - 1)))
-        .withColumn("_last", F.lead("h", WINNOW_W - 1).over(w))
-        .filter(F.col("_last").isNotNull()))
-    return wmin.select("id", "fp").distinct()
+        # unreduced K-term sum of code*pow products would overflow int64
+        acc = None
+        for j in range(WINNOW_K):
+            term = (F.element_at(codes, i + F.lit(j))
+                    * F.lit(pow(WINNOW_B, WINNOW_K - 1 - j, WINNOW_P))) % F.lit(WINNOW_P)
+            acc = term if acc is None else acc + term
+        return acc % F.lit(WINNOW_P)
+
+    h_c = F.when(n >= WINNOW_K,
+                 F.transform(F.sequence(F.lit(1), n - F.lit(WINNOW_K - 1)), khash)) \
+           .otherwise(F.array().cast("array<long>"))
+    step2 = step1.select("id", h_c.alias("_h"))
+    h = F.col("_h")
+    nh = F.size(h)
+    fps = F.when(nh >= WINNOW_W,
+                 F.transform(F.sequence(F.lit(1), nh - F.lit(WINNOW_W - 1)),
+                             lambda j: F.array_min(F.slice(h, j, WINNOW_W)))) \
+           .otherwise(F.array().cast("array<long>"))
+    return step2.select("id", F.explode(F.array_distinct(fps)).alias("fp"))
 
 
 # --- train/test contamination check ------------------------------------------

@@ -209,6 +209,18 @@ def test_contamination_split_filter_below_shingle_explode(spark):
             "md5 split filter not pushed below the shingle explode"
 
 
+def test_winnow_is_window_and_shuffle_free(spark):
+    """r4: winnowing fingerprints are pure array-HOF per-doc arithmetic —
+    the token-row Window shuffle of the r1-r3 form is gone.  Plan must
+    contain no Window and no Exchange at all."""
+    from elevation_service_spark.operators.text import winnow_fingerprints
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(winnow_fingerprints(docs))
+    assert "Window" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan
+
+
 def test_pair_queries_single_tokenize_no_window(spark):
     """VERDICT r2 #3: simhash_pairs and jaccard_pairs must not re-tokenize
     the corpus per branch.  simhash_pairs fuses minhash+simhash into one
