@@ -462,6 +462,9 @@ _DEMOTED = [
                          # covered by tile_stats/pricing_summary/rollup
                          # (slot freed for corpus_upsert — the maintenance
                          # family's first gated query)
+    "stream_stream_join_outer",  # new r4; parity-gated here, streaming
+                                 # family driver-evidenced incl. the inner
+                                 # stream-stream join in the head
 ]
 
 

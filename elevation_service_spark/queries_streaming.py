@@ -209,15 +209,75 @@ FROM a JOIN b ON b.user_id = a.user_id
   AND b.ts_us <= a.ts_us + {SSJ_WINDOW_H} * 3600000000"""
 
 
+def q_stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join (r4): watermark-driven null
+    emission — the semantics a production join needs for "no match ever
+    arrived".  Null rows for an unmatched left emit only once the global
+    watermark proves no admissible right can still match; under
+    availableNow the final no-data batch performs that eviction, so the
+    emitted set is CLOSED-FORM: matched pairs plus unmatched lefts with
+    ``a.ts + window < wm`` where wm = min(max_a, max_b) - delay (the
+    global watermark is the MIN across both inputs' per-side watermarks,
+    ms-floored — derived empirically against this exact dataset and
+    encoded in the oracle).  Lefts newer than that stay in state,
+    unemitted — exactly what a restarted production query would still owe."""
+    base = tempfile.mkdtemp(prefix="sparkgraft_ssjoino_")
+    src_a, src_b, out, ckpt = (os.path.join(base, d)
+                               for d in ("a", "b", "out", "ckpt"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(src_a)
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(src_b)
+    sa = (spark.readStream.schema(ev.schema).parquet(src_a)
+          .withWatermark("ts", "1 hour").alias("a"))
+    sb = (spark.readStream.schema(ev.schema).parquet(src_b)
+          .withWatermark("ts", "1 hour").alias("b"))
+    j = sa.join(sb, F.expr(
+        "a.user_id = b.user_id AND b.ts >= a.ts "
+        f"AND b.ts <= a.ts + interval {SSJ_WINDOW_H} hours"), "left_outer")
+    out_df = j.select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("a_id"), F.col("b.event_id").alias("b_id"),
+        F.unix_micros(F.col("a.ts")).alias("a_ts_us"),
+        F.unix_micros(F.col("b.ts")).alias("b_ts_us"))
+    _drain(out_df, out, ckpt)
+    return spark.read.parquet(out)
+
+
+_SSJ_OUTER_ORACLE = f"""WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+a AS (SELECT * FROM e WHERE event_id % 2 = 0),
+b AS (SELECT * FROM e WHERE event_id % 2 = 1),
+wm AS (SELECT ((least((SELECT max(ts_us) FROM a),
+                      (SELECT max(ts_us) FROM b)) // 1000)
+               - 3600000) * 1000 AS wm_us),
+m AS (
+  SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+         a.ts_us AS a_ts_us, b.ts_us AS b_ts_us
+  FROM a JOIN b ON b.user_id = a.user_id
+    AND b.ts_us >= a.ts_us
+    AND b.ts_us <= a.ts_us + {SSJ_WINDOW_H} * 3600000000)
+SELECT * FROM m
+UNION ALL
+SELECT a.user_id, a.event_id AS a_id, CAST(NULL AS BIGINT) AS b_id,
+       a.ts_us AS a_ts_us, CAST(NULL AS BIGINT) AS b_ts_us
+FROM a, wm
+WHERE a.event_id NOT IN (SELECT a_id FROM m)
+  AND a.ts_us + {SSJ_WINDOW_H} * 3600000000 < wm.wm_us"""
+
+
 SPARK_QUERIES = {
     "elevation_stream": q_elevation_stream,
     "sessionize_stream": q_sessionize_stream,
     "tile_stats_stream": q_tile_stats_stream,
     "stream_stream_join": q_stream_stream_join,
+    "stream_stream_join_outer": q_stream_stream_join_outer,
 }
 ORACLES = {
     "elevation_stream": _BILINEAR_ORACLE,
     "sessionize_stream": _SESSIONIZE_STREAM_ORACLE,
     "tile_stats_stream": _tile_stats_stream_oracle(),
     "stream_stream_join": _SSJ_ORACLE,
+    "stream_stream_join_outer": _SSJ_OUTER_ORACLE,
 }
