@@ -465,6 +465,8 @@ _DEMOTED = [
     "stream_stream_join_outer",  # new r4; parity-gated here, streaming
                                  # family driver-evidenced incl. the inner
                                  # stream-stream join in the head
+    "dedup_stream",      # new r4 streaming dedup; parity-gated here,
+                         # streaming + dedup families head-covered
 ]
 
 

@@ -267,12 +267,51 @@ WHERE a.event_id NOT IN (SELECT a_id FROM m)
   AND a.ts_us + {SSJ_WINDOW_H} * 3600000000 < wm.wm_us"""
 
 
+DEDUP_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+DEDUP_BOILER = "the same boilerplate footer repeated across the crawl"
+
+
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup (r4): the on-the-fly crawl dedup an LLM-data
+    pipeline runs as batches arrive — documents streamed from files,
+    deduplicated on their content fingerprint with
+    dropDuplicatesWithinWatermark (bounded state: fingerprints expire once
+    the watermark passes their event time + delay, unlike a plain
+    dropDuplicates whose state grows with the corpus forever).  Emitted
+    set = one row per distinct fingerprint; projecting ONLY the
+    fingerprint makes the output independent of which duplicate arrived
+    first, so the batch DISTINCT is the exact oracle."""
+    base = tempfile.mkdtemp(prefix="sparkgraft_dstream_")
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # a third of the stream is identical boilerplate (the documents table
+    # has no exact dups of its own) so the dedup state does real work
+    text = F.when(F.col("doc_id") % 3 == 0, F.lit(DEDUP_BOILER)) \
+            .otherwise(F.col("text"))
+    docs = load(spark, sf_dir, "documents").select(
+        F.md5(text).alias("fingerprint"),
+        F.timestamp_micros(F.lit(DEDUP_BASE_US)
+                           + F.col("doc_id") * 1_000_000).alias("ts"))
+    docs.write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(docs.schema).parquet(src)
+              .withWatermark("ts", "1 hour"))
+    deduped = stream.dropDuplicatesWithinWatermark(["fingerprint"])
+    _drain(deduped.select("fingerprint"), out, ckpt)
+    return spark.read.parquet(out)
+
+
+_DEDUP_STREAM_ORACLE = f"""SELECT DISTINCT md5(
+  CASE WHEN doc_id % 3 = 0 THEN '{DEDUP_BOILER}' ELSE text END)
+  AS fingerprint FROM documents"""
+
+
 SPARK_QUERIES = {
     "elevation_stream": q_elevation_stream,
     "sessionize_stream": q_sessionize_stream,
     "tile_stats_stream": q_tile_stats_stream,
     "stream_stream_join": q_stream_stream_join,
     "stream_stream_join_outer": q_stream_stream_join_outer,
+    "dedup_stream": q_dedup_stream,
 }
 ORACLES = {
     "elevation_stream": _BILINEAR_ORACLE,
@@ -280,4 +319,5 @@ ORACLES = {
     "tile_stats_stream": _tile_stats_stream_oracle(),
     "stream_stream_join": _SSJ_ORACLE,
     "stream_stream_join_outer": _SSJ_OUTER_ORACLE,
+    "dedup_stream": _DEDUP_STREAM_ORACLE,
 }
