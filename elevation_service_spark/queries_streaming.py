@@ -162,19 +162,17 @@ def _tile_stats_stream_oracle() -> str:
 
 
 SSJ_WINDOW_H = 6
+# ONE source of truth for the join watermark delay: interpolated into both
+# withWatermark() strings AND the outer oracle's wm CTE (a bare literal in
+# any one of them would silently break hash parity if the others changed)
+SSJ_WATERMARK_MIN = 60
 
 
-def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAM-STREAM interval join (r4 — the remaining core Structured
-    Streaming surface): events split by id parity into two file-source
-    streams, inner-joined on user_id with an event-time bound (b within
-    [a.ts, a.ts + 6h]).  Both sides carry watermarks (the state-cleanup
-    contract a production deployment needs — without the time bound +
-    watermarks, stream-stream join state grows forever); determinism
-    under the gate comes from availableNow draining each side in one
-    batch, so the watermark never classifies a row late and the emitted
-    inner-join set equals the batch join exactly — which is the oracle."""
-    base = tempfile.mkdtemp(prefix="sparkgraft_ssjoin_")
+def _ssj(spark: SparkSession, sf_dir: str, how: str, prefix: str) -> DataFrame:
+    """Shared builder for the stream-stream interval joins: events split
+    by id parity into two watermarked file-source streams, joined on
+    user_id with the event-time bound, drained via availableNow."""
+    base = tempfile.mkdtemp(prefix=prefix)
     src_a, src_b, out, ckpt = (os.path.join(base, d)
                                for d in ("a", "b", "out", "ckpt"))
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -182,13 +180,14 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
     ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(src_a)
     ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(src_b)
+    wm = f"{SSJ_WATERMARK_MIN} minutes"
     sa = (spark.readStream.schema(ev.schema).parquet(src_a)
-          .withWatermark("ts", "1 hour").alias("a"))
+          .withWatermark("ts", wm).alias("a"))
     sb = (spark.readStream.schema(ev.schema).parquet(src_b)
-          .withWatermark("ts", "1 hour").alias("b"))
+          .withWatermark("ts", wm).alias("b"))
     j = sa.join(sb, F.expr(
         "a.user_id = b.user_id AND b.ts >= a.ts "
-        f"AND b.ts <= a.ts + interval {SSJ_WINDOW_H} hours"))
+        f"AND b.ts <= a.ts + interval {SSJ_WINDOW_H} hours"), how)
     out_df = j.select(
         F.col("a.user_id").alias("user_id"),
         F.col("a.event_id").alias("a_id"), F.col("b.event_id").alias("b_id"),
@@ -196,6 +195,18 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("b.ts")).alias("b_ts_us"))
     _drain(out_df, out, ckpt)
     return spark.read.parquet(out)
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (r4 — the remaining core Structured
+    Streaming surface): inner join on user_id with an event-time bound
+    (b within [a.ts, a.ts + 6h]).  Both sides carry watermarks (the
+    state-cleanup contract a production deployment needs — without the
+    time bound + watermarks, stream-stream join state grows forever);
+    determinism under the gate comes from availableNow draining each side
+    in one batch, so the watermark never classifies a row late and the
+    emitted inner-join set equals the batch join exactly — the oracle."""
+    return _ssj(spark, sf_dir, "inner", "sparkgraft_ssjoin_")
 
 
 _SSJ_ORACLE = f"""WITH e AS (
@@ -221,28 +232,7 @@ def q_stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ms-floored — derived empirically against this exact dataset and
     encoded in the oracle).  Lefts newer than that stay in state,
     unemitted — exactly what a restarted production query would still owe."""
-    base = tempfile.mkdtemp(prefix="sparkgraft_ssjoino_")
-    src_a, src_b, out, ckpt = (os.path.join(base, d)
-                               for d in ("a", "b", "out", "ckpt"))
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = load(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
-    ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(src_a)
-    ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(src_b)
-    sa = (spark.readStream.schema(ev.schema).parquet(src_a)
-          .withWatermark("ts", "1 hour").alias("a"))
-    sb = (spark.readStream.schema(ev.schema).parquet(src_b)
-          .withWatermark("ts", "1 hour").alias("b"))
-    j = sa.join(sb, F.expr(
-        "a.user_id = b.user_id AND b.ts >= a.ts "
-        f"AND b.ts <= a.ts + interval {SSJ_WINDOW_H} hours"), "left_outer")
-    out_df = j.select(
-        F.col("a.user_id").alias("user_id"),
-        F.col("a.event_id").alias("a_id"), F.col("b.event_id").alias("b_id"),
-        F.unix_micros(F.col("a.ts")).alias("a_ts_us"),
-        F.unix_micros(F.col("b.ts")).alias("b_ts_us"))
-    _drain(out_df, out, ckpt)
-    return spark.read.parquet(out)
+    return _ssj(spark, sf_dir, "left_outer", "sparkgraft_ssjoino_")
 
 
 _SSJ_OUTER_ORACLE = f"""WITH e AS (
@@ -251,7 +241,7 @@ a AS (SELECT * FROM e WHERE event_id % 2 = 0),
 b AS (SELECT * FROM e WHERE event_id % 2 = 1),
 wm AS (SELECT ((least((SELECT max(ts_us) FROM a),
                       (SELECT max(ts_us) FROM b)) // 1000)
-               - 3600000) * 1000 AS wm_us),
+               - {SSJ_WATERMARK_MIN} * 60000) * 1000 AS wm_us),
 m AS (
   SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
          a.ts_us AS a_ts_us, b.ts_us AS b_ts_us
@@ -280,7 +270,12 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicates whose state grows with the corpus forever).  Emitted
     set = one row per distinct fingerprint; projecting ONLY the
     fingerprint makes the output independent of which duplicate arrived
-    first, so the batch DISTINCT is the exact oracle."""
+    first.  Oracle equivalence to the batch DISTINCT ALSO depends on
+    availableNow draining everything in ONE micro-batch (same contract as
+    the stream-stream joins): the synthetic event times span more than the
+    watermark delay, so a multi-batch drain (e.g. maxFilesPerTrigger)
+    would expire early keys from state and legitimately re-emit later
+    duplicates — correct streaming semantics, different set."""
     base = tempfile.mkdtemp(prefix="sparkgraft_dstream_")
     src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
     spark.conf.set("spark.sql.session.timeZone", "UTC")
