@@ -36,6 +36,32 @@ def _force(df) -> int:
     return 0
 
 
+def _stage_totals(spark):
+    """Cumulative stage-level execution metrics from the AppStatusStore
+    (works for noop-sink writes, where the executed-plan walker in
+    tests/test_spatial.py can't see the write's QueryExecution).  Deltas
+    of these sums around each query make bench regressions mechanically
+    attributable: same plan + same shuffle bytes + same task count but
+    2x wall time = host weather, not a plan change (VERDICT r4 #1)."""
+    sc = spark.sparkContext
+    try:
+        sc._jsc.sc().listenerBus().waitUntilEmpty()  # flush async bus
+    except Exception:
+        pass
+    store = sc._jsc.sc().statusStore()
+    jlist = sc._gateway.jvm.java.util.ArrayList()
+    defaults = [getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
+    lst = store.stageList(jlist, *defaults)
+    tot = {"shuffle_write_bytes": 0, "tasks": 0, "executor_run_ms": 0}
+    it = lst.iterator()
+    while it.hasNext():
+        s = it.next()
+        tot["shuffle_write_bytes"] += s.shuffleWriteBytes()
+        tot["tasks"] += s.numCompleteTasks()
+        tot["executor_run_ms"] += s.executorRunTime()
+    return tot
+
+
 # --- bench-scale flagship: 8 points per lineitem row (sf0.1 -> 600k rows) ---
 
 _PID = "(l_orderkey * 8 + l_linenumber)"
@@ -156,16 +182,10 @@ def q_dedup_pipeline_capped(spark, sf_dir):
     return simhash_near_pairs(docs, max_bucket=64)
 
 
-def q_pip_bucketed_big(spark, sf_dir):
-    """The redesigned group-delivery bucketed PIP (VERDICT r3 #1) at an
-    adversarial shape: one 10k-vertex polygon x 200k candidate points in
-    its bbox.  The r3 form moved ~32 GB of ring bytes through the shuffle
-    here (O(candidates x vertices)); the group form shuffles only point
-    coords and joins rings onto O(cells x shards) group rows, so this row
-    tracks that staying flat round-over-round."""
+def _big_pip_inputs(spark):
+    """One 10k-vertex polygon x 200k candidate points in its bbox — the
+    adversarial group-delivery shape (VERDICT r3 #1)."""
     import math
-
-    from elevation_service_spark.operators.pip import pip_assign_bucketed
     n_vert = 10_000
     ring = [[0.5 + 0.45 * math.cos(2 * math.pi * i / n_vert),
              0.5 + 0.45 * math.sin(2 * math.pi * i / n_vert)]
@@ -179,10 +199,33 @@ def q_pip_bucketed_big(spark, sf_dir):
         "id AS pid",
         "0.05 + ((id * 7919) % 9000) / 10000.0 AS lat",
         "0.05 + ((id * 104729) % 9000) / 10000.0 AS lon")
+    return pts, polys
+
+
+def q_pip_bucketed_big(spark, sf_dir):
+    """The redesigned group-delivery bucketed PIP (VERDICT r3 #1) at an
+    adversarial shape: one 10k-vertex polygon x 200k candidate points in
+    its bbox.  The r3 form moved ~32 GB of ring bytes through the shuffle
+    here (O(candidates x vertices)); the group form shuffles only point
+    coords and joins rings onto O(cells x shards) group rows, so this row
+    tracks that staying flat round-over-round."""
+    from elevation_service_spark.operators.pip import pip_assign_bucketed
+    pts, polys = _big_pip_inputs(spark)
     # ONE covering cell here, so groups = shards: match the core count
     # (the default 8/cell is tuned for many-cell inputs where cells x 8
     # already saturates; this row exercises the degenerate-cell dial)
     return pip_assign_bucketed(pts, polys, shards_per_cell=CPUS)
+
+
+def q_pip_bucketed_big_shards8(spark, sf_dir):
+    """Same adversarial PIP shape with the DEFAULT shards_per_cell=8: the
+    round-over-round control for the explicit-count-repartition lesson
+    (VERDICT r4 #7).  With one covering cell, 8 shards use 8 of the 32
+    cores — the gap between this row and pip_bucketed_big IS the measured
+    value of matching shards to cores on degenerate-cell inputs."""
+    from elevation_service_spark.operators.pip import pip_assign_bucketed
+    pts, polys = _big_pip_inputs(spark)
+    return pip_assign_bucketed(pts, polys)  # default shards_per_cell=8
 
 
 def streaming_drain_bench(spark, sf_dir):
@@ -236,21 +279,26 @@ BENCH_QUERIES = {
     "knn_hotcell": q_knn_hotcell,
     "dedup_pipeline_capped": q_dedup_pipeline_capped,
     "pip_bucketed_big": q_pip_bucketed_big,
+    "pip_bucketed_big_shards8": q_pip_bucketed_big_shards8,
 }
 
 
 def run_suite(spark, sf_dir):
-    times = {}
+    times, plan_metrics = {}, {}
     # warm-up (JIT, ALL python workers, tile build) — excluded.  A limited
     # warm-up only spins up one worker; the full job warms all of them.
     _force(q_flagship_enrich(spark, sf_dir))
     all_queries = dict(BENCH_QUERIES)
     all_queries.update(_registry_queries())
+    before = _stage_totals(spark)
     for name, fn in all_queries.items():
         t0 = time.time()
         _force(fn(spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
-    return times
+        after = _stage_totals(spark)
+        plan_metrics[name] = {k: after[k] - before[k] for k in after}
+        before = after
+    return times, plan_metrics
 
 
 def flagship_rows(spark, sf_dir) -> int:
@@ -361,10 +409,15 @@ def main():
         return
     from elevation_service_spark.session import get_spark
     cpu_before = _host_cpu_score()
-    spark = get_spark(app="bench", cpus=CPUS)
+    # retain every stage for the whole suite: _stage_totals computes deltas
+    # of CUMULATIVE sums, and the default 1000-stage eviction would make
+    # the sums shrink mid-suite (negative deltas) once ~80 queries ran
+    spark = get_spark(app="bench", cpus=CPUS,
+                      extra_conf={"spark.ui.retainedStages": "100000",
+                                  "spark.ui.retainedJobs": "100000"})
     n = flagship_rows(spark, SF_DIR)
     t_total0 = time.time()
-    times = run_suite(spark, SF_DIR)
+    times, plan_metrics = run_suite(spark, SF_DIR)
     total = round(time.time() - t_total0, 3)
     cpu_after = _host_cpu_score()
     flag = times.get("flagship_enrich") or 1e-9
@@ -389,6 +442,11 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
+        # per-query stage-metric deltas (shuffle write bytes, completed
+        # tasks, summed executor run ms) captured from the AppStatusStore
+        # around each timed run: same plan metrics + different wall time
+        # across rounds = host weather, not a plan change (VERDICT r4 #1)
+        "plan_metrics": plan_metrics,
         "sf": SF_DIR,
         "cpus": CPUS,
         "flagship_points": n,

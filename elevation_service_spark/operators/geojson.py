@@ -368,6 +368,16 @@ def add_elevation_docs(docs: DataFrame, tiles: DataFrame, *,
                 max_doc_bytes=max_doc_bytes,
                 broadcast_bytes_threshold=broadcast_bytes_threshold,
                 _tiles_bytes=sz)
+        if strategy == "fused":
+            # the caller asked for the map-only single-pass plan by name;
+            # the fallback is a materially different plan (shuffling,
+            # double-parse) — downgrade loudly, not silently (ADVICE r4)
+            import warnings
+            warnings.warn(
+                f"add_elevation_docs: strategy='fused' downgraded to the "
+                f"flatten/enrich/reassemble pipeline — tile table is {sz} "
+                f"bytes > broadcast threshold {broadcast_bytes_threshold}",
+                RuntimeWarning, stacklevel=2)
         strategy = "auto"  # oversize: pipeline + enrich's own size probe
     flat = flatten_geojson(docs, max_doc_bytes=max_doc_bytes)
     # forward the caller's driver-memory bound: enrich's broadcast-vs-

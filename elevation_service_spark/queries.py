@@ -447,26 +447,31 @@ _DEMOTED = [
     "track_cumlen",      # r3-driver-proven running sums; window family stays
                          # covered by sessionize/top_customers (slot freed
                          # for the new ann_ivf_kmeans gate row)
-    "pip_oversize",      # new r4 report; parity-gated here, PIP family
-                         # driver-evidenced by pip/pip_bucketed
-    "repetition_stats",  # new r4 signals; parity-gated here, text-signal
-                         # family driver-evidenced by quality_filter
-    # r4 second rotation: the two flagship new capabilities (ann_pq,
-    # stream_stream_join) take head slots so they earn driver-gate rows
-    # THIS round; these two r1-r3-driver-proven queries rotate out with
-    # family-adjacent head coverage (fingerprint covers doc
-    # fingerprinting; lsh_pairs/simhash_pairs cover pair verification).
-    "winnow_fingerprints",  # r1-r3-driver-proven MOSS winnowing
-    "jaccard_pairs",        # r1-r3-driver-proven exact pair verify
     "distinct_stats",    # r1-r3-driver-proven; aggregation family stays
                          # covered by tile_stats/pricing_summary/rollup
                          # (slot freed for corpus_upsert — the maintenance
                          # family's first gated query)
-    "stream_stream_join_outer",  # new r4; parity-gated here, streaming
-                                 # family driver-evidenced incl. the inner
-                                 # stream-stream join in the head
-    "dedup_stream",      # new r4 streaming dedup; parity-gated here,
-                         # streaming + dedup families head-covered
+    # r5 rotation (VERDICT r4 task 2): the six r4-era parity-tail queries
+    # (repetition_stats, pip_oversize, stream_stream_join_outer,
+    # dedup_stream, winnow_fingerprints, jaccard_pairs) move INTO the
+    # 50-row head to earn current-round driver rows; these six
+    # r4-driver-proven queries take their tail slots.  Family coverage
+    # stays in the head: text signals by text_stats + repetition_stats,
+    # survivor/CC by neardup_clusters, LSH by lsh_pairs + lsh_oversize's
+    # semantics twin, fingerprinting by winnow_fingerprints.
+    "quality_filter",    # r4-driver-proven; text family head-covered by
+                         # text_stats + repetition_stats
+    "source_quality",    # r4-driver-proven; per-source rollup twin of
+                         # quality_filter
+    "embedding_survivors",  # r4-driver-proven; survivor family covered by
+                            # neardup_clusters in the head
+    "neardup_clusters_star",  # r4-driver-proven; CC family covered by
+                              # neardup_clusters (same oracle)
+    "lsh_oversize",      # r4-driver-proven; LSH family covered by
+                         # lsh_pairs; oversize-report shape now
+                         # head-evidenced by pip_oversize
+    "fingerprint",       # r1-r4-driver-proven; fingerprint family covered
+                         # by winnow_fingerprints in the head
 ]
 
 

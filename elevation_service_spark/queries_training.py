@@ -159,7 +159,11 @@ def q_lang_id(spark, sf_dir):
     return text.lang_id(load(spark, sf_dir, "documents"))
 
 
-def _langid_oracle() -> str:
+def _lang_sql_parts() -> tuple[str, str]:
+    """(score_exprs, chain) — the ONE definition site for the lang-ID
+    argmax SQL, mirroring text.lang_argmax (VERDICT r4 #8): both the
+    lang_id and quality_filter oracles are generated from this, so the
+    Spark chain and its two DuckDB replays cannot drift."""
     langs = sorted(text.LANG_MARKERS)
     score_exprs = ", ".join(
         "len(list_filter(string_split(text, ' '), t -> t IN ({m}))) AS s_{l}".format(
@@ -174,10 +178,16 @@ def _langid_oracle() -> str:
             op = ">=" if other > lang else ">"
             conds.append(f"s_{lang} {op} s_{other}")
         chain.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return score_exprs, " ".join(chain)
+
+
+def _langid_oracle() -> str:
+    langs = sorted(text.LANG_MARKERS)
+    score_exprs, chain_sql = _lang_sql_parts()
     greatest = ", ".join(f"s_{l}" for l in langs)
     return f"""WITH s AS (SELECT doc_id AS id, lang AS lang_given, {score_exprs} FROM documents)
 SELECT id, lang_given,
-  CASE {' '.join(chain)} ELSE 'und' END AS lang_pred,
+  CASE {chain_sql} ELSE 'und' END AS lang_pred,
   CAST(greatest({greatest}) AS BIGINT) AS score
 FROM s"""
 
@@ -744,20 +754,7 @@ def q_quality_filter(spark, sf_dir):
 
 
 def _quality_filter_oracle() -> str:
-    langs = sorted(text.LANG_MARKERS)
-    score_exprs = ", ".join(
-        "len(list_filter(string_split(text, ' '), t -> t IN ({m}))) AS s_{l}".format(
-            m=", ".join(f"'{w}'" for w in text.LANG_MARKERS[l]), l=l)
-        for l in langs)
-    chain = []
-    for lang in langs:
-        conds = [f"s_{lang} > 0"]
-        for other in langs:
-            if other == lang:
-                continue
-            op = ">=" if other > lang else ">"
-            conds.append(f"s_{lang} {op} s_{other}")
-        chain.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    score_exprs, chain_sql = _lang_sql_parts()
     return f"""WITH s AS (SELECT doc_id AS id,
   len(string_split(text, ' ')) AS n_tok,
   len(list_distinct(string_split(text, ' '))) AS n_uniq,
@@ -770,7 +767,7 @@ p AS (SELECT id,
   CAST(floor(n_uniq * 1000 / n_tok) AS BIGINT) AS uniq_milli,
   CAST(n_stop AS BIGINT) AS n_stopwords,
   CAST(floor(sum_len * 1000 / n_tok) AS BIGINT) AS avg_milli,
-  CASE {' '.join(chain)} ELSE 'und' END AS lang_pred
+  CASE {chain_sql} ELSE 'und' END AS lang_pred
   FROM s),
 r AS (SELECT *, concat_ws(',',
     CASE WHEN n_tokens < {text.QF_MIN_TOKENS} THEN 'TOO_SHORT' END,

@@ -244,11 +244,21 @@ def test_fused_broadcast_guard_and_auto_routing(spark):
     # (a) auto -> fused on a small tile set: map-only plan
     auto_df = add_elevation_docs(docs, tiles, strategy="auto")
     assert "Exchange" not in auto_df._jdf.queryExecution().executedPlan().toString()
-    # (b) tiny threshold forces the pipeline fallback — still correct rows
+    # (b) tiny threshold forces the pipeline fallback — still correct
+    # rows, and the downgrade of an EXPLICITLY requested fused plan is
+    # loud (ADVICE r4: callers relying on the map-only form must see it)
     small = sorted(map(tuple, auto_df.collect()))
-    piped = sorted(map(tuple, add_elevation_docs(
-        docs, tiles, strategy="fused", broadcast_bytes_threshold=10).collect()))
+    with pytest.warns(RuntimeWarning, match="downgraded"):
+        piped_df = add_elevation_docs(
+            docs, tiles, strategy="fused", broadcast_bytes_threshold=10)
+    piped = sorted(map(tuple, piped_df.collect()))
     assert small == piped
+    # auto's size-probed routing is a CHOICE, not a downgrade: no warning
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        add_elevation_docs(docs, tiles, strategy="auto",
+                           broadcast_bytes_threshold=10)
     # (c) direct fused call refuses an over-threshold table loudly
     with pytest.raises(ValueError, match="broadcast threshold"):
         add_elevation_docs_fused(docs, tiles, broadcast_bytes_threshold=10)

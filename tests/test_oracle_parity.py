@@ -70,9 +70,13 @@ def test_gate_order_covers_all_component_families():
         "knn", "pip", "pip_bucketed",
         "asof_join", "train_split", "corpus_upsert",
         "contamination_check", "top_trigrams_lang",
-        # r4 rotation: the five formerly-demoted distinct compositions
-        "quality_filter", "source_quality", "embedding_survivors",
-        "neardup_clusters_star", "lsh_oversize",
+        # r5 rotation: the six r4-era parity-tail queries earn their
+        # current-round driver rows (VERDICT r4 task 2); the five r4
+        # rotated-ins hold r4 rows and moved back to the tail.
+        "repetition_stats", "pip_oversize", "stream_stream_join_outer",
+        "dedup_stream", "winnow_fingerprints", "jaccard_pairs",
+        # text-signal family head anchor after quality_filter's demotion
+        "text_stats",
     ]
     for name in must_gate:
         assert order.index(name) < 50, f"{name} at {order.index(name)} >= 50"

@@ -489,6 +489,34 @@ def test_repetition_stats_semantics_and_plan(spark):
     assert got[4]["dup2_milli"] == 600   # 5 occurrences, 2 distinct -> floor(3000/5)
     plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+    # no-CSE-across-lambda-elements guard (ADVICE r4): split/array_sort
+    # must each appear exactly ONCE in the optimized plan — a split
+    # referenced inside a HOF lambda would re-evaluate per element
+    opt = repetition_stats(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(") == 1 and opt.count("array_sort") == 1
+
+
+def test_repetition_stats_long_doc_bounded(spark):
+    """VERDICT r4 #3: the top-token term must be O(n log n), not
+    O(tokens^2) per document.  A single ~50k-token document under the old
+    filter-per-distinct-token form costs ~2.5e9 comparisons inside ONE row
+    (minutes); the sorted-run form completes in seconds.  Also pins the
+    run-length fold against a Python reference on a skew-heavy token mix."""
+    import collections
+    import time
+
+    from elevation_service_spark.operators.text import repetition_stats
+
+    rng = [((i * 7919) % 9973) for i in range(50_000)]  # ~10k distinct
+    text = " ".join(f"t{v}" for v in rng)
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    t0 = time.time()
+    row = repetition_stats(docs).collect()[0]
+    wall = time.time() - t0
+    cnt = collections.Counter(text.split(" "))
+    assert row["n_tokens"] == 50_000
+    assert row["top_tok_milli"] == max(cnt.values()) * 1000 // 50_000
+    assert wall < 30, f"50k-token doc took {wall:.1f}s — quadratic regression?"
 
 
 def test_upsert_latest_semantics(spark):
@@ -510,6 +538,16 @@ def test_upsert_latest_semantics(spark):
     import pytest
     with pytest.raises(ValueError, match="schema mismatch"):
         upsert_latest(base, upd.drop("text"))
+    # reserved bookkeeping names must be rejected, not silently clobbered
+    # (ADVICE r4: withColumn REPLACES an existing _src, corrupting the
+    # updates-beat-base survivor rule)
+    from pyspark.sql import functions as F
+    with pytest.raises(ValueError, match="_src"):
+        upsert_latest(base.withColumn("_src", F.lit(9)),
+                      upd.withColumn("_src", F.lit(9)))
+    with pytest.raises(ValueError, match="_rn"):
+        upsert_latest(base.withColumn("_rn", F.lit(9)),
+                      upd.withColumn("_rn", F.lit(9)))
 
 
 def test_upsert_tiebreak_determinism(spark):

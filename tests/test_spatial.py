@@ -501,6 +501,48 @@ def test_ann_pq_recall_and_scan_shape(spark):
         assert "BatchEvalPython" not in plan
 
 
+def test_ann_pq_large_q_flat_plan_bit_identical(spark):
+    """VERDICT r4 #4: above PQ_EXPR_MAX_Q queries the ADC scoring must
+    move to the broadcast-LUT Arrow path with a plan that stays FLAT in
+    query count (the literal-column form grows linearly and would blow up
+    Catalyst analysis at thousands of queries), and both paths must
+    produce bit-identical (qid, rank, vec_id, score) rows on the same
+    queries."""
+    import numpy as np
+
+    from elevation_service_spark.operators.similarity import (
+        PQ_EXPR_MAX_Q, ann_pq_topk, pq_train)
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 64)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+    cbs = pq_train(emb, iters=1)
+    small_q = list(range(PQ_EXPR_MAX_Q))           # expression path
+    big_q = list(range(PQ_EXPR_MAX_Q + 200))       # Arrow path (264 > 64)
+    small_df = ann_pq_topk(emb, small_q, k=5, codebooks=cbs)
+    big_df = ann_pq_topk(emb, big_q, k=5, codebooks=cbs)
+    # flat plan: 4x the queries must NOT grow the plan text (the LUT rides
+    # a broadcast variable, the qid mapping a broadcast join)
+    len_small = len(small_df._jdf.queryExecution().optimizedPlan().toString())
+    len_big = len(big_df._jdf.queryExecution().optimizedPlan().toString())
+    assert len_big < len_small, (len_small, len_big)
+    # bit-identical on the overlap (the first PQ_EXPR_MAX_Q queries)
+    exp = {(r["qid"], r["rank"]): (r["vec_id"], r["score"])
+           for r in small_df.collect()}
+    got = {(r["qid"], r["rank"]): (r["vec_id"], r["score"])
+           for r in big_df.collect() if r["qid"] < PQ_EXPR_MAX_Q}
+    assert got == exp
+    # rerank path too: broadcast exact-rescore == literal-HOF rescore
+    small_rr = ann_pq_topk(emb, small_q[:3], k=5, codebooks=cbs, rerank=20)
+    big_rr = ann_pq_topk(emb, big_q, k=5, codebooks=cbs, rerank=20)
+    exp_rr = {(r["qid"], r["rank"]): (r["vec_id"], r["score"])
+              for r in small_rr.collect()}
+    got_rr = {(r["qid"], r["rank"]): (r["vec_id"], r["score"])
+              for r in big_rr.collect() if r["qid"] < 3}
+    assert got_rr == exp_rr
+    emb.unpersist()
+
+
 def test_ann_pq_long_scores_and_missing_qid(spark):
     """(a) ADC scores accumulate 64-bit: with component magnitude ~6 the
     4-subspace sum exceeds 2^31 and must come back as the exact positive
