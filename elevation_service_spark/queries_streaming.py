@@ -37,7 +37,8 @@ from .sources.tiles import fixture_tiles_df
 from .queries import load, _derived_points, _BILINEAR_ORACLE
 
 
-def _drain(stream_df: DataFrame, out: str, ckpt: str, timeout_s: int = 600):
+def _drain(stream_df: DataFrame, out: str, ckpt: str, timeout_s: int = 600,
+           expect_single_data_batch: bool = False):
     q = (stream_df.writeStream.format("parquet")
          .option("path", out).option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
@@ -48,6 +49,21 @@ def _drain(stream_df: DataFrame, out: str, ckpt: str, timeout_s: int = 600):
         raise TimeoutError(
             f"streaming drain did not finish within {timeout_s}s "
             f"(checkpoint {ckpt}); refusing to read a partial sink")
+    if expect_single_data_batch:
+        # the stream-stream-join and dedup oracles are closed forms that
+        # hold ONLY when availableNow drains all data in one micro-batch
+        # (a multi-batch drain advances the watermark mid-stream and
+        # legitimately changes the emitted set).  A Spark upgrade or a
+        # maxFilesPerTrigger set elsewhere must fail HERE with a clear
+        # message, not downstream as an inscrutable hash mismatch
+        # (ADVICE r4).
+        data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(data_batches) != 1:
+            raise RuntimeError(
+                f"streaming drain ran {len(data_batches)} data micro-batches "
+                "(expected exactly 1): the closed-form oracle no longer "
+                "describes this drain — check trigger/maxFilesPerTrigger/"
+                "Spark availableNow semantics")
 
 
 def q_elevation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,7 +209,7 @@ def _ssj(spark: SparkSession, sf_dir: str, how: str, prefix: str) -> DataFrame:
         F.col("a.event_id").alias("a_id"), F.col("b.event_id").alias("b_id"),
         F.unix_micros(F.col("a.ts")).alias("a_ts_us"),
         F.unix_micros(F.col("b.ts")).alias("b_ts_us"))
-    _drain(out_df, out, ckpt)
+    _drain(out_df, out, ckpt, expect_single_data_batch=True)
     return spark.read.parquet(out)
 
 
@@ -229,9 +245,11 @@ def q_stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted set is CLOSED-FORM: matched pairs plus unmatched lefts with
     ``a.ts + window < wm`` where wm = min(max_a, max_b) - delay (the
     global watermark is the MIN across both inputs' per-side watermarks,
-    ms-floored — derived empirically against this exact dataset and
-    encoded in the oracle).  Lefts newer than that stay in state,
-    unemitted — exactly what a restarted production query would still owe."""
+    ms-floored; the strict `<` and the floor are pinned at the +-1ms
+    boundary by tests/test_streaming.py::test_ssj_outer_watermark_boundary,
+    so a Spark watermark-semantics drift fails that test, not this hash).
+    Lefts newer than that stay in state, unemitted — exactly what a
+    restarted production query would still owe."""
     return _ssj(spark, sf_dir, "left_outer", "sparkgraft_ssjoino_")
 
 
@@ -291,7 +309,8 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (spark.readStream.schema(docs.schema).parquet(src)
               .withWatermark("ts", "1 hour"))
     deduped = stream.dropDuplicatesWithinWatermark(["fingerprint"])
-    _drain(deduped.select("fingerprint"), out, ckpt)
+    _drain(deduped.select("fingerprint"), out, ckpt,
+           expect_single_data_batch=True)
     return spark.read.parquet(out)
 
 

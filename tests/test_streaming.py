@@ -90,3 +90,123 @@ def test_streaming_windowed_tile_stats(spark, tmp_path):
     rows = got.collect()
     assert all(r["n_ok"] <= r["n_points"] for r in rows)
     assert len(rows) > 0
+
+
+def test_ssj_outer_watermark_boundary(spark, tmp_path):
+    """VERDICT r4 #5: pin Spark's left-outer stream-stream eviction
+    inequality at the +-1ms boundary.  The gate oracle encodes
+    wm = (ms-floor of min(max_a, max_b)) - delay and emits an unmatched
+    left iff a.ts + window < wm (STRICT).  Synthesize unmatched lefts
+    whose (a.ts + window) lands at wm-1ms / wm / wm+1ms and assert only
+    the first emits a null row; the max timestamps carry +500us so a
+    non-floored watermark would ALSO emit the wm case — catching both an
+    off-by-one in the inequality and a drift in the ms-floor across Spark
+    upgrades."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    def ts(h, m, s, us=0):
+        return datetime.datetime(2024, 1, 1, h, m, s, us)
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False)])
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # delay 10 min, window 1 h; both sides' max ts = 12:00:00.000500
+    # -> wm = floor_ms(12:00:00.000500) - 10 min = 11:50:00.000
+    left_rows = [
+        (1, 101, ts(10, 49, 59, 999_000)),   # a+1h = 11:49:59.999 < wm  -> emit
+        (2, 102, ts(10, 50, 0, 0)),          # a+1h = 11:50:00.000 == wm -> hold
+        (3, 103, ts(10, 50, 0, 1_000)),      # a+1h = 11:50:00.001 > wm  -> hold
+        (4, 5, ts(11, 0, 0)),                # matched pair control
+        (5, 998, ts(12, 0, 0, 500)),         # left max pad (unmatched, > wm)
+    ]
+    right_rows = [
+        (11, 5, ts(11, 30, 0)),              # matches event 4
+        (12, 999, ts(12, 0, 0, 500)),        # right max pad (no left partner)
+    ]
+    src_a, src_b = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.createDataFrame(left_rows, schema).write.parquet(src_a)
+    spark.createDataFrame(right_rows, schema).write.parquet(src_b)
+    sa = (spark.readStream.schema(schema).parquet(src_a)
+          .withWatermark("ts", "10 minutes").alias("a"))
+    sb = (spark.readStream.schema(schema).parquet(src_b)
+          .withWatermark("ts", "10 minutes").alias("b"))
+    j = sa.join(sb, F.expr(
+        "a.user_id = b.user_id AND b.ts >= a.ts "
+        "AND b.ts <= a.ts + interval 1 hours"), "left_outer")
+    out_df = j.select(F.col("a.event_id").alias("a_id"),
+                      F.col("b.event_id").alias("b_id"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (out_df.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300)
+    got = spark.read.parquet(out).collect()
+    nulls = sorted(r["a_id"] for r in got if r["b_id"] is None)
+    matched = sorted((r["a_id"], r["b_id"]) for r in got if r["b_id"] is not None)
+    assert matched == [(4, 11)]
+    # ONLY the strictly-below-boundary left emits; == wm held in state
+    # proves the inequality is strict AND the watermark is ms-floored
+    assert nulls == [1], f"eviction boundary drifted: null a_ids = {nulls}"
+
+
+def test_dedup_stream_reemits_exactly_after_watermark_expiry(spark, tmp_path):
+    """VERDICT r4 #9: the documented multi-batch dropDuplicatesWithinWatermark
+    contract, as a test — a duplicate arriving in a LATER batch re-emits
+    exactly when the watermark already expired its key (event_ts + delay <
+    watermark), and stays suppressed while the key is still in state.
+    Batch boundaries are forced by two sequential availableNow runs over
+    one checkpoint.  Run 1 (X@t0, Z@t0+90m, W@t0+3h) leaves the watermark
+    at max_ts - delay = t0+2h: X's state (expires t0+1h) is evicted, Z's
+    (expires t0+2h30m) survives.  Run 2 re-sends X and Z at t0+3h: X
+    re-emits, Z stays suppressed."""
+    import datetime
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def iso(minutes):
+        return (t0 + datetime.timedelta(minutes=minutes)).strftime(
+            "%Y-%m-%dT%H:%M:%S")
+
+    schema = T.StructType([
+        T.StructField("fingerprint", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False)])
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tmp_path / "docs"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for fp, mins in rows:
+                f.write(_json.dumps({"fingerprint": fp, "ts": iso(mins)}) + "\n")
+
+    def run_once():
+        stream = (spark.readStream.schema(schema).json(str(src))
+                  .withWatermark("ts", "1 hour"))
+        q = (stream.dropDuplicatesWithinWatermark(["fingerprint"])
+             .select("fingerprint", F.unix_micros("ts").alias("ts_us"))
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+
+    write_batch("b0.json", [("X", 0), ("Z", 90), ("W", 180)])
+    run_once()
+    write_batch("b1.json", [("X", 180), ("Z", 180)])
+    run_once()
+    got = sorted((r["fingerprint"], r["ts_us"])
+                 for r in spark.read.parquet(out).collect())
+    us = lambda mins: (1_704_067_200 + mins * 60) * 1_000_000  # noqa: E731
+    assert got == [
+        ("W", us(180)),            # first sight
+        ("X", us(0)),              # first sight in run 1
+        ("X", us(180)),            # RE-EMITTED: key expired before run 2
+        ("Z", us(90)),             # first sight; run-2 dup suppressed
+    ], got
