@@ -386,34 +386,61 @@ def point_in_ring(lat: np.ndarray, lon: np.ndarray, ring: np.ndarray,
     (lon,lat) vertices (GeoJSON order, closed or open).  Boundary points
     follow the strict crossing rule (documented in FIXTURES.md §5).
 
-    Edges are processed in blocks of ~``block_elems`` N x M_chunk pair
-    cells: a single N x M broadcast materializes HALF A DOZEN 2-GB
-    intermediates for 25k points x 10k vertices (the very shape the
-    bucketed PIP's sharded groups produce) and thrashes the allocator.
-    Bit-identical to the unblocked form — per-edge crossing booleans are
-    unchanged and their integer sum is order-free."""
+    Interval-stabbing formulation (r5; was an N x M_chunk broadcast): an
+    edge straddles a point's scan line iff py lies in [min(y1,y2),
+    max(y1,y2)) — exactly the (y1 > py) != (y2 > py) crossing test — so
+    with the points SORTED by y, each edge's straddled points are ONE
+    contiguous searchsorted range.  The straddling pairs are materialized
+    by gather (for a convex ring ~2 per point; never the N*M pair grid),
+    the crossing abscissa (py-y1)*(x2-x1)/(y2-y1)+x1 is evaluated only on
+    them with the operation order unchanged (IEEE mul commutes), and the
+    per-point crossing count is an order-free integer bincount —
+    bit-identical results to the broadcast form, O((N+M) log N + K) work
+    instead of O(N*M).  Edges are chunked so no more than ~``block_elems``
+    pairs materialize at once (comb-shaped polygons can still produce
+    K ~ N*M straddles; memory stays bounded).  NaN coords sort past every
+    real y and searchsorted's `<` treats them as +inf, so they join no
+    range — same non-crossing behavior the broadcast comparisons gave."""
     ring = np.asarray(ring, dtype=np.float64)
     if ring.shape[0] > 1 and np.array_equal(ring[0], ring[-1]):
         ring = ring[:-1]
-    px = np.asarray(lon, np.float64)[:, None]
-    py = np.asarray(lat, np.float64)[:, None]
-    n = px.shape[0]
+    pxf = np.asarray(lon, np.float64)
+    pyf = np.asarray(lat, np.float64)
+    n = pxf.shape[0]
     m = ring.shape[0]
+    crossings = np.zeros(n, dtype=np.int64)
+    if n == 0 or m == 0:
+        return crossings != 0
     x1a = ring[:, 0]
     y1a = ring[:, 1]
     x2a = np.roll(x1a, -1)
     y2a = np.roll(y1a, -1)
-    step = max(1, block_elems // max(1, n))
-    crossings = np.zeros(n, dtype=np.int64)
-    for s in range(0, m, step):
-        x1 = x1a[s:s + step][None, :]
-        y1 = y1a[s:s + step][None, :]
-        x2 = x2a[s:s + step][None, :]
-        y2 = y2a[s:s + step][None, :]
-        cond = (y1 > py) != (y2 > py)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
-        crossings += np.sum(cond & (px < xint), axis=1)
+    order = np.argsort(pyf)
+    py_s = pyf[order]
+    lo = np.searchsorted(py_s, np.minimum(y1a, y2a), side="left")
+    hi = np.searchsorted(py_s, np.maximum(y1a, y2a), side="left")
+    counts = hi - lo
+    cum = np.cumsum(counts)
+    s = 0
+    while s < m:
+        base = int(cum[s - 1]) if s else 0
+        e = max(int(np.searchsorted(cum, base + block_elems, side="right")),
+                s + 1)
+        cnt = counts[s:e]
+        total = int(cnt.sum())
+        if total:
+            edge_idx = np.repeat(np.arange(s, e), cnt)
+            starts = np.repeat(lo[s:e], cnt)
+            offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            idx_n = order[starts + offs]
+            t = pyf[idx_n] - y1a[edge_idx]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t *= x2a[edge_idx] - x1a[edge_idx]
+                t /= y2a[edge_idx] - y1a[edge_idx]
+            t += x1a[edge_idx]
+            hit = pxf[idx_n] < t
+            crossings += np.bincount(idx_n[hit], minlength=n)
+        s = e
     return (crossings % 2) == 1
 
 

@@ -102,7 +102,6 @@ def _cached_grid(tile_key: str, encoding: str, data: bytes) -> np.ndarray:
 # row; the string column is materialized JVM-side (codegen CASE)
 CODE_OK, CODE_OUT_OF_BOUNDS, CODE_TILE_MISSING, CODE_BAD_TILE = 0, 1, 2, 3
 STATUS_BY_CODE = [STATUS_OK, STATUS_OUT_OF_BOUNDS, STATUS_TILE_MISSING, STATUS_BAD_TILE]
-_STATUS_LOOKUP = np.array(STATUS_BY_CODE, dtype=object)
 
 
 def _enrich_one_tile_codes(lat: np.ndarray, lon: np.ndarray,
@@ -136,15 +135,6 @@ def _enrich_one_tile_codes(lat: np.ndarray, lon: np.ndarray,
     return elev, code
 
 
-def _enrich_one_tile(lat: np.ndarray, lon: np.ndarray,
-                     tile: tuple | None, interpolation: str
-                     ) -> tuple[np.ndarray, np.ndarray]:
-    """(elev, status string object array) — string-status variant for the
-    cogroup path (full rows already cross the boundary there)."""
-    elev, code = _enrich_one_tile_codes(lat, lon, tile, interpolation)
-    return elev, _STATUS_LOOKUP[code]
-
-
 def tiles_bytes(tiles: DataFrame) -> int:
     """Total payload bytes of a tile table — one tiny map-side agg.  The
     single size metric behind every broadcast-vs-spill decision (enrich's
@@ -158,15 +148,6 @@ def with_tile_key(points: DataFrame, key_col: str = "tile_key") -> DataFrame:
     if key_col in points.columns:
         return points
     return points.withColumn(key_col, skadi_key_col(F.col("lat"), F.col("lon")))
-
-
-def _out_schema(points: DataFrame) -> T.StructType:
-    fields = list(points.schema.fields)
-    names = {f.name for f in fields}
-    assert "elevation" not in names and "status" not in names
-    fields.append(T.StructField("elevation", T.DoubleType(), True))
-    fields.append(T.StructField("status", T.StringType(), False))
-    return T.StructType(fields)
 
 
 def enrich_points(points: DataFrame, tiles: DataFrame, *,
@@ -336,52 +317,77 @@ def _enrich_cogroup(points: DataFrame, tiles: DataFrame,
                     interpolation: str, salt_factor: int | None,
                     target_points_per_group: int = 200_000,
                     max_salt: int = 64) -> DataFrame:
+    """Shuffle strategy, Arrow-slim (VERDICT r4 #6): only (tile_key, lat,
+    lon) crosses the Python boundary — the kernel's entire input — and one
+    (elevation, code) pair per DISTINCT coordinate comes back; every other
+    point column stays JVM-side and is joined back on (tile_key, lat, lon)
+    after the kernel (the same columns-don't-cross discipline as the
+    broadcast path's scalar pandas_udf).  The kernel output is a pure
+    function of those three columns, so the equi-join-back is exact;
+    in-group pandas dedup makes the result side unique without an extra
+    shuffle (Spark joins treat NaN = NaN and normalizes -0.0, matching the
+    kernel's numeric view).  Null-key rows (null coords -> null tile_key)
+    can't equi-join; they are exactly the OUT_OF_BOUNDS rows, restored by
+    the coalesce below — pinned in
+    test_null_coords_are_out_of_bounds_both_strategies."""
     keys = ["tile_key"]
-    pts = points
+    slim = points.select("tile_key", "lat", "lon")
     tls = (tiles.join(points.select("tile_key").distinct(), "tile_key", "left_semi")
            .select("tile_key", "sw_lat", "sw_lon", "encoding", "data"))
     if salt_factor is None:
         # adaptive: split only hot tiles, k ~ point_count / target
-        spark = points.sparkSession
         salt_map = _adaptive_salt_map(points, target_points_per_group, max_salt)
         if any(k > 1 for k in salt_map.values()):
             entries = [x for key, k in salt_map.items() for x in (F.lit(key), F.lit(k))]
             k_col = F.coalesce(F.create_map(*entries)[F.col("tile_key")], F.lit(1))
-            pts = pts.withColumn("_salt", F.pmod(F.hash("lat", "lon"), k_col))
+            slim = slim.withColumn("_salt", F.pmod(F.hash("lat", "lon"), k_col))
             tls = tls.withColumn(
                 "_salt",
                 F.explode(F.sequence(F.lit(0), F.coalesce(
                     F.create_map(*entries)[F.col("tile_key")], F.lit(1)) - 1)))
             keys = ["tile_key", "_salt"]
-            salt_factor = 2  # mark salted for the drop below
-        else:
-            salt_factor = 1
     elif salt_factor > 1:
         # explicit uniform salting: split every tile k ways
-        pts = pts.withColumn("_salt", F.pmod(F.hash("lat", "lon"), F.lit(salt_factor)))
+        slim = slim.withColumn("_salt", F.pmod(F.hash("lat", "lon"), F.lit(salt_factor)))
         tls = tls.withColumn("_salt", F.explode(F.array([F.lit(i) for i in range(salt_factor)])))
         keys = ["tile_key", "_salt"]
-    schema = _out_schema(pts)
+    result_schema = ("tile_key string, lat double, lon double, "
+                     "elevation double, code tinyint")
 
     def fn(pts_pdf: pd.DataFrame, tls_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pts_pdf) == 0:
-            return pd.DataFrame(columns=[f.name for f in schema.fields])
+            return pd.DataFrame({"tile_key": pd.Series([], dtype=object),
+                                 "lat": pd.Series([], dtype="float64"),
+                                 "lon": pd.Series([], dtype="float64"),
+                                 "elevation": pd.Series([], dtype="float64"),
+                                 "code": pd.Series([], dtype="int8")})
         tile = None
         if len(tls_pdf) > 0:
             r = tls_pdf.iloc[0]
             tile = (int(r["sw_lat"]), int(r["sw_lon"]), r["encoding"], bytes(r["data"]))
-        lat = pts_pdf["lat"].to_numpy(dtype=np.float64)
-        lon = pts_pdf["lon"].to_numpy(dtype=np.float64)
-        elev, status = _enrich_one_tile(lat, lon, tile, interpolation)
-        out = pts_pdf.copy()
-        out["elevation"] = elev
-        out["status"] = status
-        return out
+        # the kernel is per-coordinate: compute each distinct coord ONCE
+        # (and keep the join-back side unique — NaNs dedup as equal in
+        # pandas, matching Spark's NaN-normalized join)
+        p = pts_pdf.drop_duplicates(subset=["lat", "lon"])
+        lat = p["lat"].to_numpy(dtype=np.float64)
+        lon = p["lon"].to_numpy(dtype=np.float64)
+        elev, code = _enrich_one_tile_codes(lat, lon, tile, interpolation)
+        return pd.DataFrame({"tile_key": p["tile_key"].to_numpy(dtype=object),
+                             "lat": lat, "lon": lon,
+                             "elevation": elev, "code": code})
 
-    out = (pts.groupBy(*keys).cogroup(tls.groupBy(*keys)).applyInPandas(fn, schema))
-    if salt_factor and salt_factor > 1:
-        out = out.drop("_salt")
-    return out
+    res = (slim.groupBy(*keys).cogroup(tls.groupBy(*keys))
+           .applyInPandas(fn, result_schema)
+           .withColumnRenamed("elevation", "__enrich_elev")
+           .withColumnRenamed("code", "__enrich_code"))
+    joined = points.join(res, ["tile_key", "lat", "lon"], "left")
+    status_col = F.when(
+        F.col("__enrich_code").isNull(), F.lit(STATUS_OUT_OF_BOUNDS)
+    ).otherwise(F.element_at(F.array(*[F.lit(s) for s in STATUS_BY_CODE]),
+                             F.col("__enrich_code").cast("int") + 1))
+    return joined.select(*points.columns,
+                         F.col("__enrich_elev").alias("elevation"),
+                         status_col.alias("status"))
 
 
 def missing_tiles(points: DataFrame, tiles: DataFrame) -> DataFrame:

@@ -55,6 +55,66 @@ def tiles_to_points(tiles: DataFrame, stride: int = 1) -> DataFrame:
                 .mapInPandas(gen, _POINTS_SCHEMA)
 
 
+_SLOPE_SCHEMA = T.StructType([
+    T.StructField("tile_key", T.StringType(), False),
+    T.StructField("n_interior", T.LongType(), False),
+    T.StructField("n_valid", T.LongType(), False),
+    T.StructField("n_void_adj", T.LongType(), False),
+    T.StructField("max_slope2", T.LongType(), True),
+    T.StructField("sum_slope2", T.LongType(), False),
+    T.StructField("n_steep", T.LongType(), False),
+])
+
+# squared-gradient threshold for the steep-node count: |grad| > 1000 DEM
+# units per 2 cells.  The fixture DEM's modulo wrap creates genuine steep
+# edges, so the count is non-trivial under the gate.
+STEEP_SLOPE2 = 1_000_000
+
+
+def tile_slope_stats(tiles: DataFrame,
+                     steep_threshold2: int = STEEP_SLOPE2) -> DataFrame:
+    """Per-tile slope statistics — the raster-derivative (gradient) stage
+    of a terrain pipeline, distributed one tile per row and kept in exact
+    integer arithmetic.  At interior node (r, c):
+    dx = z[r][c+1] - z[r][c-1], dy = z[r+1][c] - z[r-1][c],
+    slope2 = dx^2 + dy^2 (squared central-difference gradient in
+    (DEM units / 2 cells)^2 — monotone in true slope, so max / threshold
+    counts are order-identical to the sqrt form while staying
+    engine-portable).  Nodes whose 5-point stencil touches a void
+    (-32768) are excluded and counted in n_void_adj (SRTM voids must not
+    poison gradients as ~33k-magnitude cliffs).  One mapInPandas pass,
+    map-only — no shuffle; output is O(tiles), so at 100 TB of tiles the
+    job is scan-shaped with a trivially small result."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in _SLOPE_SCHEMA.fields}
+            for _, r in pdf.iterrows():
+                z = decode_tile_bytes(r["encoding"], bytes(r["data"])) \
+                    .astype(np.int64)
+                void = z == kernels.VOID
+                stencil_void = (void[1:-1, 1:-1] | void[1:-1, 2:]
+                                | void[1:-1, :-2] | void[2:, 1:-1]
+                                | void[:-2, 1:-1])
+                dx = z[1:-1, 2:] - z[1:-1, :-2]
+                dy = z[2:, 1:-1] - z[:-2, 1:-1]
+                slope2 = dx * dx + dy * dy
+                valid = ~stencil_void
+                n_valid = int(valid.sum())
+                sv = slope2[valid]
+                out["tile_key"].append(r["tile_key"])
+                out["n_interior"].append(int(valid.size))
+                out["n_valid"].append(n_valid)
+                out["n_void_adj"].append(int(valid.size - n_valid))
+                out["max_slope2"].append(int(sv.max()) if n_valid else None)
+                out["sum_slope2"].append(int(sv.sum()))
+                out["n_steep"].append(int((sv > steep_threshold2).sum()))
+            yield pd.DataFrame(out)
+
+    return (tiles.select("tile_key", "encoding", "data")
+            .mapInPandas(gen, _SLOPE_SCHEMA))
+
+
 _TILES_OUT_SCHEMA = T.StructType([
     T.StructField("tile_key", T.StringType(), False),
     T.StructField("sw_lat", T.IntegerType(), False),

@@ -110,6 +110,73 @@ def embedding_near_dup_pairs(emb: DataFrame, min_score: int,
 EXPR_MAX_CENTROIDS = 64
 
 
+def _centroid_structs(cents: list[tuple[int, list[int]]], vec_c: Column) -> Column:
+    """(score, -cid) structs — linear-size expression tree (a when-chain
+    fold would duplicate subtrees exponentially and send Catalyst analysis
+    into minutes); struct ordering is lexicographic, so max picks the
+    highest score and, on ties, the LOWEST cid via the negated field.
+    Shared by ann_ivf_topk and semantic_dedup so the two assignment rules
+    (and their oracles) cannot drift."""
+    cands = []
+    for cid, cv in cents:
+        score = None
+        for i, c in enumerate(cv):
+            term = F.element_at(vec_c, i + 1) * F.lit(int(c))
+            score = term if score is None else score + term
+        cands.append(F.struct(score.alias("s"), F.lit(-cid).alias("nc")))
+    return F.array(*cands)
+
+
+def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
+                   min_score: int = 1,
+                   centroids: list[tuple[int, list[int]]] | None = None,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cid, component, is_survivor) — SemDeDup-style semantic
+    deduplication: learn k-means clusters over the embeddings (integer
+    Lloyd, kmeans_centroids), emit near-duplicate pairs ONLY within a
+    cluster (integer dot >= min_score), connect them into components, and
+    keep the min-id representative per component.
+
+    The 100 TB shape: clustering first bounds the candidate self-join to
+    within-cluster pairs — never all-pairs; pick k ~ corpus / target
+    cluster size so the per-cluster quadratic term stays bounded (the
+    SemDeDup recipe).  One shuffle for the cluster-keyed self-join plus
+    the O(rounds) component joins; the only Python is the (optional)
+    >64-centroid Arrow argmax.  Every step is integer-exact, so the
+    DuckDB oracle replays training, assignment, pairing, and the
+    transitive closure bit-for-bit."""
+    from .cluster import connected_components
+    if centroids is None:
+        centroids = kmeans_centroids(emb, k, iters=iters,
+                                     id_col=id_col, vec_col=vec_col)
+    cents = sorted((int(c), [int(x) for x in v]) for c, v in centroids)
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      _quant(F.col(vec_col)).alias("v"))
+    if len(cents) <= EXPR_MAX_CENTROIDS:
+        assigned = base.withColumn(
+            "cid", (-F.array_max(_centroid_structs(cents, F.col("v")))["nc"])
+            .cast("long"))
+    else:
+        spark = emb.sparkSession
+        assign1 = _centroid_probe_udf(spark, cents, 1)
+        assigned = base.withColumn(
+            "cid", F.element_at(assign1(F.col("v")), 1).cast("long"))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (a.join(b, (F.col("a.cid") == F.col("b.cid"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("id1"),
+                     F.col("b.vec_id").alias("id2"),
+                     _dot(F.col("a.v"), F.col("b.v")).alias("score"))
+             .filter(F.col("score") >= min_score)
+             .select("id1", "id2"))
+    comps = connected_components(pairs, assigned.select("vec_id"))
+    return (assigned.select("vec_id", "cid")
+            .join(comps.withColumnRenamed("id", "vec_id"), "vec_id")
+            .select("vec_id", "cid", "component",
+                    (F.col("vec_id") == F.col("component")).alias("is_survivor")))
+
+
 def kmeans_centroids(emb: DataFrame, k: int, iters: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      salt: str = "km") -> list[tuple[int, list[int]]]:
@@ -505,19 +572,7 @@ def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
 
     if len(cents) <= EXPR_MAX_CENTROIDS:
         def centroid_structs(vec_c):
-            # (score, -cid) structs — linear-size expression tree (a when-chain
-            # fold would duplicate subtrees exponentially and send Catalyst
-            # analysis into minutes); struct ordering is lexicographic, so max
-            # picks the highest score and, on ties, the LOWEST cid via the
-            # negated field
-            cands = []
-            for cid, cv in cents:
-                score = None
-                for i, c in enumerate(cv):
-                    term = F.element_at(vec_c, i + 1) * F.lit(int(c))
-                    score = term if score is None else score + term
-                cands.append(F.struct(score.alias("s"), F.lit(-cid).alias("nc")))
-            return F.array(*cands)
+            return _centroid_structs(cents, vec_c)
 
         assigned = base.withColumn(
             "centroid", -F.array_max(centroid_structs(F.col("ev")))["nc"])

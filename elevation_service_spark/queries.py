@@ -472,6 +472,11 @@ _DEMOTED = [
                          # head-evidenced by pip_oversize
     "fingerprint",       # r1-r4-driver-proven; fingerprint family covered
                          # by winnow_fingerprints in the head
+    # slots for the two NEW r5 capabilities (semantic_dedup, tile_slope)
+    "sessionize",        # r1-r4-driver-proven; sessionization family
+                         # head-covered by the stateful sessionize_stream
+    "minhash_signatures",  # r1-r4-driver-proven; minhash feeds lsh_pairs
+                           # and the fused simhash_pairs, both in the head
 ]
 
 

@@ -53,6 +53,49 @@ SELECT tile_key,
 FROM rc"""
 
 
+def q_tile_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster derivative (r5): per-tile slope statistics from exact
+    central differences — distributed map-only gradient computation over
+    the tile table, voids stencil-excluded.  The oracle re-derives every
+    interior node's dx/dy from the closed-form lattice DEM (the -1000
+    offsets cancel in differences) and reproduces all six integer stats."""
+    from .operators.raster import tile_slope_stats
+    return tile_slope_stats(fixture_tiles_df(spark))
+
+
+def _tile_slope_oracle() -> str:
+    from .operators.raster import STEEP_SLOPE2
+    tiles = ", ".join(f"('{t[0]}', {t[1]}, {t[2]}, {t[3]})"
+                      for t in fixtures.FIXTURE_TILES)
+    vr, vc = fixtures.VOID_NODE
+    return f"""WITH t(tile_key, sw_lat, sw_lon, size) AS (VALUES {tiles}),
+rr AS (SELECT *, unnest(range(1, size - 1)) AS r FROM t),
+rc AS (SELECT *, unnest(range(1, size - 1)) AS c FROM rr),
+zz AS (SELECT tile_key, r, c,
+  ((r = {vr} AND abs(c - {vc}) <= 1) OR (c = {vc} AND abs(r - {vr}) <= 1))
+    AS void_adj,
+  (sw_lat + 90) * (size - 1) AS gr0, (sw_lon + 180) * (size - 1) AS gc0
+  FROM rc),
+g AS (SELECT tile_key, void_adj,
+  (((gr0 + r) * 31 + (gc0 + c + 1) * 17) % 2000)
+    - (((gr0 + r) * 31 + (gc0 + c - 1) * 17) % 2000) AS dx,
+  (((gr0 + r + 1) * 31 + (gc0 + c) * 17) % 2000)
+    - (((gr0 + r - 1) * 31 + (gc0 + c) * 17) % 2000) AS dy
+  FROM zz)
+SELECT tile_key,
+  CAST(count(*) AS BIGINT) AS n_interior,
+  CAST(count(*) FILTER (WHERE NOT void_adj) AS BIGINT) AS n_valid,
+  CAST(count(*) FILTER (WHERE void_adj) AS BIGINT) AS n_void_adj,
+  CAST(max(dx * dx + dy * dy) FILTER (WHERE NOT void_adj) AS BIGINT)
+    AS max_slope2,
+  CAST(coalesce(sum(dx * dx + dy * dy) FILTER (WHERE NOT void_adj), 0)
+    AS BIGINT) AS sum_slope2,
+  CAST(count(*) FILTER (WHERE NOT void_adj
+                        AND dx * dx + dy * dy > {STEEP_SLOPE2}) AS BIGINT)
+    AS n_steep
+FROM g GROUP BY tile_key"""
+
+
 def q_resumable_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="sparkgraft_resume_")
     out, man = os.path.join(base, "out"), os.path.join(base, "manifest")
@@ -78,9 +121,11 @@ def q_resumable_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPARK_QUERIES = {
     "raster_points": q_raster_points,
+    "tile_slope": q_tile_slope,
     "resumable_enrich": q_resumable_enrich,
 }
 ORACLES = {
     "raster_points": _raster_points_oracle(),
+    "tile_slope": _tile_slope_oracle(),
     "resumable_enrich": _BILINEAR_ORACLE,
 }

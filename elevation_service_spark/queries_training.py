@@ -1214,8 +1214,7 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     return similarity.ann_ivf_topk(emb, ANN_QUERY_IDS, ANN_K, centroids=cents)
 
 
-def _ann_ivf_kmeans_oracle():
-    qids = ", ".join(map(str, ANN_QUERY_IDS))
+def _kmeans_assign_ctes():
     # one Lloyd round: centroids {prev} -> assignment -> integer means,
     # empty clusters keep their previous centroid (LEFT JOIN + COALESCE);
     # the // operands are made non-negative in both CASE branches, so
@@ -1241,7 +1240,10 @@ m_{nxt} AS (
   FROM {prev} p LEFT JOIN m_{nxt} m USING (cid))"""
 
     rounds = ",\n".join(lloyd(f"c{i}", f"c{i + 1}") for i in range(KMEANS_ITERS))
-    return f"""WITH e AS (
+    # the shared training/assignment prefix (through `assign`) is reused
+    # verbatim by the semantic_dedup oracle — ONE definition site, so the
+    # two replays of kmeans_centroids cannot drift
+    prefix = f"""e AS (
   SELECT vec_id, list_transform(embedding,
     x -> CAST(floor(CAST(x AS DOUBLE) * {similarity.QUANT_SCALE} + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS v
   FROM embeddings),
@@ -1258,7 +1260,13 @@ sF AS (
 assign AS (
   SELECT vec_id, cid FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
-    FROM sF) t WHERE rn = 1),
+    FROM sF) t WHERE rn = 1)"""
+    return prefix
+
+
+def _ann_ivf_kmeans_oracle():
+    qids = ", ".join(map(str, ANN_QUERY_IDS))
+    return f"""WITH {_kmeans_assign_ctes()},
 q AS (SELECT a.vec_id AS qid, a.cid AS qc, e.v AS qv
       FROM assign a JOIN e ON e.vec_id = a.vec_id WHERE a.vec_id IN ({qids})),
 cand AS (
@@ -1353,12 +1361,51 @@ SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM (
   FROM cand) r WHERE rank <= {ANN_K}"""
 
 
+SEMDEDUP_MIN_SCORE = 300_000  # quantized dot ~ cos 0.3 on unit vectors:
+# at the gate SF this leaves 223 components of 500 vectors — real merge
+# structure without collapsing the corpus into one ball
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (r5): k-means clusters
+    (integer Lloyd, same training as ann_ivf_kmeans), within-cluster
+    near-dup pairs by integer-dot threshold, connected components, min-id
+    survivor per component.  Clustering bounds the pairwise term — never
+    all-pairs; the oracle replays training, assignment, pairing, and the
+    transitive closure as one chained-CTE query."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, KMEANS_K, iters=KMEANS_ITERS,
+                                     min_score=SEMDEDUP_MIN_SCORE)
+
+
+def _semantic_dedup_oracle():
+    return f"""WITH RECURSIVE {_kmeans_assign_ctes()},
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE CAST(list_dot_product(ea.v, eb.v) AS BIGINT) >= {SEMDEDUP_MIN_SCORE}),
+sym AS (SELECT id1 AS id, id2 AS nbr FROM pairs
+        UNION ALL SELECT id2 AS id, id1 AS nbr FROM pairs),
+verts AS (SELECT vec_id AS id FROM e),
+reach(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT s.id, r.comp FROM sym s JOIN reach r ON r.id = s.nbr),
+comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid, c.component,
+       a.vec_id = c.component AS is_survivor
+FROM assign a JOIN comps c ON c.id = a.vec_id"""
+
+
 SPARK_QUERIES.update({"ann_ivf": q_ann_ivf, "ann_ivf_probe2": q_ann_ivf_probe2,
                       "ann_ivf_kmeans": q_ann_ivf_kmeans,
                       "ann_pq": q_ann_pq,
+                      "semantic_dedup": q_semantic_dedup,
                       "cell_rollup": q_cell_rollup})
 ORACLES.update({"ann_ivf": _ann_ivf_oracle(),
                 "ann_ivf_probe2": _ann_ivf_probe2_oracle(),
                 "ann_ivf_kmeans": _ann_ivf_kmeans_oracle(),
                 "ann_pq": _ann_pq_oracle(),
+                "semantic_dedup": _semantic_dedup_oracle(),
                 "cell_rollup": _cell_rollup_oracle()})

@@ -77,6 +77,8 @@ def test_gate_order_covers_all_component_families():
         "dedup_stream", "winnow_fingerprints", "jaccard_pairs",
         # text-signal family head anchor after quality_filter's demotion
         "text_stats",
+        # r5 NEW capabilities: SemDeDup + raster slope derivative
+        "semantic_dedup", "tile_slope",
     ]
     for name in must_gate:
         assert order.index(name) < 50, f"{name} at {order.index(name)} >= 50"

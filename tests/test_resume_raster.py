@@ -266,3 +266,57 @@ def test_resumable_group_crash_loses_only_inflight_group(spark, tmp_path):
     assert final.select("pid").distinct().count() == 2000
     man = PartitionManifest(man_path).completed()
     assert sum(e["rows"] for e in man.values()) == 2000
+
+
+def test_tile_slope_stats_semantics_and_plan(spark):
+    """r5 raster derivative: slope stats against a handcrafted mini-grid
+    computed by hand — ramp gradients, one void whose 5-point stencil
+    excludes exactly 5 interior nodes — and the plan is map-only."""
+    import numpy as np
+
+    from elevation_service_spark import fixtures, kernels
+    from elevation_service_spark.operators.raster import tile_slope_stats
+
+    size = 8
+    # z[r, c] = 3r + 5c  ->  dx = 10, dy = 6 everywhere, slope2 = 136
+    grid = (3 * np.arange(size)[:, None]
+            + 5 * np.arange(size)[None, :]).astype(np.int16)
+    grid[3, 3] = kernels.VOID
+    tiles = spark.createDataFrame(
+        [("T", 0, 0, "terrarium-png",
+          bytearray(kernels.encode_terrarium_png(grid)))],
+        "tile_key string, sw_lat int, sw_lon int, encoding string, data binary")
+    row = tile_slope_stats(tiles).collect()[0]
+    n_int = (size - 2) ** 2
+    assert row["n_interior"] == n_int
+    # stencil touches (3,3): the 5 nodes (3,2)(3,3)(3,4)(2,3)(4,3) — all interior
+    assert row["n_void_adj"] == 5
+    assert row["n_valid"] == n_int - 5
+    assert row["max_slope2"] == 136
+    assert row["sum_slope2"] == 136 * (n_int - 5)
+    assert row["n_steep"] == 0
+    plan = tile_slope_stats(tiles)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # all-void tile: zero valid interior nodes -> null max, zero sums
+    allv = np.full((size, size), kernels.VOID, dtype=np.int16)
+    tiles2 = spark.createDataFrame(
+        [("V", 0, 0, "terrarium-png",
+          bytearray(kernels.encode_terrarium_png(allv)))],
+        "tile_key string, sw_lat int, sw_lon int, encoding string, data binary")
+    r2 = tile_slope_stats(tiles2).collect()[0]
+    assert r2["n_valid"] == 0 and r2["max_slope2"] is None
+    assert r2["sum_slope2"] == 0 and r2["n_steep"] == 0
+    # the real fixture tile matches a direct numpy recomputation
+    g = fixtures.tile_grid(57, 11, 1201).astype(np.int64)
+    void = g == kernels.VOID
+    sv = (void[1:-1, 1:-1] | void[1:-1, 2:] | void[1:-1, :-2]
+          | void[2:, 1:-1] | void[:-2, 1:-1])
+    dx = g[1:-1, 2:] - g[1:-1, :-2]
+    dy = g[2:, 1:-1] - g[:-2, 1:-1]
+    s2 = (dx * dx + dy * dy)[~sv]
+    from elevation_service_spark.sources.tiles import fixture_tiles_df
+    rows = {r["tile_key"]: r for r in tile_slope_stats(
+        fixture_tiles_df(spark)).collect()}
+    r = rows["N57E011"]
+    assert (r["max_slope2"], r["sum_slope2"]) == (int(s2.max()), int(s2.sum()))
+    assert r["n_void_adj"] == int(sv.sum())

@@ -558,3 +558,94 @@ def test_ann_pq_long_scores_and_missing_qid(spark):
     exp = 64 * 6000 * 6000                      # 2.304e9 > 2^31
     assert all(r["score"] == exp for r in got), got
     assert ann_pq_topk(emb, [999], k=3, codebooks=cbs).count() == 0
+
+
+def test_semantic_dedup_matches_python_reference(spark):
+    """r5 SemDeDup: clustered synthetic vectors — assignment, within-cluster
+    pairing, components, and survivor rule all match a brute-force python
+    reference; cross-cluster near-dups are (by design) NOT paired."""
+    import numpy as np
+
+    from elevation_service_spark.operators.similarity import (
+        QUANT_SCALE, kmeans_centroids, semantic_dedup)
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(0, 1, (4, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(120):
+        v = centers[i % 4] + rng.normal(0, 0.12, 32)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_centroids(emb, 4, iters=2)
+    min_score = 700_000
+    got = {r["vec_id"]: r for r in semantic_dedup(
+        emb, min_score=min_score, centroids=cents).collect()}
+
+    # python reference with the same integer arithmetic
+    q = {i: np.floor(np.asarray(v) * QUANT_SCALE + 0.5).astype(np.int64)
+         for i, v in rows}
+    cmat = {cid: np.asarray(cv, dtype=np.int64) for cid, cv in cents}
+    assign = {}
+    for i, v in q.items():
+        scores = sorted(((int(v @ cv), -cid) for cid, cv in cmat.items()),
+                        reverse=True)
+        assign[i] = -scores[0][1]
+    parent = {i: i for i in q}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_pairs = 0
+    for i in q:
+        for j in q:
+            if i < j and assign[i] == assign[j] and int(q[i] @ q[j]) >= min_score:
+                n_pairs += 1
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    assert n_pairs > 0  # the fixture really exercises merging
+    for i in q:
+        assert got[i]["cid"] == assign[i], i
+        assert got[i]["component"] == find(i), i
+        assert got[i]["is_survivor"] == (find(i) == i), i
+    # some but not all vectors merged: the threshold is doing real work
+    n_surv = sum(1 for i in q if got[i]["is_survivor"])
+    assert 4 <= n_surv < 120
+
+
+def test_semantic_dedup_arrow_assignment_path(spark):
+    """>64 centroids must route assignment through the broadcast-matrix
+    Arrow argmax and still match the expression path's integer semantics
+    (same struct/argmax tie-break: highest dot, lowest cid)."""
+    import numpy as np
+
+    from elevation_service_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(31)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(90)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+    cents65 = [(c, [int(x) for x in rng.integers(-1000, 1000, 16)])
+               for c in range(65)]
+    got = semantic_dedup(emb, min_score=10_000_000, centroids=cents65)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # the >64-centroid assignment path
+    # expression path on the FIRST 64 centroids must agree wherever the
+    # 65th centroid wins nothing
+    got64 = {r["vec_id"]: r["cid"] for r in semantic_dedup(
+        emb, min_score=10_000_000, centroids=cents65[:64]).collect()}
+    g = {r["vec_id"]: r["cid"] for r in got.collect()}
+    q = {i: np.floor(np.asarray(v) * 1000 + 0.5).astype(np.int64)
+         for i, v in rows}
+    cmat = np.asarray([cv for _, cv in cents65], dtype=np.int64)
+    for i, v in q.items():
+        scores = cmat @ v
+        exp = int(np.argmax(scores))  # first max = lowest cid on ties
+        assert g[i] == exp, i
+        if exp != 64:
+            assert got64[i] == exp, i
+    emb.unpersist()
