@@ -151,6 +151,51 @@ def top_ngrams_per_lang(docs: DataFrame, n: int = 2, k: int = 5,
                     "ngram", "n_occ"))
 
 
+def bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, n_bigrams, lm_micro_sum) — count-based bigram language-model
+    scoring, the classic LM-perplexity quality proxy (KenLM-style filtering)
+    kept in exact integer arithmetic: the corpus trains bigram counts
+    c2(w1,w2) and context counts c1(w1) = sum_w2 c2(w1,w2), and each
+    document scores sum over its bigram occurrences of
+    floor(c2 * 1e6 / c1) — the per-occurrence conditional probability in
+    micro units (monotone in the true log-score ranking for filtering
+    thresholds, and engine-portable where log is not).
+
+    Train+apply in one lineage: tokenize once (array HOF bigrams, real
+    columns — no per-element re-eval), ONE explode; two map-side-combined
+    count aggregations (both vocabulary-sized); the apply side is the
+    standard occurrences ⨝ model hash join; one per-doc aggregation.  No
+    Python, no Window.  Docs with <2 tokens score (0, 0)."""
+    tk = F.col("_tk")
+    gram2 = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.element_at(tk, i),
+                              F.element_at(tk, i + F.lit(1))))
+    occ = (docs.select(F.col(id_col).alias("id"),
+                       F.split(F.col(text_col), " ").alias("_tk"))
+           .select("id", F.when(F.size(tk) >= 2, gram2)
+                   .otherwise(F.array().cast("array<string>")).alias("_g2"))
+           .select("id", F.explode("_g2").alias("bigram")))
+    c2 = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (occ.select(F.substring_index("bigram", " ", 1).alias("w1"))
+          .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    scored = (occ.join(c2, "bigram")
+              .withColumn("w1", F.substring_index("bigram", " ", 1))
+              .join(c1, "w1")
+              .withColumn("p_micro", F.expr("c2 * 1000000L div c1")))
+    per_doc = (scored.groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.sum("p_micro").alias("lm_micro_sum")))
+    return (docs.select(F.col(id_col).alias("id")).distinct()
+            .join(per_doc, "id", "left")
+            .select("id",
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    F.coalesce("lm_micro_sum", F.lit(0)).cast("long")
+                    .alias("lm_micro_sum")))
+
+
 # --- rolling-hash document fingerprinting (winnowing) -----------------------
 
 WINNOW_B = 1000003       # polynomial base

@@ -477,6 +477,12 @@ _DEMOTED = [
                          # head-covered by the stateful sessionize_stream
     "minhash_signatures",  # r1-r4-driver-proven; minhash feeds lsh_pairs
                            # and the fused simhash_pairs, both in the head
+    # r5-NEW parity-tail queries (hash-verified by tests/test_oracle_parity;
+    # rotate into the driver head next round, the standing pattern)
+    "url_canonical",     # new r5 webtext: URL canonicalization
+    "url_dedup",         # new r5 webtext: canonical-URL exact dedup
+    "domain_rollup",     # new r5 webtext: per-domain crawl rollup
+    "bigram_lm",         # new r5: count-based bigram LM quality scoring
 ]
 
 

@@ -1361,6 +1361,132 @@ SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM (
   FROM cand) r WHERE rank <= {ANN_K}"""
 
 
+# --- web-corpus URL tooling (r5) ---------------------------------------------
+
+# deterministic messy-URL synthesis (shared Spark expr + oracle SQL, the
+# extract_coords pattern): three host spellings (two canonicalize to the
+# same host), default :80 port, tracking params in both first+sole
+# position, trailing slash, fragment.  doc_id % 50 paths make genuinely
+# colliding canonical URLs across spelling variants (d and d+350 share
+# host+path; variant classes %4 in {1,2,3} all normalize to the bare path).
+_URL_SQL = """'HTTP://' || CASE CAST(doc_id % 3 AS INT)
+  WHEN 0 THEN 'WWW.Example' || CAST(doc_id % 7 AS STRING) || '.COM:80'
+  WHEN 1 THEN 'News.Example' || CAST(doc_id % 7 AS STRING) || '.com'
+  ELSE 'example' || CAST(doc_id % 7 AS STRING) || '.com' END
+|| '/Path/' || CAST(doc_id % 50 AS STRING)
+|| CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN '/?utm_source=feed&x=' || CAST(doc_id % 5 AS STRING)
+  WHEN 1 THEN '?utm_campaign=a'
+  WHEN 2 THEN '/'
+  ELSE '' END
+|| CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END"""
+
+# the oracle-side replay of web.url_normalize — identical regex sequence
+# (patterns sit in the Java/RE2 common subset; every pattern occurs at
+# most once by construction, so DuckDB's replace-first == Spark's
+# replace-all)
+_URL_NORM_SQL = """regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(regexp_replace(regexp_replace(
+    lower(regexp_extract(url, '^([^/]*//[^/]*)', 1))
+      || regexp_replace(url, '^[^/]*//[^/]*', ''),
+    '#.*$', ''), ':80/', '/'), '://www\\.', '://'),
+  '\\?utm_[^&]*&', '?'), '[?&]utm_[^&]*', ''), '/$', '')"""
+
+_URL_HOST_SQL = "regexp_extract(url_norm, '^[a-z]+://([^/:]+)', 1)"
+
+
+def _url_pages(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_SQL).alias("url"))
+
+
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization (r5 webtext): scheme/host lowering, default
+    port, www., utm_*, fragment, trailing slash — plus host and
+    registrable-domain extraction.  Pure JVM regex projection."""
+    from .operators.web import canonicalize_urls
+    return canonicalize_urls(_url_pages(spark, sf_dir))
+
+
+_URL_CANONICAL_ORACLE = f"""WITH u AS (
+  SELECT doc_id AS id, {_URL_SQL} AS url FROM documents),
+n AS (SELECT id, url, {_URL_NORM_SQL} AS url_norm FROM u),
+h AS (SELECT *, {_URL_HOST_SQL} AS host FROM n)
+SELECT id, url, url_norm, host,
+  regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+FROM h"""
+
+
+def q_url_dedup(spark, sf_dir):
+    """Canonical-URL exact dedup: min-id survivor per normalized URL —
+    the crawl-side dedup that runs before any content dedup."""
+    from .operators.web import url_dedup
+    return url_dedup(_url_pages(spark, sf_dir))
+
+
+_URL_DEDUP_ORACLE = f"""WITH u AS (
+  SELECT doc_id AS id, {_URL_SQL} AS url FROM documents),
+n AS (SELECT id, {_URL_NORM_SQL} AS url_norm FROM u)
+SELECT id, url_norm,
+  id = min(id) OVER (PARTITION BY url_norm) AS is_survivor
+FROM n"""
+
+
+def q_domain_rollup(spark, sf_dir):
+    """Per-registrable-domain crawl rollup: doc count + distinct
+    canonical URLs (the crawl-frontier / source-quality view)."""
+    from .operators.web import domain_rollup
+    return domain_rollup(_url_pages(spark, sf_dir))
+
+
+_DOMAIN_ROLLUP_ORACLE = f"""WITH u AS (
+  SELECT doc_id AS id, {_URL_SQL} AS url FROM documents),
+n AS (SELECT id, {_URL_NORM_SQL} AS url_norm FROM u),
+h AS (SELECT *, {_URL_HOST_SQL} AS host FROM n)
+SELECT regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls
+FROM h GROUP BY 1"""
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Count-based bigram LM quality scoring (r5): corpus-trained bigram /
+    context counts, each doc scored as the exact integer micro-sum of its
+    per-occurrence conditional probabilities (the KenLM-filter proxy,
+    engine-portable because no log is involved)."""
+    return text.bigram_lm_scores(load(spark, sf_dir, "documents"))
+
+
+_BIGRAM_LM_ORACLE = """WITH t AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS tk FROM documents),
+g AS (SELECT id, unnest(CASE WHEN len(tk) >= 2
+        THEN list_transform(generate_series(1, len(tk) - 1),
+                            i -> tk[i] || ' ' || tk[i + 1])
+        ELSE []::VARCHAR[] END) AS bigram FROM t),
+c2 AS (SELECT bigram, count(*) AS c2 FROM g GROUP BY bigram),
+c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c1
+       FROM g GROUP BY 1),
+s AS (SELECT g.id, (c2.c2 * 1000000) // c1.c1 AS p_micro
+      FROM g JOIN c2 USING (bigram)
+      JOIN c1 ON c1.w1 = split_part(g.bigram, ' ', 1)),
+d AS (SELECT id, count(*) AS n_bigrams, sum(p_micro) AS lm_micro_sum
+      FROM s GROUP BY id)
+SELECT t.id,
+  CAST(coalesce(d.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(coalesce(d.lm_micro_sum, 0) AS BIGINT) AS lm_micro_sum
+FROM (SELECT DISTINCT id FROM t) t LEFT JOIN d USING (id)"""
+
+
+SPARK_QUERIES.update({"url_canonical": q_url_canonical,
+                      "url_dedup": q_url_dedup,
+                      "domain_rollup": q_domain_rollup,
+                      "bigram_lm": q_bigram_lm})
+ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
+                "url_dedup": _URL_DEDUP_ORACLE,
+                "domain_rollup": _DOMAIN_ROLLUP_ORACLE,
+                "bigram_lm": _BIGRAM_LM_ORACLE})
+
+
 SEMDEDUP_MIN_SCORE = 300_000  # quantized dot ~ cos 0.3 on unit vectors:
 # at the gate SF this leaves 223 components of 500 vectors — real merge
 # structure without collapsing the corpus into one ball

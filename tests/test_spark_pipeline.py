@@ -588,3 +588,72 @@ def test_upsert_random_replay_matches_dict_semantics(spark):
                 if k not in ref or cand < ref[k][0]:
                     ref[k] = (cand, (text, ver))
         assert got == {k: v for k, (_, v) in ref.items()}, f"trial {trial}"
+
+
+def test_url_normalize_rules(spark):
+    """r5 webtext: each canonicalization rule individually and combined;
+    path case preserved; non-matching URLs pass through."""
+    from pyspark.sql import functions as F
+
+    from elevation_service_spark.operators.web import canonicalize_urls
+
+    cases = [
+        (0, "HTTP://WWW.Example3.COM:80/Path/9#frag",
+         "http://example3.com/Path/9", "example3.com", "example3.com"),
+        (1, "http://News.Example3.com/Path/9?utm_campaign=a",
+         "http://news.example3.com/Path/9", "news.example3.com",
+         "example3.com"),
+        (2, "http://example3.com/Path/9/",
+         "http://example3.com/Path/9", "example3.com", "example3.com"),
+        (3, "http://example3.com/Path/9/?utm_source=feed&x=2",
+         "http://example3.com/Path/9/?x=2", "example3.com", "example3.com"),
+        (4, "https://a.b.c.example.org/UPPER/Case",
+         "https://a.b.c.example.org/UPPER/Case", "a.b.c.example.org",
+         "example.org"),
+    ]
+    docs = spark.createDataFrame([(i, u) for i, u, *_ in cases],
+                                 ["doc_id", "url"])
+    got = {r["id"]: r for r in canonicalize_urls(docs).collect()}
+    for i, _u, norm, host, domain in cases:
+        assert got[i]["url_norm"] == norm, i
+        assert got[i]["host"] == host, i
+        assert got[i]["domain"] == domain, i
+    # projection only: no Exchange, no Python
+    plan = canonicalize_urls(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_url_dedup_survivor(spark):
+    from elevation_service_spark.operators.web import url_dedup
+    docs = spark.createDataFrame(
+        [(5, "HTTP://WWW.X.COM:80/a#f"), (2, "http://x.com/a/"),
+         (9, "http://x.com/a"), (7, "http://x.com/b")],
+        ["doc_id", "url"])
+    got = {r["id"]: r["is_survivor"] for r in url_dedup(docs).collect()}
+    assert got == {2: True, 5: False, 9: False, 7: True}
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    """r5: bigram-LM micro scores against a hand-rolled reference,
+    including the <2-token zero row; no Python, no Window in the plan."""
+    import collections
+
+    from elevation_service_spark.operators.text import bigram_lm_scores
+
+    texts = {1: "a b a b c", 2: "a b", 3: "x", 4: "b c a b"}
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {r["id"]: (r["n_bigrams"], r["lm_micro_sum"])
+           for r in bigram_lm_scores(docs).collect()}
+    c2, c1 = collections.Counter(), collections.Counter()
+    grams = {}
+    for i, t in texts.items():
+        tk = t.split(" ")
+        grams[i] = [(tk[j], tk[j + 1]) for j in range(len(tk) - 1)]
+        for g in grams[i]:
+            c2[g] += 1
+            c1[g[0]] += 1
+    for i in texts:
+        exp = sum(c2[g] * 1_000_000 // c1[g[0]] for g in grams[i])
+        assert got[i] == (len(grams[i]), exp), i
+    plan = bigram_lm_scores(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Window" not in plan
