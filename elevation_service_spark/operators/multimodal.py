@@ -60,15 +60,28 @@ def _payload_media_id(payload: bytes, magic: bytes) -> int:
     return int.from_bytes(hashlib.sha256(payload).digest()[:6], "big")
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
 def decode_image(payload: bytes, width: int, height: int,
                  fake: bool = False) -> np.ndarray:
-    """payload -> (h, w, 3) uint8.  STUB: real decoding needs PIL/libjpeg,
-    absent in this container.  Fake pixel law (oracle-recomputable):
+    """payload -> (h, w, 3) uint8.
+
+    REAL path (r5): PNG payloads decode through the repo's own pure-numpy
+    RGB-8 PNG codec (kernels.decode_png_rgb — all five scanline filters),
+    no PIL needed; the png_features gate query runs this path end-to-end.
+    JPEG/WebP remain stubbed (libjpeg absent in this container).  Fake
+    pixel law (oracle-recomputable):
     pix(y, x, c) = (media_id*31 + y*17 + x*13 + c*7) mod 256."""
+    data = bytes(payload)
+    if data[:8] == _PNG_SIG:
+        from .. import kernels
+        return kernels.decode_png_rgb(data)
     if not fake:
         raise NotImplementedError(
-            "image decode requires PIL/libjpeg (not in this container); "
-            "pass fake=True for the deterministic closed-form decoder")
+            "non-PNG image decode requires PIL/libjpeg (not in this "
+            "container); PNG decodes natively, or pass fake=True for the "
+            "deterministic closed-form decoder")
     mid = _payload_media_id(bytes(payload), _IMG_MAGIC)
     y = np.arange(height, dtype=np.int64)[:, None, None]
     x = np.arange(width, dtype=np.int64)[None, :, None]

@@ -483,6 +483,7 @@ _DEMOTED = [
     "url_dedup",         # new r5 webtext: canonical-URL exact dedup
     "domain_rollup",     # new r5 webtext: per-domain crawl rollup
     "bigram_lm",         # new r5: count-based bigram LM quality scoring
+    "png_features",      # new r5: REAL PNG decode via the in-repo codec
 ]
 
 

@@ -131,13 +131,59 @@ SELECT mid AS media_id, CAST(f AS INT) AS frame_idx,
 FROM fr"""
 
 
+def _png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image media table with REAL PNG payloads: each row's pixels
+    follow the same closed-form law, encoded with the repo's pure-numpy
+    RGB-8 PNG encoder — so the genuine decode→feature path produces
+    exactly the rows the closed-form oracle predicts."""
+    import pandas as pd
+
+    from . import kernels
+
+    base = _image_media(spark, sf_dir).select(
+        "media_id", "kind", "width", "height")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = [
+                kernels.encode_png_rgb(multimodal.decode_image(
+                    multimodal.fake_image_payload(int(mid)),
+                    int(w), int(h), fake=True))
+                for mid, w, h in zip(pdf["media_id"], pdf["width"],
+                                     pdf["height"])]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "kind": pdf["kind"],
+                "mime": "image/png",
+                "width": pdf["width"].astype("int32"),
+                "height": pdf["height"].astype("int32"),
+                "duration_ms": pd.Series([None] * len(pdf), dtype=object),
+                "payload": payloads,
+            })
+
+    return base.mapInPandas(gen, multimodal.MEDIA_SCHEMA)
+
+
+def q_png_features(spark, sf_dir):
+    """REAL image decode (r5): genuine PNG payloads through the in-repo
+    pure-numpy codec — fake_decode stays False, the features must still
+    equal the closed-form oracle (same pixel law, real bytes)."""
+    return multimodal.image_features(_png_media(spark, sf_dir),
+                                     fake_decode=False)
+
+
 SPARK_QUERIES = {
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "frame_sample_plan": q_frame_sample_plan,
+    "png_features": q_png_features,
 }
 ORACLES = {
     "image_features": _IMAGE_ORACLE,
     "audio_features": _AUDIO_ORACLE,
     "frame_sample_plan": _FRAME_PLAN_ORACLE,
+    # same oracle as image_features ON PURPOSE: real PNG decode must land
+    # on the identical closed-form features (the star-CC/_CLUSTERS_ORACLE
+    # sharing pattern)
+    "png_features": _IMAGE_ORACLE,
 }

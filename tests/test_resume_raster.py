@@ -320,3 +320,39 @@ def test_tile_slope_stats_semantics_and_plan(spark):
     r = rows["N57E011"]
     assert (r["max_slope2"], r["sum_slope2"]) == (int(s2.max()), int(s2.sum()))
     assert r["n_void_adj"] == int(sv.sum())
+
+
+def test_decode_image_real_png_path(spark):
+    """r5: PNG payloads decode through the in-repo codec with fake=False;
+    the decode→feature pipeline over real PNG bytes produces exactly the
+    fake-decoder features (same pixel law, genuine bytes)."""
+    import numpy as np
+
+    from elevation_service_spark import kernels
+    from elevation_service_spark.operators import multimodal
+
+    img = multimodal.decode_image(
+        multimodal.fake_image_payload(7), 20, 13, fake=True)
+    png = kernels.encode_png_rgb(img)
+    # real path: no fake flag, bytes round-trip exactly
+    got = multimodal.decode_image(png, 20, 13, fake=False)
+    assert np.array_equal(got, img)
+    # non-PNG without fake still refuses loudly
+    import pytest
+    with pytest.raises(NotImplementedError, match="non-PNG"):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0jpegish", 4, 4, fake=False)
+    # end-to-end: image_features over real PNG rows == over fake payloads
+    rows = [(i, "image", "image/png", 16 + i % 7, 12 + i % 5, None,
+             bytearray(kernels.encode_png_rgb(multimodal.decode_image(
+                 multimodal.fake_image_payload(i), 16 + i % 7, 12 + i % 5,
+                 fake=True)))) for i in range(12)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    fake_rows = [(i, "image", "image/fake", 16 + i % 7, 12 + i % 5, None,
+                  bytearray(multimodal.fake_image_payload(i)))
+                 for i in range(12)]
+    fake_media = spark.createDataFrame(fake_rows, multimodal.MEDIA_SCHEMA)
+    real = {r["media_id"]: tuple(r) for r in
+            multimodal.image_features(media, fake_decode=False).collect()}
+    fake = {r["media_id"]: tuple(r) for r in
+            multimodal.image_features(fake_media, fake_decode=True).collect()}
+    assert real == fake and len(real) == 12
