@@ -484,6 +484,8 @@ _DEMOTED = [
     "domain_rollup",     # new r5 webtext: per-domain crawl rollup
     "bigram_lm",         # new r5: count-based bigram LM quality scoring
     "png_features",      # new r5: REAL PNG decode via the in-repo codec
+    "props_rollup",      # new r5: JSON props extraction + rollup
+    "value_quantiles",   # new r5: exact selection quantiles per type
 ]
 
 

@@ -357,6 +357,69 @@ _EVENTS_RUNNING_ORACLE = """SELECT event_id, user_id,
 FROM events"""
 
 
+# --- semi-structured props + exact order statistics (r5) ---------------------
+
+def q_props_rollup(spark, sf_dir):
+    """Semi-structured JSON extraction (r5): pull the integer `k` out of
+    the events' JSON props column (get_json_object — JVM-side JSON path,
+    no Python) and roll up per k-decade: counts, distinct users, exact
+    integer value-cents.  The webtext pipeline's metadata-sidecar shape."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (e.select((k - k % 10).alias("k_decade"), "user_id",
+                     cents.alias("cents"))
+            .groupBy("k_decade")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum("cents").alias("sum_cents")))
+
+
+_PROPS_ROLLUP_ORACLE = """WITH e AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events)
+SELECT k - k % 10 AS k_decade,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM e GROUP BY 1"""
+
+
+def q_value_quantiles(spark, sf_dir):
+    """Exact order statistics per event type (r5): type-1 (selection)
+    quantiles — the value at rank ceil(q*n), NO interpolation — so both
+    engines pick the identical element (interpolated percentile formulas
+    differ in ULPs across engines; selection cannot).  One window + one
+    pivot-free join; ties broken by event_id for full determinism."""
+    from pyspark.sql import Window
+    e = load(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(),
+                                                 F.col("event_id").asc())
+    ranked = e.withColumn("_rn", F.row_number().over(w))
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
+    r = ranked.join(counts, "event_type")
+    qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    agg = [F.max(F.when(F.col("_rn") == F.ceil(F.col("_n") * F.lit(q)),
+                        F.col("value"))).alias(name)
+           for name, q in qs.items()]
+    return (r.groupBy("event_type")
+            .agg(F.max("_n").cast("long").alias("n"), *agg))
+
+
+_VALUE_QUANTILES_ORACLE = """WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+  max(CASE WHEN rn = ceil(n * 0.5) THEN value END) AS p50,
+  max(CASE WHEN rn = ceil(n * 0.9) THEN value END) AS p90,
+  max(CASE WHEN rn = ceil(n * 0.99) THEN value END) AS p99
+FROM r GROUP BY event_type"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min gap) via lag + cumulative flag —
     the batch equivalent of a streaming session window."""
@@ -408,6 +471,8 @@ SPARK_QUERIES = {
     "orders_rollup": q_orders_rollup,
     "events_running": q_events_running,
     "sessionize": q_sessionize,
+    "props_rollup": q_props_rollup,
+    "value_quantiles": q_value_quantiles,
 }
 
 ORACLES = {
@@ -429,6 +494,8 @@ ORACLES = {
     "orders_rollup": _ROLLUP_ORACLE,
     "events_running": _EVENTS_RUNNING_ORACLE,
     "sessionize": _SESSIONIZE_ORACLE,
+    "props_rollup": _PROPS_ROLLUP_ORACLE,
+    "value_quantiles": _VALUE_QUANTILES_ORACLE,
 }
 
 
