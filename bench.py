@@ -211,9 +211,11 @@ def q_pip_bucketed_big(spark, sf_dir):
     tracks that staying flat round-over-round."""
     from elevation_service_spark.operators.pip import pip_assign_bucketed
     pts, polys = _big_pip_inputs(spark)
-    # ONE covering cell here, so groups = shards: match the core count
-    # (the default 8/cell is tuned for many-cell inputs where cells x 8
-    # already saturates; this row exercises the degenerate-cell dial)
+    # ONE covering cell, shards = cores: the r4 degenerate-cell dial.
+    # Since the r5 interval-stabbing kernel the ray-cast is no longer the
+    # bottleneck and 8 shards measure slightly FASTER than 32 (fewer
+    # byte-light tasks); both rows stay in the suite to keep the dial's
+    # cost measured round-over-round rather than remembered.
     return pip_assign_bucketed(pts, polys, shards_per_cell=CPUS)
 
 

@@ -171,3 +171,47 @@ def dedup_survivors(docs: DataFrame, components: DataFrame,
     return joined.select(
         "id", "component",
         (F.col("id") == F.col("component")).alias("is_survivor"))
+
+
+# --- integer fixed-point PageRank (r5) ---------------------------------------
+
+PR_SCALE = 1_000_000  # rank fixed-point scale: rank 1.0 == 1e6
+
+
+def pagerank_integer(edges: DataFrame, vertices: DataFrame,
+                     iters: int = 3, scale: int = PR_SCALE) -> DataFrame:
+    """(id, rank) — PageRank in EXACT fixed-point integer arithmetic:
+    rank'(v) = floor(0.15*scale) + (85 * S(v)) // 100 with
+    S(v) = sum over in-edges (u, v) of rank(u) // outdeg(u).
+    Deterministic and engine-portable (every step is a nonnegative
+    integer division), so a DuckDB oracle replays all rounds as chained
+    CTEs — the same replay pattern as the k-means oracle.
+
+    The distributed-iterative shape (the other one besides connected
+    components): per round ONE hash join (edges ⨝ ranks) + ONE
+    map-side-combined sum + ONE left join back onto the vertex set;
+    lineage truncated per round with localCheckpoint (the plan would
+    otherwise grow exponentially — the CC lesson).  Driver state: zero
+    (no collect anywhere; iters is a fixed hyperparameter).
+
+    edges: (src, dst) — parallel edges and self-loops count per row;
+    vertices: one column of ALL vertex ids (sources, sinks, isolated)."""
+    vid = vertices.columns[0]
+    verts = vertices.select(F.col(vid).alias("id")).distinct()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_od"))
+    ranks = verts.select("id", F.lit(int(scale)).cast("long").alias("rank")) \
+                 .localCheckpoint()
+    base = int(15 * scale) // 100
+    for _ in range(int(iters)):
+        contribs = (edges.join(ranks.withColumnRenamed("id", "src"), "src")
+                    .join(outdeg, "src")
+                    .select(F.col("dst").alias("id"),
+                            F.expr("rank div _od").alias("_c")))
+        sums = contribs.groupBy("id").agg(F.sum("_c").alias("_s"))
+        ranks = (verts.join(sums, "id", "left")
+                 .select("id",
+                         (F.lit(base)
+                          + F.expr("85 * coalesce(_s, 0L) div 100"))
+                         .cast("long").alias("rank"))
+                 .localCheckpoint())
+    return ranks

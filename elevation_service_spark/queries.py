@@ -486,6 +486,7 @@ _DEMOTED = [
     "png_features",      # new r5: REAL PNG decode via the in-repo codec
     "props_rollup",      # new r5: JSON props extraction + rollup
     "value_quantiles",   # new r5: exact selection quantiles per type
+    "pagerank",          # new r5: integer fixed-point PageRank (iterative)
 ]
 
 

@@ -1554,6 +1554,62 @@ ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
                 "bigram_lm": _BIGRAM_LM_ORACLE})
 
 
+# --- integer PageRank over a derived link graph (r5) -------------------------
+
+PAGERANK_ITERS = 3
+
+
+def q_pagerank(spark, sf_dir):
+    """Integer fixed-point PageRank (r5): the second distributed-iterative
+    algorithm family (besides connected components) — a deterministic
+    3-out-link graph over the documents (dst = (id*7919 + j) mod N), three
+    exact integer rounds; the oracle replays every round as chained CTEs
+    (the k-means replay pattern)."""
+    from .operators.cluster import pagerank_integer
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # one scalar job (the top_terms pattern); ids are 0..N-1
+    # three link rules with genuinely different in-degree structure — a
+    # bijection (uniform), a quadratic residue map (irregular), and an
+    # integer-division hub map (high-in-degree nodes); an all-bijective
+    # graph would make every rank identical and prove nothing
+    dsts = [((F.col("doc_id") * 7919 + 1) % n),
+            ((F.col("doc_id") * F.col("doc_id") + 2) % n),
+            (F.expr("doc_id div 3") % n)]
+    edges = None
+    for dst in dsts:
+        e = docs.select(F.col("doc_id").alias("src"), dst.alias("dst"))
+        edges = e if edges is None else edges.unionByName(e)
+    return pagerank_integer(edges, docs, iters=PAGERANK_ITERS)
+
+
+def _pagerank_oracle():
+    rounds = []
+    for k in range(1, PAGERANK_ITERS + 1):
+        rounds.append(f"""s{k} AS (
+  SELECT e.dst AS id, sum(r.rank // od.od) AS s
+  FROM e JOIN r{k - 1} r ON r.id = e.src JOIN od ON od.src = e.src
+  GROUP BY e.dst),
+r{k} AS (
+  SELECT v.id, 150000 + (85 * coalesce(s.s, 0)) // 100 AS rank
+  FROM v LEFT JOIN s{k} s ON s.id = v.id)""")
+    chain = ",\n".join(rounds)
+    return f"""WITH v AS (SELECT doc_id AS id FROM documents),
+n AS (SELECT count(*) AS n FROM documents),
+e AS (SELECT id AS src, (id * 7919 + 1) % (SELECT n FROM n) AS dst FROM v
+      UNION ALL
+      SELECT id, (id * id + 2) % (SELECT n FROM n) FROM v
+      UNION ALL
+      SELECT id, (id // 3) % (SELECT n FROM n) FROM v),
+od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+r0 AS (SELECT id, 1000000 AS rank FROM v),
+{chain}
+SELECT id, CAST(rank AS BIGINT) AS rank FROM r{PAGERANK_ITERS}"""
+
+
+SPARK_QUERIES.update({"pagerank": q_pagerank})
+ORACLES.update({"pagerank": _pagerank_oracle()})
+
+
 SEMDEDUP_MIN_SCORE = 300_000  # quantized dot ~ cos 0.3 on unit vectors:
 # at the gate SF this leaves 223 components of 500 vectors — real merge
 # structure without collapsing the corpus into one ball

@@ -657,3 +657,30 @@ def test_bigram_lm_matches_python_reference(spark):
         assert got[i] == (len(grams[i]), exp), i
     plan = bigram_lm_scores(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Window" not in plan
+
+
+def test_pagerank_integer_matches_python_reference(spark):
+    """r5: integer fixed-point PageRank on a small irregular graph vs a
+    dict-based reference — exact equality per node, including sinks with
+    no in-edges (base rank) and a hub; plan has no Python stages."""
+    from elevation_service_spark.operators.cluster import pagerank_integer
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0), (3, 1), (4, 4), (0, 2)]
+    verts = list(range(6))  # 5 is isolated (no in/out edges)
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    vdf = spark.createDataFrame([(v,) for v in verts], ["doc_id"])
+    got = {r["id"]: r["rank"]
+           for r in pagerank_integer(edf, vdf, iters=4).collect()}
+
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: 1_000_000 for v in verts}
+    for _ in range(4):
+        sums = {v: 0 for v in verts}
+        for s, d in edges:
+            sums[d] += rank[s] // outdeg[s]
+        rank = {v: 150_000 + (85 * sums[v]) // 100 for v in verts}
+    assert got == rank
+    # isolated vertex holds the base rank; hub 0 outranks it
+    assert got[5] == 150_000 and got[0] > got[5]
