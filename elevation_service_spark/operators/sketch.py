@@ -1,0 +1,90 @@
+"""Mergeable frequency / membership sketches over token streams: a
+count-min sketch and a Bloom filter, both as plain DataFrames of cells —
+the sketch tier a training-data pipeline uses when exact per-token state
+is too big (heavy-hitter screening, seen-before membership).
+
+Determinism: every hash is the repo's portable md5-derived integer
+(operators/dedup.token_code_col recipe) with a per-row salt, so both
+sketches — construction AND lookup — are bit-replayable by the DuckDB
+oracles.  Scale shape: construction is ONE token pass + one
+map-side-combined groupBy whose result is bounded by the sketch geometry
+(depth x width cells / <= n_bits rows), NOT by the corpus; sketches merge
+across shards/batches by unioning cell tables and re-summing (CMS) or
+re-distincting (Bloom) — the standard mergeability contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+BLOOM_BITS = 8192
+BLOOM_HASHES = 3
+
+
+def hash_mod(col: Column, salt: str, mod: int) -> Column:
+    """Portable salted hash in [0, mod): top-60-bit md5 int mod `mod`
+    (the token_code_col recipe; DuckDB twin:
+    ('0x' || substr(md5(tok || salt), 1, 15))::BIGINT % mod)."""
+    hex60 = F.substring(F.md5(F.concat(col, F.lit(salt))), 1, 15)
+    return (F.conv(hex60, 16, 10).cast("long") % F.lit(int(mod)))
+
+
+def _tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    return docs.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+
+
+def cms_build(docs: DataFrame, text_col: str = "text",
+              depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """(row, bucket, cnt) — the count-min matrix as a table: every token
+    occurrence lands in `depth` cells, one map-side-combined groupBy.
+    Result size <= depth*width whatever the corpus size."""
+    cells = _tokens(docs, text_col).select(
+        F.posexplode(F.array(*[hash_mod(F.col("tok"), f"cms{r}", width)
+                               for r in range(depth)])).alias("row", "bucket"))
+    return cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_lookup(cms: DataFrame, probes: DataFrame, tok_col: str = "tok",
+               depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """(tok, est) — est = min over the probe's depth cells (absent cell =
+    0).  CMS guarantee: est >= true count, overestimates only."""
+    pcells = probes.select(
+        F.col(tok_col).alias("tok"),
+        F.posexplode(F.array(*[hash_mod(F.col(tok_col), f"cms{r}", width)
+                               for r in range(depth)])).alias("row", "bucket"))
+    return (pcells.join(cms, ["row", "bucket"], "left")
+            .groupBy("tok")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long")
+                 .alias("est")))
+
+
+def bloom_build(docs: DataFrame, text_col: str = "text",
+                n_bits: int = BLOOM_BITS,
+                n_hashes: int = BLOOM_HASHES) -> DataFrame:
+    """(bit) — the set bits of a Bloom filter over the corpus vocabulary;
+    <= n_bits rows regardless of corpus size."""
+    return (_tokens(docs, text_col)
+            .select(F.explode(F.array(*[hash_mod(F.col("tok"), f"bloom{r}",
+                                                 n_bits)
+                                        for r in range(n_hashes)]))
+                    .alias("bit"))
+            .distinct())
+
+
+def bloom_lookup(bits: DataFrame, probes: DataFrame, tok_col: str = "tok",
+                 n_bits: int = BLOOM_BITS,
+                 n_hashes: int = BLOOM_HASHES) -> DataFrame:
+    """(tok, is_member) — member iff ALL the probe's hash bits are set
+    (no false negatives; false-positive rate set by the geometry)."""
+    pbits = probes.select(
+        F.col(tok_col).alias("tok"),
+        F.explode(F.array(*[hash_mod(F.col(tok_col), f"bloom{r}", n_bits)
+                            for r in range(n_hashes)])).alias("bit"))
+    marked = bits.withColumn("_p", F.lit(1))
+    return (pbits.join(marked, "bit", "left")
+            .groupBy("tok")
+            .agg((F.min(F.coalesce(F.col("_p"), F.lit(0))) == 1)
+                 .alias("is_member")))

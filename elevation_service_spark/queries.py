@@ -487,6 +487,8 @@ _DEMOTED = [
     "props_rollup",      # new r5: JSON props extraction + rollup
     "value_quantiles",   # new r5: exact selection quantiles per type
     "pagerank",          # new r5: integer fixed-point PageRank (iterative)
+    "cms_counts",        # new r5: count-min sketch build + probe
+    "bloom_filter",      # new r5: Bloom membership build + probe
 ]
 
 

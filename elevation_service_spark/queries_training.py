@@ -1554,6 +1554,114 @@ ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
                 "bigram_lm": _BIGRAM_LM_ORACLE})
 
 
+# --- mergeable sketches: count-min + Bloom (r5) ------------------------------
+
+# deterministic probe set: corpus-frequent tokens, mid-frequency tokens,
+# and two absent ones (the Bloom no-false-negative / CMS overestimate
+# properties both get exercised)
+SKETCH_PROBES = ["the", "a", "value", "row", "merge", "table", "scan",
+                 "zzzq_absent1", "zzzq_absent2"]
+
+
+def q_cms_counts(spark, sf_dir):
+    """Count-min sketch (r5): depth x width integer matrix built in one
+    token pass (bounded by geometry, not corpus), probed for a fixed token
+    set; exact counts joined alongside so the overestimate-only guarantee
+    is visible in the gated rows."""
+    from .operators import sketch
+    docs = load(spark, sf_dir, "documents")
+    probes = spark.createDataFrame([(t,) for t in SKETCH_PROBES], ["tok"])
+    est = sketch.cms_lookup(sketch.cms_build(docs), probes)
+    # a deliberately narrow twin (width 8 << the ~35-word synthetic
+    # vocabulary): collisions are certain in every row, so the gated rows
+    # SHOW the overestimate-only guarantee (est_narrow >= exact) instead
+    # of only claiming it
+    narrow = (sketch.cms_lookup(sketch.cms_build(docs, width=8), probes,
+                                width=8)
+              .withColumnRenamed("est", "est_narrow"))
+    exact = (docs.select(F.explode(F.split("text", " ")).alias("tok"))
+             .filter(F.col("tok").isin(SKETCH_PROBES))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("_c")))
+    return (est.join(narrow, "tok").join(exact, "tok", "left")
+            .select("tok", "est", "est_narrow",
+                    F.coalesce("_c", F.lit(0)).cast("long").alias("exact_cnt")))
+
+
+def q_bloom_filter(spark, sf_dir):
+    """Bloom membership (r5): k salted md5 bits per vocabulary token,
+    <= n_bits rows however large the corpus; probes answer is_member with
+    no false negatives."""
+    from .operators import sketch
+    docs = load(spark, sf_dir, "documents")
+    bits = sketch.bloom_build(docs)
+    probes = spark.createDataFrame([(t,) for t in SKETCH_PROBES], ["tok"])
+    return sketch.bloom_lookup(bits, probes)
+
+
+def _cell_sql(expr: str, salt: str, mod: int) -> str:
+    return (f"CAST(('0x' || substr(md5({expr} || '{salt}'), 1, 15)) "
+            f"AS BIGINT) % {mod}")
+
+
+def _cms_width_ctes(width: int, suffix: str) -> str:
+    from .operators.sketch import CMS_DEPTH
+    cells = " UNION ALL ".join(
+        f"SELECT {r} AS row, {_cell_sql('tok', f'cms{r}', width)} AS bucket FROM tokq"
+        for r in range(CMS_DEPTH))
+    pc = " UNION ALL ".join(
+        f"SELECT tok, {r} AS row, {_cell_sql('tok', f'cms{r}', width)} AS bucket FROM probes"
+        for r in range(CMS_DEPTH))
+    return f"""cells{suffix} AS ({cells}),
+cms{suffix} AS (SELECT row, bucket, count(*) AS cnt FROM cells{suffix} GROUP BY 1, 2),
+pc{suffix} AS ({pc}),
+est{suffix} AS (SELECT p.tok, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+        FROM pc{suffix} p LEFT JOIN cms{suffix} c
+          ON c.row = p.row AND c.bucket = p.bucket
+        GROUP BY p.tok)"""
+
+
+def _cms_oracle():
+    from .operators.sketch import CMS_WIDTH
+    probes_vals = ", ".join(f"('{t}')" for t in SKETCH_PROBES)
+    return f"""WITH tokq AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+probes(tok) AS (VALUES {probes_vals}),
+{_cms_width_ctes(CMS_WIDTH, '')},
+{_cms_width_ctes(8, '_n')},
+exact AS (SELECT tok, count(*) AS c FROM tokq GROUP BY tok)
+SELECT est.tok, est.est, est_n.est AS est_narrow,
+  CAST(coalesce(exact.c, 0) AS BIGINT) AS exact_cnt
+FROM est JOIN est_n ON est_n.tok = est.tok
+LEFT JOIN exact ON exact.tok = est.tok"""
+
+
+def _bloom_oracle():
+    from .operators.sketch import BLOOM_BITS, BLOOM_HASHES
+    probes_vals = ", ".join(f"('{t}')" for t in SKETCH_PROBES)
+    bits = " UNION ALL ".join(
+        f"SELECT {_cell_sql('tok', f'bloom{r}', BLOOM_BITS)} AS bit FROM tokq"
+        for r in range(BLOOM_HASHES))
+    pb = " UNION ALL ".join(
+        f"SELECT tok, {_cell_sql('tok', f'bloom{r}', BLOOM_BITS)} AS bit FROM probes"
+        for r in range(BLOOM_HASHES))
+    return f"""WITH tokq AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+bits AS (SELECT DISTINCT bit FROM ({bits})),
+probes(tok) AS (VALUES {probes_vals}),
+pb AS ({pb})
+SELECT pb.tok,
+  CAST(min(CASE WHEN bits.bit IS NULL THEN 0 ELSE 1 END) = 1 AS BOOLEAN)
+    AS is_member
+FROM pb LEFT JOIN bits ON bits.bit = pb.bit
+GROUP BY pb.tok"""
+
+
+SPARK_QUERIES.update({"cms_counts": q_cms_counts,
+                      "bloom_filter": q_bloom_filter})
+ORACLES.update({"cms_counts": _cms_oracle(),
+                "bloom_filter": _bloom_oracle()})
+
+
 # --- integer PageRank over a derived link graph (r5) -------------------------
 
 PAGERANK_ITERS = 3

@@ -684,3 +684,51 @@ def test_pagerank_integer_matches_python_reference(spark):
     assert got == rank
     # isolated vertex holds the base rank; hub 0 outranks it
     assert got[5] == 150_000 and got[0] > got[5]
+
+
+def test_sketches_properties_and_mergeability(spark):
+    """r5 sketches: (a) CMS never underestimates any vocabulary token and
+    is exact on absent ones' lower bound; (b) Bloom has NO false
+    negatives; (c) both merge: sketch(A union B) == merge(sketch(A),
+    sketch(B)) — re-sum for CMS cells, re-distinct for Bloom bits."""
+    import collections
+    import random
+
+    from elevation_service_spark.operators import sketch
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randint(3, 30))))
+            for i in range(80)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    truth = collections.Counter(t for _, txt in rows for t in txt.split(" "))
+
+    cms = sketch.cms_build(docs, width=16)  # narrow: collisions certain
+    probes = spark.createDataFrame(
+        [(t,) for t in vocab + ["absent_x"]], ["tok"])
+    est = {r["tok"]: r["est"] for r in
+           sketch.cms_lookup(cms, probes, width=16).collect()}
+    for t in vocab:
+        assert est[t] >= truth[t], t  # overestimate-only
+    assert est["absent_x"] >= 0
+
+    bits = sketch.bloom_build(docs, n_bits=256)
+    member = {r["tok"]: r["is_member"] for r in
+              sketch.bloom_lookup(bits, probes, n_bits=256).collect()}
+    for t in vocab:
+        assert member[t], t  # no false negatives, ever
+
+    # mergeability
+    a = docs.filter("doc_id < 40")
+    b = docs.filter("doc_id >= 40")
+    merged_cms = (sketch.cms_build(a, width=16)
+                  .unionByName(sketch.cms_build(b, width=16))
+                  .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt")))
+    whole_cms = {(r["row"], r["bucket"]): r["cnt"]
+                 for r in sketch.cms_build(docs, width=16).collect()}
+    assert {(r["row"], r["bucket"]): r["cnt"]
+            for r in merged_cms.collect()} == whole_cms
+    merged_bits = (sketch.bloom_build(a, n_bits=256)
+                   .unionByName(sketch.bloom_build(b, n_bits=256)).distinct())
+    assert ({r["bit"] for r in merged_bits.collect()}
+            == {r["bit"] for r in bits.collect()})
