@@ -174,6 +174,14 @@ def enrich_points(points: DataFrame, tiles: DataFrame, *,
     MAJORITY of working-set tiles need an expensive decode (not hgt /
     hgt.gz) AND the points arrive in fewer splits than workers; cheap-decode
     (HGT) plans stay map-only.  False forces the map-only plan."""
+    clash = {"elevation", "status"} & set(points.columns)
+    if clash:
+        # fail fast and identically for BOTH strategies: the broadcast
+        # path's withColumn would silently REPLACE the caller's column
+        # while the cogroup join-back would emit a duplicate name that
+        # explodes later as AMBIGUOUS_REFERENCE (r5 code-review)
+        raise ValueError(f"enrich_points: points already has {sorted(clash)} "
+                         "— rename before enriching")
     points = with_tile_key(points)
     if partition_by_key is True and not points.isStreaming:
         points = points.repartition(F.col("tile_key"))

@@ -162,6 +162,12 @@ def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
         assign1 = _centroid_probe_udf(spark, cents, 1)
         assigned = base.withColumn(
             "cid", F.element_at(assign1(F.col("v")), 1).cast("long"))
+    # materialize the argmax assignment once and truncate lineage: it is
+    # read by both self-join sides AND the final comps join; likewise the
+    # quadratic within-cluster join runs exactly once — CC's label init
+    # and its cached sym table each re-evaluate their edges input
+    # (r5 code-review)
+    assigned = assigned.localCheckpoint()
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (a.join(b, (F.col("a.cid") == F.col("b.cid"))
                     & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -169,7 +175,8 @@ def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
                      F.col("b.vec_id").alias("id2"),
                      _dot(F.col("a.v"), F.col("b.v")).alias("score"))
              .filter(F.col("score") >= min_score)
-             .select("id1", "id2"))
+             .select("id1", "id2")
+             .localCheckpoint())
     comps = connected_components(pairs, assigned.select("vec_id"))
     return (assigned.select("vec_id", "cid")
             .join(comps.withColumnRenamed("id", "vec_id"), "vec_id")
@@ -431,12 +438,22 @@ def ann_pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                 return pd.Series([], dtype=object)
             L = lut_bc.value
             C = np.asarray(codes.tolist(), dtype=np.int64)  # (n, m)
-            S = np.zeros((C.shape[0], L.shape[0]), dtype=np.int64)
-            for mm in range(L.shape[1]):
-                # L[:, mm, :] is (Q, k); fancy-index its columns by this
-                # subspace's codes -> (Q, n); transpose-add into (n, Q)
-                S += L[:, mm, :][:, C[:, mm]].T
-            return pd.Series(list(S))
+            n_q = L.shape[0]
+            # block the batch rows so the (rows x Q) gather temporaries
+            # stay ~4M elements: a 65536-row Arrow batch x 1000 queries
+            # would otherwise materialize ~0.5 GB per subspace per task
+            # (r5 code-review)
+            step = max(1, 4_000_000 // max(1, n_q))
+            out = []
+            for s in range(0, C.shape[0], step):
+                Cb = C[s:s + step]
+                S = np.zeros((Cb.shape[0], n_q), dtype=np.int64)
+                for mm in range(L.shape[1]):
+                    # L[:, mm, :] is (Q, k); fancy-index its columns by
+                    # this block's codes -> (Q, rows); transpose-add
+                    S += L[:, mm, :][:, Cb[:, mm]].T
+                out.extend(S)
+            return pd.Series(out)
 
         score_arr = scores_udf(F.col("codes"))
     else:

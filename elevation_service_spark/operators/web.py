@@ -17,20 +17,30 @@ from pyspark.sql import functions as F
 
 def url_normalize(url: Column) -> Column:
     """Canonical URL: lowercase scheme://host[:port], strip the fragment,
-    the default :80 port, a www. host prefix, utm_* tracking params, and a
-    trailing slash.  Path/query case is preserved (paths are
-    case-sensitive on real servers; hosts are not)."""
-    # lowercase ONLY the scheme://host[:port] prefix
-    u = F.concat(F.lower(F.regexp_extract(url, r"^([^/]*//[^/]*)", 1)),
-                 F.regexp_replace(url, r"^[^/]*//[^/]*", ""))
-    u = F.regexp_replace(u, r"#.*$", "")          # fragment
-    u = F.regexp_replace(u, r":80/", "/")         # default port (host ends
-    #                                               at the path's leading /)
-    u = F.regexp_replace(u, r"://www\.", "://")   # www. host prefix
-    u = F.regexp_replace(u, r"\?utm_[^&]*&", "?")  # utm_* first with more params
-    u = F.regexp_replace(u, r"[?&]utm_[^&]*", "")  # utm_* sole/trailing param
-    u = F.regexp_replace(u, r"/$", "")             # trailing slash
-    return u
+    the default :80 port (http ONLY — :80 on https is a real non-default
+    port), a www. host prefix, utm_* tracking params, and a trailing
+    slash.  Path/query case is preserved (paths are case-sensitive on
+    real servers; hosts are not).
+
+    Authority rules operate on the EXTRACTED scheme://host[:port] prefix,
+    never the full string — a ':80/' or '://www.' inside a path/query
+    (e.g. '?u=http://www.b.com:80/x') must not be rewritten (r5
+    code-review).  The utm rules handle runs: middle/trailing '&utm_...'
+    params are removed first (this pattern can match several times — the
+    DuckDB replay needs the 'g' flag there), leaving at most ONE leading
+    '?utm_...&' to collapse, then a sole '?utm_...' to drop."""
+    pre = F.lower(F.regexp_extract(url, r"^([^/]*//[^/]*)", 1))
+    pre = F.when(pre.startswith("http://"),
+                 F.regexp_replace(pre, r":80$", "")).otherwise(pre)
+    pre = F.regexp_replace(pre, r"^http://www\.", "http://")
+    pre = F.regexp_replace(pre, r"^https://www\.", "https://")
+    rest = F.regexp_replace(url, r"^[^/]*//[^/]*", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")         # fragment
+    rest = F.regexp_replace(rest, r"&utm_[^&]*", "")   # middle/trailing utm_*
+    rest = F.regexp_replace(rest, r"\?utm_[^&]*&", "?")  # leading utm_* w/ more
+    rest = F.regexp_replace(rest, r"\?utm_[^&]*$", "")   # sole utm_*
+    rest = F.regexp_replace(rest, r"/$", "")           # trailing slash
+    return F.concat(pre, rest)
 
 
 def url_host(url_norm: Column) -> Column:
@@ -67,8 +77,7 @@ def url_dedup(pages: DataFrame, url_col: str = "url",
     canon = canonicalize_urls(pages, url_col, id_col)
     w = Window.partitionBy("url_norm").orderBy(F.col("id").asc())
     return (canon.withColumn("_rn", F.row_number().over(w))
-            .select("id", "url_norm", (F.col("_rn") == 1).alias("is_survivor"))
-            .drop("_rn"))
+            .select("id", "url_norm", (F.col("_rn") == 1).alias("is_survivor")))
 
 
 def domain_rollup(pages: DataFrame, url_col: str = "url",

@@ -1449,15 +1449,23 @@ _URL_SQL = """'HTTP://' || CASE CAST(doc_id % 3 AS INT)
 || CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END"""
 
 # the oracle-side replay of web.url_normalize — identical regex sequence
-# (patterns sit in the Java/RE2 common subset; every pattern occurs at
-# most once by construction, so DuckDB's replace-first == Spark's
-# replace-all)
-_URL_NORM_SQL = """regexp_replace(regexp_replace(regexp_replace(
+# (patterns sit in the Java/RE2 common subset; the '&utm_' rule can match
+# several times so its DuckDB replace takes the 'g' flag — every other
+# pattern is ^/$-anchored or occurs at most once, where replace-first ==
+# Spark's replace-all)
+_URL_PRE_SQL = """regexp_replace(regexp_replace(
+  CASE WHEN lower(regexp_extract(url, '^([^/]*//[^/]*)', 1))
+            LIKE 'http://%'
+       THEN regexp_replace(lower(regexp_extract(url, '^([^/]*//[^/]*)', 1)),
+                           ':80$', '')
+       ELSE lower(regexp_extract(url, '^([^/]*//[^/]*)', 1)) END,
+  '^http://www\\.', 'http://'), '^https://www\\.', 'https://')"""
+
+_URL_NORM_SQL = f"""{_URL_PRE_SQL} || regexp_replace(regexp_replace(
   regexp_replace(regexp_replace(regexp_replace(
-    lower(regexp_extract(url, '^([^/]*//[^/]*)', 1))
-      || regexp_replace(url, '^[^/]*//[^/]*', ''),
-    '#.*$', ''), ':80/', '/'), '://www\\.', '://'),
-  '\\?utm_[^&]*&', '?'), '[?&]utm_[^&]*', ''), '/$', '')"""
+    regexp_replace(url, '^[^/]*//[^/]*', ''),
+    '#.*$', ''), '&utm_[^&]*', '', 'g'), '\\?utm_[^&]*&', '?'),
+  '\\?utm_[^&]*$', ''), '/$', '')"""
 
 _URL_HOST_SQL = "regexp_extract(url_norm, '^[a-z]+://([^/:]+)', 1)"
 

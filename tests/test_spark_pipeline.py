@@ -610,6 +610,20 @@ def test_url_normalize_rules(spark):
         (4, "https://a.b.c.example.org/UPPER/Case",
          "https://a.b.c.example.org/UPPER/Case", "a.b.c.example.org",
          "example.org"),
+        # r5 code-review cases:
+        # a RUN of utm params must collapse cleanly (no stray '&')
+        (5, "http://a.com/p?utm_s=1&utm_m=2&x=3",
+         "http://a.com/p?x=3", "a.com", "a.com"),
+        (6, "http://a.com/p?utm_s=1&utm_m=2",
+         "http://a.com/p", "a.com", "a.com"),
+        # ':80/' or '://www.' INSIDE a query must not be rewritten
+        (7, "http://a.com/redirect?u=http://www.b.com:80/x",
+         "http://a.com/redirect?u=http://www.b.com:80/x", "a.com", "a.com"),
+        # slash-less :80 strips too; both spellings share one key
+        (8, "HTTP://A.com:80", "http://a.com", "a.com", "a.com"),
+        (9, "http://a.com:80/", "http://a.com", "a.com", "a.com"),
+        # :80 on https is a REAL non-default port — preserved
+        (10, "https://a.com:80/x", "https://a.com:80/x", "a.com", "a.com"),
     ]
     docs = spark.createDataFrame([(i, u) for i, u, *_ in cases],
                                  ["doc_id", "url"])

@@ -631,9 +631,12 @@ def test_semantic_dedup_arrow_assignment_path(spark):
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
     cents65 = [(c, [int(x) for x in rng.integers(-1000, 1000, 16)])
                for c in range(65)]
+    from elevation_service_spark.operators.similarity import EXPR_MAX_CENTROIDS
+    assert len(cents65) > EXPR_MAX_CENTROIDS  # routes via the Arrow argmax
+    # (the assignment runs inside a localCheckpoint, so the Arrow stage is
+    # not visible in the FINAL plan; the >64-centroid ArrowEvalPython plan
+    # shape itself is pinned by the ann_ivf 1024-centroid test)
     got = semantic_dedup(emb, min_score=10_000_000, centroids=cents65)
-    plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "ArrowEvalPython" in plan  # the >64-centroid assignment path
     # expression path on the FIRST 64 centroids must agree wherever the
     # 65th centroid wins nothing
     got64 = {r["vec_id"]: r["cid"] for r in semantic_dedup(
