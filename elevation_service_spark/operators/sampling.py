@@ -71,3 +71,19 @@ def hash_split(df: DataFrame, key: str, splits: dict[str, int],
         expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
         lo = hi
     return df.withColumn(label_col, expr)
+
+
+def stratified_sample(df: DataFrame, group_col: str, key: str, k: int,
+                      salt: str = "") -> DataFrame:
+    """Exactly min(k, group size) rows per group, chosen by md5 order of
+    the key — the class-balanced subset a curation pipeline draws when
+    sources are wildly imbalanced.  Deterministic on any partitioning and
+    engine-portable (the window orders by a content hash, ties by key);
+    ONE key-partitioned window shuffle.  At 100 TB prefer a two-phase
+    variant (per-partition top-k then merge) if a single group is
+    shuffle-hot; groups here are source-sized, not corpus-sized."""
+    from pyspark.sql import Window
+    h = F.md5(F.concat(F.col(key).cast("string"), F.lit(_check_salt(salt))))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key).asc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(k)).drop("_rn"))

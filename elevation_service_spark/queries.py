@@ -489,6 +489,8 @@ _DEMOTED = [
     "pagerank",          # new r5: integer fixed-point PageRank (iterative)
     "cms_counts",        # new r5: count-min sketch build + probe
     "bloom_filter",      # new r5: Bloom membership build + probe
+    "stratified_sample",  # new r5: class-balanced per-source sample
+    "upsert_stream",     # new r5: streaming foreachBatch MERGE sink
 ]
 
 

@@ -319,6 +319,100 @@ _DEDUP_STREAM_ORACLE = f"""SELECT DISTINCT md5(
   AS fingerprint FROM documents"""
 
 
+def q_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING corpus maintenance (r5): update batches drained through
+    foreachBatch, each applying the MERGE-style latest-wins upsert
+    (operators/merge.upsert_latest) into a parquet target — batch N's
+    merge reads batch N-1's result.  Batch order is forced deterministic
+    by TWO sequential availableNow runs over one checkpoint (the
+    test_stateful pattern): run 1 merges the v1 batch, run 2 the v2 batch
+    (updates + brand-new keys).  The target swap is write-new-then-rename,
+    so the lazy merge reads the OLD target while writing.  Versions are
+    strictly increasing per key, so the closed-form oracle is simply
+    highest-version-wins across base ∪ batch1 ∪ batch2 — sequencing
+    cannot change it, which is what makes the drain hash-gateable."""
+    import shutil
+
+    from .operators.merge import upsert_latest
+    base_dir = tempfile.mkdtemp(prefix="sparkgraft_ustream_")
+    src = os.path.join(base_dir, "src")
+    target = os.path.join(base_dir, "target")
+    ckpt = os.path.join(base_dir, "ckpt")
+    os.makedirs(src)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source")
+    docs.withColumn("version", F.lit(0).cast("long")) \
+        .write.mode("overwrite").parquet(target)
+    schema = spark.read.parquet(target).schema
+
+    def merge_batch(batch_df, _bid):
+        cur = batch_df.sparkSession.read.parquet(target)
+        merged = upsert_latest(cur, batch_df)
+        tmp = target + "_next"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = target + "_old"
+        os.rename(target, old)
+        os.rename(tmp, target)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def drain_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (stream.writeStream.foreachBatch(merge_batch)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("upsert_stream drain did not finish in 600s")
+
+    def land_batch(df, name):
+        # the parquet FILE source lists a flat dir (no recursion): write
+        # the batch aside, then move its part-files into src under a
+        # unique prefix
+        import glob
+        tmp = os.path.join(base_dir, f"stage_{name}")
+        df.write.parquet(tmp)
+        for i, p in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*")))):
+            os.rename(p, os.path.join(src, f"{name}-{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    land_batch(docs.filter(F.col("doc_id") % 3 == 0)
+               .withColumn("text", F.concat(F.lit("v2 "), F.col("text")))
+               .withColumn("version", F.lit(1).cast("long")), "b1")
+    drain_once()
+    b2 = (docs.filter(F.col("doc_id") % 5 == 0)
+          .withColumn("text", F.concat(F.lit("v3 "), F.col("text")))
+          .withColumn("version", F.lit(2).cast("long")))
+    b2new = (docs.filter(F.col("doc_id") % 7 == 0)
+             .select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                     F.concat(F.lit("new "), F.col("text")).alias("text"),
+                     "lang", "source")
+             .withColumn("version", F.lit(2).cast("long")))
+    land_batch(b2.unionByName(b2new), "b2")
+    drain_once()
+    return (spark.read.parquet(target)
+            .select("doc_id", "version",
+                    F.length("text").cast("long").alias("text_len"),
+                    "lang", "source"))
+
+
+_UPSERT_STREAM_ORACLE = """WITH u AS (
+  SELECT doc_id, text, lang, source, 0 AS version FROM documents
+  UNION ALL
+  SELECT doc_id, 'v2 ' || text, lang, source, 1
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'v3 ' || text, lang, source, 2
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, 'new ' || text, lang, source, 2
+  FROM documents WHERE doc_id % 7 = 0),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY version DESC) AS rn FROM u)
+SELECT doc_id, CAST(version AS BIGINT) AS version,
+       CAST(length(text) AS BIGINT) AS text_len, lang, source
+FROM r WHERE rn = 1"""
+
+
 SPARK_QUERIES = {
     "elevation_stream": q_elevation_stream,
     "sessionize_stream": q_sessionize_stream,
@@ -326,6 +420,7 @@ SPARK_QUERIES = {
     "stream_stream_join": q_stream_stream_join,
     "stream_stream_join_outer": q_stream_stream_join_outer,
     "dedup_stream": q_dedup_stream,
+    "upsert_stream": q_upsert_stream,
 }
 ORACLES = {
     "elevation_stream": _BILINEAR_ORACLE,
@@ -334,4 +429,5 @@ ORACLES = {
     "stream_stream_join": _SSJ_ORACLE,
     "stream_stream_join_outer": _SSJ_OUTER_ORACLE,
     "dedup_stream": _DEDUP_STREAM_ORACLE,
+    "upsert_stream": _UPSERT_STREAM_ORACLE,
 }

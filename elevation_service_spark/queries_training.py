@@ -1562,6 +1562,31 @@ ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
                 "bigram_lm": _BIGRAM_LM_ORACLE})
 
 
+# --- stratified (class-balanced) sampling (r5) -------------------------------
+
+STRAT_K = 10
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exactly k docs per source by md5 order (r5): the class-balanced
+    subset for imbalanced sources; deterministic on any partitioning."""
+    from .operators.sampling import stratified_sample
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(docs, "source", "doc_id", STRAT_K)
+
+
+_STRATIFIED_ORACLE = f"""WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS STRING) || ''), doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source FROM r WHERE rn <= {STRAT_K}"""
+
+
+SPARK_QUERIES.update({"stratified_sample": q_stratified_sample})
+ORACLES.update({"stratified_sample": _STRATIFIED_ORACLE})
+
+
 # --- mergeable sketches: count-min + Bloom (r5) ------------------------------
 
 # deterministic probe set: corpus-frequent tokens, mid-frequency tokens,

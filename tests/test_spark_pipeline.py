@@ -746,3 +746,21 @@ def test_sketches_properties_and_mergeability(spark):
                    .unionByName(sketch.bloom_build(b, n_bits=256)).distinct())
     assert ({r["bit"] for r in merged_bits.collect()}
             == {r["bit"] for r in bits.collect()})
+
+
+def test_stratified_sample_partitioning_independent(spark):
+    """r5: exactly min(k, group size) rows per group, and the SAME rows
+    whatever the input partitioning (the md5-order window is
+    content-deterministic)."""
+    from elevation_service_spark.operators.sampling import stratified_sample
+    rows = [(i, f"s{i % 3}") for i in range(40)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    a = {(r["doc_id"], r["source"])
+         for r in stratified_sample(df, "source", "doc_id", 5).collect()}
+    b = {(r["doc_id"], r["source"]) for r in stratified_sample(
+        df.repartition(17), "source", "doc_id", 5).collect()}
+    assert a == b
+    per = {}
+    for _, s in a:
+        per[s] = per.get(s, 0) + 1
+    assert per == {"s0": 5, "s1": 5, "s2": 5, "tiny": 1}
