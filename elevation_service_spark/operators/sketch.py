@@ -88,3 +88,28 @@ def bloom_lookup(bits: DataFrame, probes: DataFrame, tok_col: str = "tok",
             .groupBy("tok")
             .agg((F.min(F.coalesce(F.col("_p"), F.lit(0))) == 1)
                  .alias("is_member")))
+
+
+KMV_K = 128
+KMV_HASH_SPACE = 1 << 52  # 13-hex-digit md5 prefix: (k-1)*H fits int64
+
+
+def kmv_distinct(df: DataFrame, key_col: str, k: int = KMV_K) -> DataFrame:
+    """(n_mins, kth_hash, est_distinct) — k-minimum-values distinct-count
+    estimator, the hash-gateable alternative to HLL: est = (k-1)*H // h_k
+    where h_k is the k-th smallest distinct 52-bit md5 hash.  Unlike
+    engine-native HLL sketches (whose registers are implementation
+    details), every step — hashing, distinct, top-k, the integer estimate
+    — is deterministic and replayed exactly by the DuckDB oracle.  Fewer
+    than k distinct values degrade to the EXACT count.  Scale: distinct +
+    TakeOrdered(k) — one shuffle of hash values, k tiny; mergeable by
+    unioning min-sets and re-taking the k smallest."""
+    h = (F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 13),
+                16, 10).cast("long"))
+    mins = df.select(h.alias("h")).distinct().orderBy("h").limit(int(k))
+    est = F.when((F.col("n_mins") < int(k)) | (F.col("kth_hash") <= 0),
+                 F.col("n_mins")).otherwise(
+        F.expr(f"({int(k)} - 1) * {KMV_HASH_SPACE}L div kth_hash"))
+    return (mins.agg(F.count(F.lit(1)).cast("long").alias("n_mins"),
+                     F.max("h").alias("kth_hash"))
+            .select("n_mins", "kth_hash", est.cast("long").alias("est_distinct")))

@@ -491,6 +491,7 @@ _DEMOTED = [
     "bloom_filter",      # new r5: Bloom membership build + probe
     "stratified_sample",  # new r5: class-balanced per-source sample
     "upsert_stream",     # new r5: streaming foreachBatch MERGE sink
+    "kmv_distinct",      # new r5: hash-gateable approximate distinct (KMV)
 ]
 
 

@@ -1689,10 +1689,44 @@ FROM pb LEFT JOIN bits ON bits.bit = pb.bit
 GROUP BY pb.tok"""
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count estimate over lineitem order keys (r5): the
+    hash-gateable approximate-distinct — unlike HLL, hashing, top-k, and
+    the integer estimate are all engine-replayable; accuracy vs the exact
+    count is visible in the gated row (exact_distinct alongside)."""
+    from .operators.sketch import kmv_distinct
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    est = kmv_distinct(li, "l_orderkey")
+    exact = li.agg(F.countDistinct("l_orderkey").cast("long")
+                   .alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
+def _kmv_oracle():
+    from .operators.sketch import KMV_HASH_SPACE, KMV_K
+    return f"""WITH h AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_orderkey AS STRING)), 1, 13))
+                       AS BIGINT) AS h
+  FROM lineitem),
+mins AS (SELECT h FROM h ORDER BY h LIMIT {KMV_K}),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_mins,
+               CAST(max(h) AS BIGINT) AS kth_hash FROM mins),
+ex AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+       FROM lineitem)
+SELECT n_mins, kth_hash,
+  CAST(CASE WHEN n_mins < {KMV_K} OR kth_hash <= 0 THEN n_mins
+       ELSE ({KMV_K} - 1) * {KMV_HASH_SPACE} // kth_hash END AS BIGINT)
+    AS est_distinct,
+  exact_distinct
+FROM agg, ex"""
+
+
 SPARK_QUERIES.update({"cms_counts": q_cms_counts,
-                      "bloom_filter": q_bloom_filter})
+                      "bloom_filter": q_bloom_filter,
+                      "kmv_distinct": q_kmv_distinct})
 ORACLES.update({"cms_counts": _cms_oracle(),
-                "bloom_filter": _bloom_oracle()})
+                "bloom_filter": _bloom_oracle(),
+                "kmv_distinct": _kmv_oracle()})
 
 
 # --- integer PageRank over a derived link graph (r5) -------------------------

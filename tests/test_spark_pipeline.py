@@ -764,3 +764,32 @@ def test_stratified_sample_partitioning_independent(spark):
     for _, s in a:
         per[s] = per.get(s, 0) + 1
     assert per == {"s0": 5, "s1": 5, "s2": 5, "tiny": 1}
+
+
+def test_kmv_distinct_accuracy_and_exact_degradation(spark):
+    """r5 KMV: (a) fewer than k distinct values -> the EXACT count;
+    (b) at n >> k the estimate lands within ~3/sqrt(k) of truth;
+    (c) merging two shards' min-sets re-estimates identically to the
+    whole (take k smallest of the union)."""
+    from elevation_service_spark.operators.sketch import (KMV_K,
+                                                          kmv_distinct)
+    small = spark.range(0, 50).selectExpr("id AS k")
+    r = kmv_distinct(small, "k").collect()[0]
+    assert (r["n_mins"], r["est_distinct"]) == (50, 50)
+
+    big = spark.range(0, 20_000).selectExpr("(id % 10000) AS k")
+    r = kmv_distinct(big, "k").collect()[0]
+    assert abs(r["est_distinct"] - 10_000) < 10_000 * 3 / (KMV_K ** 0.5)
+
+    # mergeability: union of shard min-sets re-limited to k == whole
+    import pyspark.sql.functions as SF
+    h = (SF.conv(SF.substring(SF.md5(SF.col("k").cast("string")), 1, 13),
+                 16, 10).cast("long"))
+    def mins(df):
+        return df.select(h.alias("h")).distinct().orderBy("h").limit(KMV_K)
+    a = big.filter("k < 5000")
+    b = big.filter("k >= 5000")
+    merged_kth = (mins(a).unionByName(mins(b)).distinct()
+                  .orderBy("h").limit(KMV_K)
+                  .agg(SF.max("h")).collect()[0][0])
+    assert merged_kth == r["kth_hash"]
