@@ -269,7 +269,9 @@ def _registry_queries():
     names = ["elevation_terrarium", "geojson_augment", "knn", "pip",
              "minhash_signatures", "simhash", "text_stats", "fingerprint",
              "ann_topk", "pricing_summary", "top_customers", "events_running",
-             "sessionize"]
+             "sessionize",
+             # r5 operator families, tracked round-over-round from here on
+             "tile_slope", "semantic_dedup", "bigram_lm", "pagerank"]
     return {n: qs[n] for n in names}
 
 

@@ -142,3 +142,54 @@ def test_geojson_walk_raw_never_hard_crashes(obj):
         list(walk_positions(obj))
     except (ValueError, TypeError, KeyError):
         pass
+
+
+def test_url_normalize_property_vs_python_reference(spark):
+    """r5: url_normalize vs an independent Python re implementation of the
+    same rule sequence, over randomized URL shapes (schemes, www, ports,
+    utm runs, fragments, trailing slashes, authority lookalikes inside
+    queries).  Catches a Spark-regex vs rule-intent divergence the fixed
+    gate corpus cannot."""
+    import random
+    import re
+
+    from pyspark.sql import functions as F
+
+    from elevation_service_spark.operators.web import url_normalize
+
+    def py_norm(url):
+        m = re.match(r"^([^/]*//[^/]*)", url)
+        pre = m.group(1).lower() if m else ""
+        if pre.startswith("http://"):
+            pre = re.sub(r":80$", "", pre)
+        pre = re.sub(r"^http://www\.", "http://", pre)
+        pre = re.sub(r"^https://www\.", "https://", pre)
+        rest = re.sub(r"^[^/]*//[^/]*", "", url)
+        rest = re.sub(r"#.*$", "", rest)
+        rest = re.sub(r"&utm_[^&]*", "", rest)
+        rest = re.sub(r"\?utm_[^&]*&", "?", rest)
+        rest = re.sub(r"\?utm_[^&]*$", "", rest)
+        rest = re.sub(r"/$", "", rest)
+        return pre + rest
+
+    rng = random.Random(5)
+    urls = []
+    for _ in range(300):
+        scheme = rng.choice(["http", "HTTP", "https", "HTTPS"])
+        www = rng.choice(["", "www.", "WWW."])
+        host = rng.choice(["Ex1.com", "a.b.Ex2.org", "ex3.net"])
+        port = rng.choice(["", ":80", ":8080"])
+        path = rng.choice(["", "/", "/P/x", "/P/x/", "/r?u=http://www.q.com:80/z"])
+        params = rng.choice(["", "?utm_a=1", "?utm_a=1&utm_b=2",
+                             "?utm_a=1&x=2", "?x=1&utm_b=2", "?x=1",
+                             "?utm_a=1&utm_b=2&x=3"])
+        frag = rng.choice(["", "#f", "#a/b?c"])
+        if path.startswith("/r?") and params:
+            params = ""  # one query string per URL
+        urls.append(f"{scheme}://{www}{host}{port}{path}{params}{frag}")
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               ["i", "url"])
+    got = {r["i"]: r["n"] for r in
+           df.select("i", url_normalize(F.col("url")).alias("n")).collect()}
+    for i, u in enumerate(urls):
+        assert got[i] == py_norm(u), (u, got[i], py_norm(u))
