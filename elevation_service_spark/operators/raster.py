@@ -115,6 +115,53 @@ def tile_slope_stats(tiles: DataFrame,
             .mapInPandas(gen, _SLOPE_SCHEMA))
 
 
+_ASPECT_FIELDS = ["n_flat", "h_e", "h_w", "h_n", "h_s",
+                  "h_ne", "h_nw", "h_se", "h_sw"]
+_ASPECT_SCHEMA = T.StructType(
+    [T.StructField("tile_key", T.StringType(), False)]
+    + [T.StructField(f, T.LongType(), False) for f in _ASPECT_FIELDS])
+
+
+def tile_aspect_hist(tiles: DataFrame) -> DataFrame:
+    """Per-tile 8-way aspect histogram — slope's standard companion
+    derivative, kept transcendental-free: the compass sector comes from
+    integer comparisons of the central differences alone (|dx| vs |dy|
+    picks the axis, signs pick the direction, exact equality is the
+    diagonal), so no atan2 enters and the DuckDB oracle replays the CASE
+    chain bit-for-bit.  Flat nodes (dx=dy=0) count separately;
+    void-stencil nodes are excluded exactly as in tile_slope_stats.
+    Map-only, O(tiles) output."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"tile_key": []}
+            out.update({f: [] for f in _ASPECT_FIELDS})
+            for _, r in pdf.iterrows():
+                z = decode_tile_bytes(r["encoding"], bytes(r["data"])) \
+                    .astype(np.int64)
+                void = z == kernels.VOID
+                sv = (void[1:-1, 1:-1] | void[1:-1, 2:] | void[1:-1, :-2]
+                      | void[2:, 1:-1] | void[:-2, 1:-1])
+                dx = (z[1:-1, 2:] - z[1:-1, :-2])[~sv]
+                dy = (z[2:, 1:-1] - z[:-2, 1:-1])[~sv]
+                ax, ay = np.abs(dx), np.abs(dy)
+                out["tile_key"].append(r["tile_key"])
+                out["n_flat"].append(int(((dx == 0) & (dy == 0)).sum()))
+                out["h_e"].append(int(((ax > ay) & (dx > 0)).sum()))
+                out["h_w"].append(int(((ax > ay) & (dx < 0)).sum()))
+                out["h_n"].append(int(((ay > ax) & (dy > 0)).sum()))
+                out["h_s"].append(int(((ay > ax) & (dy < 0)).sum()))
+                diag = (ax == ay) & (ax > 0)
+                out["h_ne"].append(int((diag & (dx > 0) & (dy > 0)).sum()))
+                out["h_nw"].append(int((diag & (dx < 0) & (dy > 0)).sum()))
+                out["h_se"].append(int((diag & (dx > 0) & (dy < 0)).sum()))
+                out["h_sw"].append(int((diag & (dx < 0) & (dy < 0)).sum()))
+            yield pd.DataFrame(out)
+
+    return (tiles.select("tile_key", "encoding", "data")
+            .mapInPandas(gen, _ASPECT_SCHEMA))
+
+
 _TILES_OUT_SCHEMA = T.StructType([
     T.StructField("tile_key", T.StringType(), False),
     T.StructField("sw_lat", T.IntegerType(), False),

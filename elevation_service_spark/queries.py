@@ -492,6 +492,7 @@ _DEMOTED = [
     "stratified_sample",  # new r5: class-balanced per-source sample
     "upsert_stream",     # new r5: streaming foreachBatch MERGE sink
     "kmv_distinct",      # new r5: hash-gateable approximate distinct (KMV)
+    "tile_aspect",       # new r5: 8-way aspect histogram (raster twin)
 ]
 
 

@@ -96,6 +96,49 @@ SELECT tile_key,
 FROM g GROUP BY tile_key"""
 
 
+def q_tile_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-way aspect histogram per tile (r5): slope's companion raster
+    derivative, transcendental-free (integer sign/|dx|-vs-|dy| compares),
+    oracle-replayed from the closed-form lattice DEM."""
+    from .operators.raster import tile_aspect_hist
+    return tile_aspect_hist(fixture_tiles_df(spark))
+
+
+def _tile_aspect_oracle() -> str:
+    tiles = ", ".join(f"('{t[0]}', {t[1]}, {t[2]}, {t[3]})"
+                      for t in fixtures.FIXTURE_TILES)
+    vr, vc = fixtures.VOID_NODE
+    return f"""WITH t(tile_key, sw_lat, sw_lon, size) AS (VALUES {tiles}),
+rr AS (SELECT *, unnest(range(1, size - 1)) AS r FROM t),
+rc AS (SELECT *, unnest(range(1, size - 1)) AS c FROM rr),
+zz AS (SELECT tile_key, r, c,
+  ((r = {vr} AND abs(c - {vc}) <= 1) OR (c = {vc} AND abs(r - {vr}) <= 1))
+    AS void_adj,
+  (sw_lat + 90) * (size - 1) AS gr0, (sw_lon + 180) * (size - 1) AS gc0
+  FROM rc),
+g AS (SELECT tile_key,
+  (((gr0 + r) * 31 + (gc0 + c + 1) * 17) % 2000)
+    - (((gr0 + r) * 31 + (gc0 + c - 1) * 17) % 2000) AS dx,
+  (((gr0 + r + 1) * 31 + (gc0 + c) * 17) % 2000)
+    - (((gr0 + r - 1) * 31 + (gc0 + c) * 17) % 2000) AS dy
+  FROM zz WHERE NOT void_adj)
+SELECT tile_key,
+  CAST(count(*) FILTER (WHERE dx = 0 AND dy = 0) AS BIGINT) AS n_flat,
+  CAST(count(*) FILTER (WHERE abs(dx) > abs(dy) AND dx > 0) AS BIGINT) AS h_e,
+  CAST(count(*) FILTER (WHERE abs(dx) > abs(dy) AND dx < 0) AS BIGINT) AS h_w,
+  CAST(count(*) FILTER (WHERE abs(dy) > abs(dx) AND dy > 0) AS BIGINT) AS h_n,
+  CAST(count(*) FILTER (WHERE abs(dy) > abs(dx) AND dy < 0) AS BIGINT) AS h_s,
+  CAST(count(*) FILTER (WHERE abs(dx) = abs(dy) AND abs(dx) > 0
+                        AND dx > 0 AND dy > 0) AS BIGINT) AS h_ne,
+  CAST(count(*) FILTER (WHERE abs(dx) = abs(dy) AND abs(dx) > 0
+                        AND dx < 0 AND dy > 0) AS BIGINT) AS h_nw,
+  CAST(count(*) FILTER (WHERE abs(dx) = abs(dy) AND abs(dx) > 0
+                        AND dx > 0 AND dy < 0) AS BIGINT) AS h_se,
+  CAST(count(*) FILTER (WHERE abs(dx) = abs(dy) AND abs(dx) > 0
+                        AND dx < 0 AND dy < 0) AS BIGINT) AS h_sw
+FROM g GROUP BY tile_key"""
+
+
 def q_resumable_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="sparkgraft_resume_")
     out, man = os.path.join(base, "out"), os.path.join(base, "manifest")
@@ -122,10 +165,12 @@ def q_resumable_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPARK_QUERIES = {
     "raster_points": q_raster_points,
     "tile_slope": q_tile_slope,
+    "tile_aspect": q_tile_aspect,
     "resumable_enrich": q_resumable_enrich,
 }
 ORACLES = {
     "raster_points": _raster_points_oracle(),
     "tile_slope": _tile_slope_oracle(),
+    "tile_aspect": _tile_aspect_oracle(),
     "resumable_enrich": _BILINEAR_ORACLE,
 }

@@ -356,3 +356,48 @@ def test_decode_image_real_png_path(spark):
     fake = {r["media_id"]: tuple(r) for r in
             multimodal.image_features(fake_media, fake_decode=True).collect()}
     assert real == fake and len(real) == 12
+
+
+def test_tile_aspect_hist_semantics(spark):
+    """r5: 8-way aspect sectors on a handcrafted grid — pure E ramp, pure
+    N ramp, exact diagonal, flat, and the void exclusion; sector counts
+    sum to n_valid."""
+    import numpy as np
+
+    from elevation_service_spark import kernels
+    from elevation_service_spark.operators.raster import (_ASPECT_FIELDS,
+                                                          tile_aspect_hist,
+                                                          tile_slope_stats)
+
+    size = 8
+
+    def run(grid):
+        tiles = spark.createDataFrame(
+            [("T", 0, 0, "terrarium-png",
+              bytearray(kernels.encode_terrarium_png(grid.astype(np.int16))))],
+            "tile_key string, sw_lat int, sw_lon int, encoding string, data binary")
+        return tile_aspect_hist(tiles).collect()[0], tiles
+
+    n_int = (size - 2) ** 2
+    # pure E ramp: z = 5c -> dx=10, dy=0 -> all E
+    r, _ = run(5 * np.arange(size)[None, :] * np.ones((size, 1)))
+    assert r["h_e"] == n_int and r["n_flat"] == 0
+    # pure N ramp: z = 5r -> dy=10 -> all N
+    r, _ = run(5 * np.arange(size)[:, None] * np.ones((1, size)))
+    assert r["h_n"] == n_int
+    # exact diagonal z = 3r + 3c -> |dx|=|dy|=6, both positive -> all NE
+    r, _ = run(3 * np.arange(size)[:, None] + 3 * np.arange(size)[None, :]
+               + np.zeros((size, size)))
+    assert r["h_ne"] == n_int
+    # flat grid -> all flat
+    r, _ = run(np.full((size, size), 7.0))
+    assert r["n_flat"] == n_int
+    # void exclusion consistent with slope stats on the fixture tile
+    from elevation_service_spark.sources.tiles import fixture_tiles_df
+    arows = {x["tile_key"]: x for x in
+             tile_aspect_hist(fixture_tiles_df(spark)).collect()}
+    srows = {x["tile_key"]: x for x in
+             tile_slope_stats(fixture_tiles_df(spark)).collect()}
+    for k in arows:
+        total = sum(arows[k][f] for f in _ASPECT_FIELDS)
+        assert total == srows[k]["n_valid"], k
