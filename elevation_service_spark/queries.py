@@ -477,22 +477,49 @@ _DEMOTED = [
                          # head-covered by the stateful sessionize_stream
     "minhash_signatures",  # r1-r4-driver-proven; minhash feeds lsh_pairs
                            # and the fused simhash_pairs, both in the head
-    # r5-NEW parity-tail queries (hash-verified by tests/test_oracle_parity;
-    # rotate into the driver head next round, the standing pattern)
-    "url_canonical",     # new r5 webtext: URL canonicalization
-    "url_dedup",         # new r5 webtext: canonical-URL exact dedup
-    "domain_rollup",     # new r5 webtext: per-domain crawl rollup
-    "bigram_lm",         # new r5: count-based bigram LM quality scoring
-    "png_features",      # new r5: REAL PNG decode via the in-repo codec
-    "props_rollup",      # new r5: JSON props extraction + rollup
-    "value_quantiles",   # new r5: exact selection quantiles per type
-    "pagerank",          # new r5: integer fixed-point PageRank (iterative)
-    "cms_counts",        # new r5: count-min sketch build + probe
-    "bloom_filter",      # new r5: Bloom membership build + probe
-    "stratified_sample",  # new r5: class-balanced per-source sample
-    "upsert_stream",     # new r5: streaming foreachBatch MERGE sink
-    "kmv_distinct",      # new r5: hash-gateable approximate distinct (KMV)
-    "tile_aspect",       # new r5: 8-way aspect histogram (raster twin)
+    # r6 rotation (VERDICT r5 task 1): ALL 14 r5-new parity-tail queries
+    # (url_canonical, url_dedup, domain_rollup, bigram_lm, png_features,
+    # props_rollup, value_quantiles, pagerank, cms_counts, bloom_filter,
+    # stratified_sample, upsert_stream, kmv_distinct, tile_aspect) move
+    # INTO the 50-row head to earn driver rows; these 14 r5-driver-proven
+    # queries take their tail slots.  Family coverage stays in the head:
+    # bilinear/tile-join by elevation_hgt (same oracle as the three
+    # demoted physical-plan twins), LSH-pair shape by lsh_pairs (identical
+    # oracle to simhash/jaccard), near-dup by neardup_clusters +
+    # semantic_dedup, text signals by text_stats, PIP by pip/pip_bucketed,
+    # SSJ by stream_stream_join, streaming dedup-semantics by the incoming
+    # upsert_stream, fingerprinting r5-driver-proven, sampling by the
+    # incoming stratified_sample, agg/rollup by tile_stats +
+    # pricing_summary + the incoming props_rollup, relational/window by
+    # top_customers + asof_join.
+    "elevation_terrarium",  # r1-r5-driver-proven; identical oracle to
+                            # elevation_hgt; PNG-codec family now
+                            # head-evidenced by png_features (real decode)
+    "elevation_cogroup",    # r1-r5-driver-proven; identical oracle —
+                            # cogroup physical strategy dial
+    "simhash_pairs",        # r1-r5-driver-proven; identical oracle to
+                            # lsh_pairs
+    "jaccard_pairs",        # r5-driver-proven; identical oracle to lsh_pairs
+    "embedding_neardup",    # r1-r5-driver-proven; near-dup family covered
+                            # by neardup_clusters + semantic_dedup
+    "order_set_ops",        # r1-r5-driver-proven; relational family covered
+                            # by pricing_summary/top_customers
+    "orders_rollup",        # r1-r5-driver-proven; rollup family covered by
+                            # tile_stats + the incoming props_rollup
+    "cell_rollup",          # r5-driver-proven; key/cell functions covered
+                            # by tile_keys in the head
+    "repetition_stats",     # r5-driver-proven; text family covered by
+                            # text_stats + contamination_check
+    "pip_oversize",         # r5-driver-proven; PIP family covered by
+                            # pip + pip_bucketed
+    "stream_stream_join_outer",  # r5-driver-proven; SSJ family covered by
+                                 # stream_stream_join
+    "dedup_stream",         # r5-driver-proven; streaming family covered by
+                            # 4 head rows + the incoming upsert_stream
+    "winnow_fingerprints",  # r5-driver-proven; fingerprint family evidence
+                            # held by that r5 driver row
+    "train_split",          # r4-r5-driver-proven; sampling family covered
+                            # by the incoming stratified_sample
 ]
 
 

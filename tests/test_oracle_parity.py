@@ -68,17 +68,19 @@ def test_gate_order_covers_all_component_families():
         "ann_topk", "ann_lsh", "ann_ivf", "ann_ivf_kmeans", "ann_pq",
         "stream_stream_join",
         "knn", "pip", "pip_bucketed",
-        "asof_join", "train_split", "corpus_upsert",
+        "asof_join", "corpus_upsert",
         "contamination_check", "top_trigrams_lang",
-        # r5 rotation: the six r4-era parity-tail queries earn their
-        # current-round driver rows (VERDICT r4 task 2); the five r4
-        # rotated-ins hold r4 rows and moved back to the tail.
-        "repetition_stats", "pip_oversize", "stream_stream_join_outer",
-        "dedup_stream", "winnow_fingerprints", "jaccard_pairs",
         # text-signal family head anchor after quality_filter's demotion
         "text_stats",
         # r5 NEW capabilities: SemDeDup + raster slope derivative
         "semantic_dedup", "tile_slope",
+        # r6 rotation (VERDICT r5 task 1): all 14 r5-new parity-tail
+        # queries earn their current-round driver rows; the 14 demoted
+        # r5-driver-proven twins hold r5 rows in the tail.
+        "url_canonical", "url_dedup", "domain_rollup", "bigram_lm",
+        "png_features", "props_rollup", "value_quantiles", "pagerank",
+        "cms_counts", "bloom_filter", "stratified_sample", "upsert_stream",
+        "kmv_distinct", "tile_aspect",
     ]
     for name in must_gate:
         assert order.index(name) < 50, f"{name} at {order.index(name)} >= 50"
