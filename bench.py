@@ -42,24 +42,34 @@ def _stage_totals(spark):
     tests/test_spatial.py can't see the write's QueryExecution).  Deltas
     of these sums around each query make bench regressions mechanically
     attributable: same plan + same shuffle bytes + same task count but
-    2x wall time = host weather, not a plan change (VERDICT r4 #1)."""
+    2x wall time = host weather, not a plan change (VERDICT r4 #1).
+
+    Depends on AppStatusStore internals + Scala default-arg name mangling
+    (`stageList$default$N`), which a Spark upgrade can break — so any
+    failure degrades to None (plan_metrics become null with a stderr
+    warning) instead of crashing the bench mid-suite (ADVICE r5)."""
     sc = spark.sparkContext
     try:
         sc._jsc.sc().listenerBus().waitUntilEmpty()  # flush async bus
     except Exception:
         pass
-    store = sc._jsc.sc().statusStore()
-    jlist = sc._gateway.jvm.java.util.ArrayList()
-    defaults = [getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
-    lst = store.stageList(jlist, *defaults)
-    tot = {"shuffle_write_bytes": 0, "tasks": 0, "executor_run_ms": 0}
-    it = lst.iterator()
-    while it.hasNext():
-        s = it.next()
-        tot["shuffle_write_bytes"] += s.shuffleWriteBytes()
-        tot["tasks"] += s.numCompleteTasks()
-        tot["executor_run_ms"] += s.executorRunTime()
-    return tot
+    try:
+        store = sc._jsc.sc().statusStore()
+        jlist = sc._gateway.jvm.java.util.ArrayList()
+        defaults = [getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
+        lst = store.stageList(jlist, *defaults)
+        tot = {"shuffle_write_bytes": 0, "tasks": 0, "executor_run_ms": 0}
+        it = lst.iterator()
+        while it.hasNext():
+            s = it.next()
+            tot["shuffle_write_bytes"] += s.shuffleWriteBytes()
+            tot["tasks"] += s.numCompleteTasks()
+            tot["executor_run_ms"] += s.executorRunTime()
+        return tot
+    except Exception as exc:  # pragma: no cover - Spark-internals drift
+        print(f"WARN: AppStatusStore stage metrics unavailable ({exc!r}); "
+              "plan_metrics will be null", file=sys.stderr)
+        return None
 
 
 # --- bench-scale flagship: 8 points per lineitem row (sf0.1 -> 600k rows) ---
@@ -208,26 +218,32 @@ def q_pip_bucketed_big(spark, sf_dir):
     its bbox.  The r3 form moved ~32 GB of ring bytes through the shuffle
     here (O(candidates x vertices)); the group form shuffles only point
     coords and joins rings onto O(cells x shards) group rows, so this row
-    tracks that staying flat round-over-round."""
+    tracks that staying flat round-over-round.
+
+    r6 (VERDICT r5 #3): the HEADLINE row now runs the operator DEFAULT
+    (shards_per_cell=8).  r4/r5 pinned shards=CPUS here because the old
+    N x M ray-cast kernel was compute-bound and wanted every core; since
+    the r5 interval-stabbing kernel the dial INVERTED (8 shards: 16.6 s
+    executor vs 41.0 s at 32 in the r5 driver window — each extra shard
+    re-ships the 10k-vertex ring for ~2 s of kernel work), so the default
+    IS the fast setting and the bench headline must measure what a caller
+    gets without dial-twiddling."""
     from elevation_service_spark.operators.pip import pip_assign_bucketed
     pts, polys = _big_pip_inputs(spark)
-    # ONE covering cell, shards = cores: the r4 degenerate-cell dial.
-    # Since the r5 interval-stabbing kernel the ray-cast is no longer the
-    # bottleneck and 8 shards measure slightly FASTER than 32 (fewer
-    # byte-light tasks); both rows stay in the suite to keep the dial's
-    # cost measured round-over-round rather than remembered.
+    return pip_assign_bucketed(pts, polys)  # operator default: 8 shards
+
+
+def q_pip_bucketed_big_shards32(spark, sf_dir):
+    """Same adversarial PIP shape with shards_per_cell=CPUS — the control
+    row keeping the shard dial's cost measured round-over-round rather
+    than remembered (it was the WINNER under the pre-r5 kernel and would
+    win again if the kernel ever gets expensive; the gap between this row
+    and pip_bucketed_big is the measured price of the dial).  Replaces
+    r4/r5's `pip_bucketed_big_shards8` control with the settings swapped
+    (the headline now runs 8)."""
+    from elevation_service_spark.operators.pip import pip_assign_bucketed
+    pts, polys = _big_pip_inputs(spark)
     return pip_assign_bucketed(pts, polys, shards_per_cell=CPUS)
-
-
-def q_pip_bucketed_big_shards8(spark, sf_dir):
-    """Same adversarial PIP shape with the DEFAULT shards_per_cell=8: the
-    round-over-round control for the explicit-count-repartition lesson
-    (VERDICT r4 #7).  With one covering cell, 8 shards use 8 of the 32
-    cores — the gap between this row and pip_bucketed_big IS the measured
-    value of matching shards to cores on degenerate-cell inputs."""
-    from elevation_service_spark.operators.pip import pip_assign_bucketed
-    pts, polys = _big_pip_inputs(spark)
-    return pip_assign_bucketed(pts, polys)  # default shards_per_cell=8
 
 
 def streaming_drain_bench(spark, sf_dir):
@@ -283,7 +299,7 @@ BENCH_QUERIES = {
     "knn_hotcell": q_knn_hotcell,
     "dedup_pipeline_capped": q_dedup_pipeline_capped,
     "pip_bucketed_big": q_pip_bucketed_big,
-    "pip_bucketed_big_shards8": q_pip_bucketed_big_shards8,
+    "pip_bucketed_big_shards32": q_pip_bucketed_big_shards32,
 }
 
 
@@ -300,7 +316,10 @@ def run_suite(spark, sf_dir):
         _force(fn(spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
         after = _stage_totals(spark)
-        plan_metrics[name] = {k: after[k] - before[k] for k in after}
+        if before is None or after is None:
+            plan_metrics[name] = None
+        else:
+            plan_metrics[name] = {k: after[k] - before[k] for k in after}
         before = after
     return times, plan_metrics
 
@@ -441,7 +460,7 @@ def main():
     # reported only under "streaming" — the suite `value` above was already
     # closed, and duplicating the number into `queries` made value != sum
     stream_stats = streaming_drain_bench(spark, SF_DIR)
-    print(json.dumps({
+    full = {
         "metric": "headline suite wall-clock (flagship elevation enrichment + operator set)",
         "value": total,
         "unit": "sec",
@@ -464,7 +483,39 @@ def main():
         # single-thread M ops/s before/after the suite — host-weather probe
         # for cross-run normalization (shared-vCPU box; see BENCH/BASELINE.md)
         "host_cpu_mops": [cpu_before, cpu_after],
-    }))
+    }
+    # full metrics object (plan_metrics and all) goes to a file; the driver
+    # captures only the LAST ~2000 chars of stdout, and r5's one-line JSON
+    # outgrew that window ("parsed": null in BENCH_r05.json).  The stdout
+    # line printed LAST is a compact subset guaranteed to fit (VERDICT r5 #2).
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", "last_run.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "flagship_points": n,
+        "flagship_lookups_per_sec": full["flagship_lookups_per_sec"],
+        "stream_rows_per_sec": stream_stats["rows_per_sec"],
+        "grid_cache_hit_rate": cache["hit_rate"],
+        "host_cpu_mops": [cpu_before, cpu_after],
+        "full_metrics": "BENCH/last_run.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1800:  # belt-and-braces: never outgrow the capture again
+        compact["queries"] = {k: round(v, 2) for k, v in times.items()}
+        for drop in ("grid_cache_hit_rate", "host_cpu_mops", "metric"):
+            line = json.dumps(compact)
+            if len(line) <= 1800:
+                break
+            compact.pop(drop, None)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

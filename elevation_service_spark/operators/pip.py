@@ -177,6 +177,15 @@ def pip_assign_bucketed(points: DataFrame, polygons: DataFrame,
     point arrays (collect_list — one map-side-combined shuffle of just
     the point coords), the ring geometry joins onto those GROUP rows, and
     one mapInPandas verifies each group with the exact ray-cast kernel.
+
+    ``shards_per_cell=8`` is the measured default for the r5
+    interval-stabbing kernel (r5 driver window: 16.6 s executor at 8
+    shards vs 41.0 s at 32 on the 10k-vertex x 200k-point shape): each
+    extra shard re-ships the ring for only ~(cell work / shards) of
+    kernel time, so once the kernel got cheap, fewer-but-fuller groups
+    won.  Re-measure the dial after any kernel change — bench rows
+    pip_bucketed_big (default) and pip_bucketed_big_shards32 (dial
+    control) exist for exactly this.
     Ring bytes now cross the shuffle O(polygons x cells x shards) —
     independent of candidate count.  ``shards_per_cell`` bounds any one
     group's point array to ~cell_points/shards (hot-cell OOM guard, same

@@ -520,6 +520,10 @@ _DEMOTED = [
                             # held by that r5 driver row
     "train_split",          # r4-r5-driver-proven; sampling family covered
                             # by the incoming stratified_sample
+    # r6-NEW parity-tail queries (hash-verified by tests/test_oracle_parity;
+    # lead the r7 rotation — the head is full, per the standing discipline
+    # that new capabilities queue at the FRONT of the tail)
+    "tile_terrain",      # new r6: fused slope+aspect, ONE decode pass
 ]
 
 
