@@ -76,7 +76,14 @@ def decode_image(payload: bytes, width: int, height: int,
     data = bytes(payload)
     if data[:8] == _PNG_SIG:
         from .. import kernels
-        return kernels.decode_png_rgb(data)
+        rgb = kernels.decode_png_rgb(data)
+        # the fake path honors the declared dims; the real path must not
+        # silently accept a payload whose encoded dims disagree (ADVICE r5)
+        if rgb.shape != (height, width, 3):
+            raise ValueError(
+                f"PNG payload decodes to {rgb.shape[1]}x{rgb.shape[0]}, but "
+                f"the row declares width={width} height={height}")
+        return rgb
     if not fake:
         raise NotImplementedError(
             "non-PNG image decode requires PIL/libjpeg (not in this "

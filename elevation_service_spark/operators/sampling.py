@@ -78,12 +78,35 @@ def stratified_sample(df: DataFrame, group_col: str, key: str, k: int,
     """Exactly min(k, group size) rows per group, chosen by md5 order of
     the key — the class-balanced subset a curation pipeline draws when
     sources are wildly imbalanced.  Deterministic on any partitioning and
-    engine-portable (the window orders by a content hash, ties by key);
-    ONE key-partitioned window shuffle.  At 100 TB prefer a two-phase
-    variant (per-partition top-k then merge) if a single group is
-    shuffle-hot; groups here are source-sized, not corpus-sized."""
+    engine-portable (ordering is a content hash, ties by key).
+
+    TWO-PHASE top-k (VERDICT r5 #6 — the r5 single key-partitioned window
+    sent a pathological group, e.g. half the corpus from one source, to
+    ONE task): phase 1 takes the top-k per (group, input-partition) — the
+    window key includes spark_partition_id(), so the shuffle spreads a
+    hot group over as many reducers as the scan has splits and no task
+    ever holds more than one partition's share of one group; phase 2
+    re-ranks only the survivors (<= k rows per group per input split —
+    k x splits rows per group, data-size-independent) with the plain
+    per-group window.  The result is EXACTLY the single-window form's:
+    every member of a group's global (hash, key)-order top-k is also in
+    the top-k of its own input partition, so phase 1 always retains a
+    superset of the answer and never drops a winner — partitioning moves
+    around WHICH superset, never the final rows.
+
+    ``_rn``/``_sp`` are reserved working names (same contract as
+    merge.upsert_latest, ADVICE r5: silently clobbering a caller column
+    is the bug class this file guards against elsewhere)."""
     from pyspark.sql import Window
+    for c in ("_rn", "_sp"):
+        if c in df.columns:
+            raise ValueError(f"stratified_sample reserves column name {c!r}; "
+                             "rename it before sampling")
     h = F.md5(F.concat(F.col(key).cast("string"), F.lit(_check_salt(salt))))
-    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key).asc())
-    return (df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= int(k)).drop("_rn"))
+    w1 = Window.partitionBy(group_col, "_sp").orderBy(h.asc(), F.col(key).asc())
+    w2 = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key).asc())
+    return (df.withColumn("_sp", F.spark_partition_id())
+            .withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= int(k)).drop("_rn")
+            .withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") <= int(k)).drop("_rn", "_sp"))

@@ -101,7 +101,10 @@ def kmv_distinct(df: DataFrame, key_col: str, k: int = KMV_K) -> DataFrame:
     engine-native HLL sketches (whose registers are implementation
     details), every step — hashing, distinct, top-k, the integer estimate
     — is deterministic and replayed exactly by the DuckDB oracle.  Fewer
-    than k distinct values degrade to the EXACT count.  Scale: distinct +
+    than k distinct values degrade to the exact count up to 52-bit hash
+    collisions (~n^2/2^53 — n_mins counts distinct HASHES, so a colliding
+    pair among <k keys undercounts by one; the oracle mirrors the same
+    hashes, ADVICE r5).  Scale: distinct +
     TakeOrdered(k) — one shuffle of hash values, k tiny; mergeable by
     unioning min-sets and re-taking the k smallest."""
     h = (F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 13),

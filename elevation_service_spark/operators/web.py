@@ -49,11 +49,40 @@ def url_host(url_norm: Column) -> Column:
     return F.regexp_extract(url_norm, r"^[a-z]+://([^/:]+)", 1)
 
 
+# Minimal embedded public-suffix table (VERDICT r5 #7): the most common
+# second-level ccTLD suffixes, public knowledge from the Mozilla PSL.  The
+# full publicsuffix package is environment-blocked; without this table the
+# two-label fallback collapsed every UK site into one "domain"
+# (example.co.uk -> co.uk).  Hosts ending in one of these take the last
+# THREE labels as the registrable domain; everything else takes two.
+# Sorted tuple so the SQL twin renders deterministically.
+PUBLIC_SUFFIX_2LD = (
+    "ac.jp", "ac.uk", "co.in", "co.jp", "co.kr", "co.nz", "co.uk", "co.za",
+    "com.ar", "com.au", "com.br", "com.cn", "com.mx", "com.sg", "com.tr",
+    "go.jp", "gov.uk", "ne.jp", "net.au", "or.jp", "org.au", "org.uk",
+)
+
+
 def url_domain(host: Column) -> Column:
-    """Registrable domain = the last two dot-labels of the host (the
-    public-suffix list is environment-blocked; two labels is the honest
-    deterministic approximation and what the oracle replays)."""
-    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    """Registrable domain: last two dot-labels of the host, or last THREE
+    when the two-label tail is a known second-level public suffix
+    (shop.example.co.uk -> example.co.uk; a bare 'co.uk' host falls back
+    to itself — there is no third label to take)."""
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    return F.when(last2.isin(*PUBLIC_SUFFIX_2LD) & (last3 != F.lit("")),
+                  last3).otherwise(last2)
+
+
+def url_domain_sql(host_sql: str) -> str:
+    """DuckDB twin of url_domain over a host expression — generated from
+    the SAME suffix tuple so the two sides cannot drift (the
+    hash_bucket_sql pattern)."""
+    in_list = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIX_2LD)
+    l2 = f"regexp_extract({host_sql}, '([^.]+\\.[^.]+)$', 1)"
+    l3 = f"regexp_extract({host_sql}, '([^.]+\\.[^.]+\\.[^.]+)$', 1)"
+    return (f"CASE WHEN {l2} IN ({in_list}) AND {l3} <> '' "
+            f"THEN {l3} ELSE {l2} END")
 
 
 def canonicalize_urls(pages: DataFrame, url_col: str = "url",

@@ -1436,9 +1436,12 @@ SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM (
 # position, trailing slash, fragment.  doc_id % 50 paths make genuinely
 # colliding canonical URLs across spelling variants (d and d+350 share
 # host+path; variant classes %4 in {1,2,3} all normalize to the bare path).
+# Variant 1 is a subdomained .CO.UK host (r6): its registrable domain must
+# come out as exampleN.co.uk, not co.uk — exercising the embedded
+# public-suffix table under the gate.
 _URL_SQL = """'HTTP://' || CASE CAST(doc_id % 3 AS INT)
   WHEN 0 THEN 'WWW.Example' || CAST(doc_id % 7 AS STRING) || '.COM:80'
-  WHEN 1 THEN 'News.Example' || CAST(doc_id % 7 AS STRING) || '.com'
+  WHEN 1 THEN 'News.Example' || CAST(doc_id % 7 AS STRING) || '.CO.UK'
   ELSE 'example' || CAST(doc_id % 7 AS STRING) || '.com' END
 || '/Path/' || CAST(doc_id % 50 AS STRING)
 || CASE CAST(doc_id % 4 AS INT)
@@ -1469,6 +1472,10 @@ _URL_NORM_SQL = f"""{_URL_PRE_SQL} || regexp_replace(regexp_replace(
 
 _URL_HOST_SQL = "regexp_extract(url_norm, '^[a-z]+://([^/:]+)', 1)"
 
+from .operators.web import url_domain_sql as _url_domain_sql  # noqa: E402
+
+_URL_DOMAIN_SQL = _url_domain_sql("host")
+
 
 def _url_pages(spark, sf_dir):
     return load(spark, sf_dir, "documents").select(
@@ -1488,7 +1495,7 @@ _URL_CANONICAL_ORACLE = f"""WITH u AS (
 n AS (SELECT id, url, {_URL_NORM_SQL} AS url_norm FROM u),
 h AS (SELECT *, {_URL_HOST_SQL} AS host FROM n)
 SELECT id, url, url_norm, host,
-  regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+  {_URL_DOMAIN_SQL} AS domain
 FROM h"""
 
 
@@ -1518,7 +1525,7 @@ _DOMAIN_ROLLUP_ORACLE = f"""WITH u AS (
   SELECT doc_id AS id, {_URL_SQL} AS url FROM documents),
 n AS (SELECT id, {_URL_NORM_SQL} AS url_norm FROM u),
 h AS (SELECT *, {_URL_HOST_SQL} AS host FROM n)
-SELECT regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+SELECT {_URL_DOMAIN_SQL} AS domain,
   CAST(count(*) AS BIGINT) AS n_docs,
   CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls
 FROM h GROUP BY 1"""

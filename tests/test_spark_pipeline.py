@@ -624,6 +624,19 @@ def test_url_normalize_rules(spark):
         (9, "http://a.com:80/", "http://a.com", "a.com", "a.com"),
         # :80 on https is a REAL non-default port — preserved
         (10, "https://a.com:80/x", "https://a.com:80/x", "a.com", "a.com"),
+        # r6 embedded public-suffix table: second-level ccTLD suffixes
+        # take three labels; a bare suffix host falls back to itself;
+        # non-listed two-label tails keep the two-label rule
+        (11, "http://Shop.Example.CO.UK/p",
+         "http://shop.example.co.uk/p", "shop.example.co.uk",
+         "example.co.uk"),
+        (12, "http://www.example.co.uk/p",
+         "http://example.co.uk/p", "example.co.uk", "example.co.uk"),
+        (13, "http://co.uk/p", "http://co.uk/p", "co.uk", "co.uk"),
+        (14, "http://a.b.site.com.au/", "http://a.b.site.com.au",
+         "a.b.site.com.au", "site.com.au"),
+        (15, "http://deep.sub.example.org/", "http://deep.sub.example.org",
+         "deep.sub.example.org", "example.org"),
     ]
     docs = spark.createDataFrame([(i, u) for i, u, *_ in cases],
                                  ["doc_id", "url"])
@@ -764,6 +777,54 @@ def test_stratified_sample_partitioning_independent(spark):
     for _, s in a:
         per[s] = per.get(s, 0) + 1
     assert per == {"s0": 5, "s1": 5, "s2": 5, "tiny": 1}
+
+
+def test_stratified_sample_two_phase_equals_window_form(spark):
+    """r6 (VERDICT r5 #6): the two-phase per-partition-top-k form must
+    select EXACTLY the rows of the plain single-window form — phase 1
+    keeps each input partition's (md5, key)-order top-k, a superset of
+    every group's global top-k, so phase 2's re-rank lands on the same
+    rows whatever the partitioning."""
+    from pyspark.sql import Window
+    from elevation_service_spark.operators.sampling import (_check_salt,
+                                                            stratified_sample)
+    rows = [(i, f"s{i % 4}", i * 3.5) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "payload"])
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_check_salt(""))))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    want = {(r["doc_id"], r["source"], r["payload"])
+            for r in df.withColumn("_r", F.row_number().over(w))
+                       .filter(F.col("_r") <= 7).drop("_r").collect()}
+    for parts in (1, 13):
+        got = {(r["doc_id"], r["source"], r["payload"])
+               for r in stratified_sample(df.repartition(parts),
+                                          "source", "doc_id", 7).collect()}
+        assert got == want, f"two-phase diverged at {parts} partitions"
+
+
+def test_stratified_sample_skewed_hot_group(spark):
+    """One group holding ~90% of the corpus (the 100 TB straggler shape):
+    the two-phase form must still return exactly k rows for it, chosen by
+    global md5 order, with no single task ever seeing the whole group
+    (structural guarantee: phase 1's window key includes the input
+    partition id; here we assert the RESULT, partitioning-independence,
+    and the reserved-name guard)."""
+    import pytest
+    from elevation_service_spark.operators.sampling import stratified_sample
+    rows = ([(i, "hot") for i in range(9000)]
+            + [(10_000 + i, f"cold{i % 5}") for i in range(1000)])
+    df = spark.createDataFrame(rows, ["doc_id", "source"]).repartition(32)
+    out = stratified_sample(df, "source", "doc_id", 11).collect()
+    per = {}
+    for r in out:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert per["hot"] == 11 and all(per[f"cold{i}"] == 11 for i in range(5))
+    again = stratified_sample(df.repartition(7), "source", "doc_id", 11).collect()
+    assert ({(r["doc_id"], r["source"]) for r in out}
+            == {(r["doc_id"], r["source"]) for r in again})
+    with pytest.raises(ValueError, match="_rn"):
+        stratified_sample(df.withColumn("_rn", F.lit(1)),
+                          "source", "doc_id", 3)
 
 
 def test_kmv_distinct_accuracy_and_exact_degradation(spark):
