@@ -524,6 +524,7 @@ _DEMOTED = [
     # lead the r7 rotation — the head is full, per the standing discipline
     # that new capabilities queue at the FRONT of the tail)
     "tile_terrain",      # new r6: fused slope+aspect, ONE decode pass
+    "polygon_stats",     # new r6: integer-shoelace geometry audit
 ]
 
 

@@ -140,8 +140,74 @@ r AS (
 SELECT * FROM r WHERE n_cells > {_PO_MAX_CELLS}"""
 
 
+# --- polygon geometry stats (r6) --------------------------------------------
+# Synthetic polygon corpus derived from customer keys, three shape classes:
+#   custkey % 3 == 0  -> MultiPolygon (two disjoint quads, second half=0.3)
+#   custkey % 5 == 0  -> Polygon with a hole (inner quad half=0.1)
+#   otherwise         -> plain Polygon quad
+# Quad half-size h = (2 + custkey % 4) / 10 in degrees; every coordinate has
+# exactly ONE decimal digit, so the scale=10 lattice in polygon_stats recovers
+# exact integers and the oracle can replay the shoelace CLOSED-FORM (side
+# s = 2*(2 + custkey % 4) lattice units -> |shoelace| = 2*s^2), an independent
+# derivation of the same integers rather than a re-run of the same code path.
+_PS_SCALE = 10.0
+
+
+def _ps_ring(lonc, latc, h):
+    """Closed CCW quad ring as a GeoJSON coordinate-array string; %.1f is
+    exact because every corner has one decimal digit by construction."""
+    fmt = "[[%.1f,%.1f],[%.1f,%.1f],[%.1f,%.1f],[%.1f,%.1f],[%.1f,%.1f]]"
+    return F.format_string(
+        fmt, lonc - h, latc - h, lonc + h, latc - h, lonc + h, latc + h,
+        lonc - h, latc + h, lonc - h, latc - h)
+
+
+def q_polygon_stats(spark, sf_dir):
+    """Exact shoelace geometry audit (ring/vertex counts, lattice area2)
+    over a customer-derived Polygon/MultiPolygon corpus — the JVM from_json
+    parse + aggregate-HOF shoelace, no Python anywhere."""
+    from .operators.geometry import polygon_stats
+    cust = load(spark, sf_dir, "customer")
+    lon0 = F.expr(_PO_LON0)
+    lat0 = F.expr(_PO_LAT0)
+    h = (F.lit(2.0) + (F.col("c_custkey") % 4).cast("double")) / F.lit(10.0)
+    r1 = _ps_ring(lon0, lat0, h)
+    r2 = _ps_ring(lon0 + F.lit(1.2), lat0, F.lit(0.3))
+    rh = _ps_ring(lon0, lat0, F.lit(0.1))
+    geo = (F.when(F.col("c_custkey") % 3 == 0,
+                  F.concat(F.lit('{"type":"MultiPolygon","coordinates":[['),
+                           r1, F.lit('],['), r2, F.lit(']]}')))
+           .when(F.col("c_custkey") % 5 == 0,
+                 F.concat(F.lit('{"type":"Polygon","coordinates":['),
+                          r1, F.lit(','), rh, F.lit(']}')))
+           .otherwise(F.concat(F.lit('{"type":"Polygon","coordinates":['),
+                               r1, F.lit(']}'))))
+    polys = cust.select(
+        F.concat(F.lit("G"), F.col("c_custkey").cast("string")).alias("poly_id"),
+        geo.alias("geojson"))
+    return polygon_stats(polys, scale=_PS_SCALE)
+
+
+# closed-form oracle: side s = 2*(2 + k%4) lattice units; |shoelace| = 2*s^2;
+# hole side 2 (half 0.1) subtracts 8; second MultiPolygon quad side 6 adds 72
+_POLYGON_STATS_ORACLE = """WITH p AS (
+  SELECT c_custkey AS k, 2 * (2 + c_custkey % 4) AS s FROM customer)
+SELECT 'G' || CAST(k AS VARCHAR) AS poly_id,
+  CAST(CASE WHEN k % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_polys,
+  CAST(CASE WHEN k % 3 = 0 THEN 2
+            WHEN k % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_rings,
+  CAST(CASE WHEN k % 3 = 0 THEN 10
+            WHEN k % 5 = 0 THEN 10 ELSE 5 END AS BIGINT) AS n_vertices,
+  CAST(CASE WHEN k % 3 = 0 THEN 2 * s * s + 72
+            WHEN k % 5 = 0 THEN 2 * s * s - 8
+            ELSE 2 * s * s END AS BIGINT) AS area2
+FROM p"""
+
+
 SPARK_QUERIES = {"knn": q_knn, "pip": q_pip, "pip_bucketed": q_pip_bucketed,
-                 "pip_oversize": q_pip_oversize}
+                 "pip_oversize": q_pip_oversize,
+                 "polygon_stats": q_polygon_stats}
 ORACLES = {"knn": _KNN_ORACLE, "pip": _pip_oracle(),
            "pip_bucketed": _pip_oracle(),
-           "pip_oversize": _PIP_OVERSIZE_ORACLE}
+           "pip_oversize": _PIP_OVERSIZE_ORACLE,
+           "polygon_stats": _POLYGON_STATS_ORACLE}

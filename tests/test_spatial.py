@@ -652,3 +652,36 @@ def test_semantic_dedup_arrow_assignment_path(spark):
         if exp != 64:
             assert got64[i] == exp, i
     emb.unpersist()
+
+
+def test_polygon_stats_fixture_exact(spark):
+    """Hand-computed shoelace integers on the fixture set: hole subtraction
+    (holed), non-rectangular edges (tri), and a MultiPolygon doc."""
+    import json
+
+    from elevation_service_spark import fixtures
+    from elevation_service_spark.operators.geometry import polygon_stats
+
+    rows = [(r["poly_id"], r["geojson"]) for r in fixtures.polygons_rows()]
+    # MultiPolygon: hot_box's ring + tri's ring in one document
+    rings = [json.loads(g)["coordinates"][0] for _, g in rows[:1]] \
+        + [json.loads(rows[3][1])["coordinates"][0]]
+    rows.append(("multi", json.dumps(
+        {"type": "MultiPolygon", "coordinates": [[rings[0]], [rings[1]]]})))
+    df = spark.createDataFrame(rows, ["poly_id", "geojson"])
+    got = {r["poly_id"]: r.asDict() for r in
+           polygon_stats(df, scale=10.0).collect()}
+    # hot_box: 1.2x1.2 deg square -> side 12 lattice -> area2 = 2*144 = 288
+    assert got["hot_box"] == {"poly_id": "hot_box", "n_polys": 1,
+                              "n_rings": 1, "n_vertices": 5, "area2": 288}
+    # holed: outer side 10 (200) minus hole side 2 (8) = 192
+    assert got["holed"] == {"poly_id": "holed", "n_polys": 1, "n_rings": 2,
+                            "n_vertices": 10, "area2": 192}
+    # greenwich: 1x1 deg -> side 10 -> 200
+    assert got["greenwich"]["area2"] == 200
+    # tri: base 1 deg, height 1 deg -> area 0.5 deg^2 -> lattice 50 -> 100
+    assert got["tri"] == {"poly_id": "tri", "n_polys": 1, "n_rings": 1,
+                          "n_vertices": 4, "area2": 100}
+    # multi = hot_box + tri, two member polygons
+    assert got["multi"] == {"poly_id": "multi", "n_polys": 2, "n_rings": 2,
+                            "n_vertices": 9, "area2": 388}
