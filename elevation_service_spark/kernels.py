@@ -43,6 +43,14 @@ def hgt_size_for_bytes(n: int) -> int:
         return SRTM1_SIZE
     if n == SRTM3_SIZE * SRTM3_SIZE * 2:
         return SRTM3_SIZE
+    # r6 generalization for overview tiles (tile_pyramid halves the grid):
+    # any exact 2*s^2 byte count decodes; everything else still raises the
+    # reference's error (garbage like the 1000-byte BAD_TILE fixture stays
+    # rejected: 500 is not a perfect square).
+    if n >= 8 and n % 2 == 0:
+        s = int(np.sqrt(n // 2) + 0.5)
+        if 2 * s * s == n:
+            return s
     raise ValueError(f"Unknown tile format (file size: {n})")
 
 

@@ -208,3 +208,103 @@ def points_to_tiles(points: DataFrame, size: int = 1201,
                              "data": [data]})
 
     return pts.groupBy("tile_key").applyInPandas(fn, _TILES_OUT_SCHEMA)
+
+
+# --- tile pyramid (r6) -------------------------------------------------------
+
+_PYR_STATS_SCHEMA = T.StructType([
+    T.StructField("tile_key", T.StringType(), False),
+    T.StructField("level", T.IntegerType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("n_void", T.LongType(), False),
+    T.StructField("sum_elev", T.LongType(), False),
+    T.StructField("min_elev", T.LongType(), True),
+    T.StructField("max_elev", T.LongType(), True),
+])
+
+_PYR_TILES_SCHEMA = T.StructType([
+    T.StructField("tile_key", T.StringType(), False),
+    T.StructField("sw_lat", T.IntegerType(), False),
+    T.StructField("sw_lon", T.IntegerType(), False),
+    T.StructField("size", T.IntegerType(), False),
+    T.StructField("level", T.IntegerType(), False),
+    T.StructField("encoding", T.StringType(), False),
+    T.StructField("data", T.BinaryType(), False),
+])
+
+
+def _blockmax(z: np.ndarray) -> np.ndarray:
+    """2x2 block-max downsample; odd sizes pad the last row/col with VOID.
+    VOID (int16 min) is absorbing-min, so a coarse cell is VOID iff every
+    base cell under it is void — the overview semantics GDAL calls
+    nearest-max, exact in integers."""
+    n = z.shape[0]
+    m = (n + 1) // 2
+    if n % 2:
+        pad = np.full((2 * m, 2 * m), kernels.VOID, dtype=z.dtype)
+        pad[:n, :n] = z
+        z = pad
+    return z.reshape(m, 2, m, 2).max(axis=(1, 3))
+
+
+def tile_pyramid_stats(tiles: DataFrame, levels: int = 3) -> DataFrame:
+    """Per-(tile, level) integer stats of the block-max overview pyramid:
+    width = ceil-halved grid dimension, n_void = all-void coarse cells,
+    sum/min/max over the non-void coarse values.  ONE decode per tile
+    feeds all levels (the level-k grid is halved in place from level k-1,
+    so the whole pyramid costs ~4/3 of one pass over the base grid).
+    Map-only, zero shuffle, O(tiles x levels) output — scan-shaped at
+    100 TB.  Because block-max is associative, the DuckDB oracle replays
+    level k directly as a GROUP BY (r // 2^k, c // 2^k) over the
+    closed-form lattice DEM — an independent non-iterative derivation."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in _PYR_STATS_SCHEMA.fields}
+            for _, r in pdf.iterrows():
+                z = decode_tile_bytes(r["encoding"], bytes(r["data"])) \
+                    .astype(np.int64)
+                for lvl in range(1, levels + 1):
+                    z = _blockmax(z)
+                    live = z[z != kernels.VOID]
+                    out["tile_key"].append(r["tile_key"])
+                    out["level"].append(lvl)
+                    out["width"].append(int(z.shape[0]))
+                    out["n_void"].append(int(z.size - live.size))
+                    out["sum_elev"].append(int(live.sum()))
+                    out["min_elev"].append(
+                        int(live.min()) if live.size else None)
+                    out["max_elev"].append(
+                        int(live.max()) if live.size else None)
+            yield pd.DataFrame(out)
+
+    return (tiles.select("tile_key", "encoding", "data")
+            .mapInPandas(gen, _PYR_STATS_SCHEMA))
+
+
+def tile_pyramid(tiles: DataFrame, levels: int = 3) -> DataFrame:
+    """Materialized overview tiles: every level re-encoded as HGT so the
+    output composes with every other tile operator (decode round-trip is
+    pinned by pytest).  Same one-decode-per-tile loop as the stats view;
+    at 100 TB this is the COG-overview build job — map-only, output
+    ~1/3 the input bytes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                z = decode_tile_bytes(r["encoding"], bytes(r["data"]))
+                rows = []
+                for lvl in range(1, levels + 1):
+                    z = _blockmax(z)
+                    rows.append({
+                        "tile_key": r["tile_key"],
+                        "sw_lat": int(r["sw_lat"]),
+                        "sw_lon": int(r["sw_lon"]),
+                        "size": int(z.shape[0]), "level": lvl,
+                        "encoding": "hgt",
+                        "data": kernels.encode_hgt(z.astype(np.int16)),
+                    })
+                yield pd.DataFrame(rows)
+
+    return (tiles.select("tile_key", "sw_lat", "sw_lon", "encoding", "data")
+            .mapInPandas(gen, _PYR_TILES_SCHEMA))

@@ -525,6 +525,7 @@ _DEMOTED = [
     # that new capabilities queue at the FRONT of the tail)
     "tile_terrain",      # new r6: fused slope+aspect, ONE decode pass
     "polygon_stats",     # new r6: integer-shoelace geometry audit
+    "tile_pyramid",      # new r6: block-max overview pyramid, one decode
 ]
 
 

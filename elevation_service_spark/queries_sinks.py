@@ -156,6 +156,74 @@ SELECT s.*, a.n_flat, a.h_e, a.h_w, a.h_n, a.h_s,
 FROM s JOIN a USING (tile_key)"""
 
 
+# --- tile pyramid (r6) -------------------------------------------------------
+# The fixture set's planted void node never yields an all-void 2x2 block, so
+# the gate adds ONE crafted tile with a 4x4 void patch: its pyramid walks the
+# n_void progression 4 -> 1 -> 0 (level-1 blocks inside the patch, the exact
+# level-2 block, the half-covered level-3 block), keeping the void column live.
+_PYR_LEVELS = 3
+# size must pass the SRTM sniff (1201/3601); 1201 is odd -> ceil-halving
+# + VOID pad still exercised on every level
+_PYR_VOID_TILE = ("N01E001", 1, 1, 1201)
+_PYR_PATCH = (8, 12)                     # rows/cols [8, 12) all void
+
+
+def _pyramid_tiles_df(spark: SparkSession) -> DataFrame:
+    from .sources.tiles import TILES_SCHEMA
+    from . import kernels
+    key, sw_lat, sw_lon, size = _PYR_VOID_TILE
+    lo, hi = _PYR_PATCH
+    grid = fixtures.tile_grid(sw_lat, sw_lon, size).copy()
+    grid[lo:hi, lo:hi] = kernels.VOID
+    extra = spark.createDataFrame(
+        [(key, None, None, None, sw_lat, sw_lon, size, "hgt.gz",
+          bytearray(fixtures.encode_tile(grid, "hgt.gz")))],
+        schema=TILES_SCHEMA)
+    return fixture_tiles_df(spark).unionByName(extra)
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max overview pyramid stats, levels 1..3, one decode per tile
+    (r6).  Block-max is associative, so the oracle replays level k as a
+    direct GROUP BY (r // 2^k, c // 2^k) over the closed-form lattice DEM
+    — a non-iterative independent derivation of the same integers."""
+    from .operators.raster import tile_pyramid_stats
+    return tile_pyramid_stats(_pyramid_tiles_df(spark), levels=_PYR_LEVELS)
+
+
+def _tile_pyramid_oracle() -> str:
+    vr, vc = fixtures.VOID_NODE
+    key, sw_lat, sw_lon, size = _PYR_VOID_TILE
+    lo, hi = _PYR_PATCH
+    tiles = ", ".join(f"('{t[0]}', {t[1]}, {t[2]}, {t[3]}, 0)"
+                      for t in fixtures.FIXTURE_TILES)
+    tiles += f", ('{key}', {sw_lat}, {sw_lon}, {size}, 1)"
+    return f"""WITH t(tile_key, sw_lat, sw_lon, size, pv) AS (VALUES {tiles}),
+lv(level, s) AS (VALUES {", ".join(f"({k}, {1 << k})"
+                                   for k in range(1, _PYR_LEVELS + 1))}),
+rr AS (SELECT *, unnest(range(0, size)) AS r FROM t),
+rc AS (SELECT *, unnest(range(0, size)) AS c FROM rr),
+base AS (SELECT tile_key, size, r, c,
+  CASE WHEN (r = {vr} AND c = {vc})
+         OR (pv = 1 AND r >= {lo} AND r < {hi} AND c >= {lo} AND c < {hi})
+       THEN -32768
+       ELSE (((sw_lat + 90) * (size - 1) + r) * 31
+             + ((sw_lon + 180) * (size - 1) + c) * 17) % 2000 - 1000
+  END AS v FROM rc),
+coarse AS (
+  SELECT tile_key, level, s, size, r // s AS cr, c // s AS cc, max(v) AS cv
+  FROM base CROSS JOIN lv
+  GROUP BY tile_key, level, s, size, cr, cc)
+SELECT tile_key, CAST(level AS INT) AS level,
+  CAST((size + s - 1) // s AS INT) AS width,
+  CAST(count(*) FILTER (WHERE cv = -32768) AS BIGINT) AS n_void,
+  CAST(coalesce(sum(cv) FILTER (WHERE cv <> -32768), 0) AS BIGINT)
+    AS sum_elev,
+  CAST(min(cv) FILTER (WHERE cv <> -32768) AS BIGINT) AS min_elev,
+  CAST(max(cv) FILTER (WHERE cv <> -32768) AS BIGINT) AS max_elev
+FROM coarse GROUP BY tile_key, level, s, size"""
+
+
 def q_resumable_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="sparkgraft_resume_")
     out, man = os.path.join(base, "out"), os.path.join(base, "manifest")
@@ -184,6 +252,7 @@ SPARK_QUERIES = {
     "tile_slope": q_tile_slope,
     "tile_aspect": q_tile_aspect,
     "tile_terrain": q_tile_terrain,
+    "tile_pyramid": q_tile_pyramid,
     "resumable_enrich": q_resumable_enrich,
 }
 ORACLES = {
@@ -191,5 +260,6 @@ ORACLES = {
     "tile_slope": _tile_slope_oracle(),
     "tile_aspect": _tile_aspect_oracle(),
     "tile_terrain": _tile_terrain_oracle(),
+    "tile_pyramid": _tile_pyramid_oracle(),
     "resumable_enrich": _BILINEAR_ORACLE,
 }

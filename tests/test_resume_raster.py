@@ -401,3 +401,42 @@ def test_tile_aspect_hist_semantics(spark):
     for k in arows:
         total = sum(arows[k][f] for f in _ASPECT_FIELDS)
         assert total == srows[k]["n_valid"], k
+
+
+def test_tile_pyramid_roundtrip_and_voids(spark):
+    """Materialized overview tiles decode back to the iterated block-max
+    of the base grid (odd-size ceil-halving included), and the crafted
+    void patch walks n_void 4 -> 1 -> 0 across the three levels."""
+    import numpy as np
+
+    from elevation_service_spark import fixtures, kernels
+    from elevation_service_spark.operators.raster import (
+        _blockmax, tile_pyramid, tile_pyramid_stats)
+    from elevation_service_spark import queries as _q  # noqa: F401 (import
+    # order: queries_sinks circularly imports queries; load parent first)
+    from elevation_service_spark.queries_sinks import (
+        _PYR_PATCH, _PYR_VOID_TILE, _pyramid_tiles_df)
+
+    tiles = _pyramid_tiles_df(spark)
+    got = {(r["tile_key"], r["level"]): bytes(r["data"])
+           for r in tile_pyramid(tiles, levels=2).collect()}
+    key, sw_lat, sw_lon, size = _PYR_VOID_TILE
+    lo, hi = _PYR_PATCH
+    base = fixtures.tile_grid(sw_lat, sw_lon, size).copy()
+    base[lo:hi, lo:hi] = kernels.VOID
+    exp = {}
+    z = base
+    for lvl in (1, 2):
+        z = _blockmax(z)
+        exp[lvl] = z
+    for lvl in (1, 2):
+        dec = kernels.decode_hgt(got[(key, lvl)])
+        assert dec.shape == exp[lvl].shape
+        assert np.array_equal(dec, exp[lvl]), lvl
+    # ceil-halving widths for the odd base size
+    assert exp[1].shape[0] == (size + 1) // 2
+    # void progression on the crafted tile
+    st = {r["level"]: r["n_void"]
+          for r in tile_pyramid_stats(tiles, levels=3).collect()
+          if r["tile_key"] == key}
+    assert st == {1: 4, 2: 1, 3: 0}
