@@ -287,7 +287,9 @@ def _registry_queries():
              "ann_topk", "pricing_summary", "top_customers", "events_running",
              "sessionize",
              # r5 operator families, tracked round-over-round from here on
-             "tile_slope", "semantic_dedup", "bigram_lm", "pagerank"]
+             "tile_slope", "semantic_dedup", "bigram_lm", "pagerank",
+             # r6 capabilities
+             "polygon_stats", "tile_pyramid", "robots_filter"]
     return {n: qs[n] for n in names}
 
 

@@ -59,8 +59,10 @@ def polygon_stats(polygons: DataFrame, scale: float = 1.0) -> DataFrame:
         "poly_id", "poly_idx", "ring_idx", "n_pos",
         F.when(F.col("ring_idx") == 0, F.abs(cross))
          .otherwise(-F.abs(cross)).alias("contrib"))
+    # poly_idx is a DENSE posexplode index, so max+1 == countDistinct but
+    # needs no distinct pre-shuffle: ONE exchange instead of two
     return (per_ring.groupBy("poly_id")
-            .agg(F.countDistinct("poly_idx").cast("long").alias("n_polys"),
+            .agg((F.max("poly_idx") + 1).cast("long").alias("n_polys"),
                  F.count(F.lit(1)).cast("long").alias("n_rings"),
                  F.sum("n_pos").cast("long").alias("n_vertices"),
                  F.sum("contrib").cast("long").alias("area2")))

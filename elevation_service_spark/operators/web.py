@@ -118,3 +118,61 @@ def domain_rollup(pages: DataFrame, url_col: str = "url",
     return (canon.groupBy("domain")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.countDistinct("url_norm").alias("n_urls")))
+
+
+# --- robots-rules crawl filtering (r6) ---------------------------------------
+
+def parse_robots(robots: DataFrame, host_col: str = "host",
+                 body_col: str = "body") -> DataFrame:
+    """robots.txt bodies -> one (host, is_allow, prefix) row per Allow /
+    Disallow line.  REP subset: a single user-agent group (every rule line
+    applies), literal path prefixes (no * / $ wildcards — documented
+    subset), values end at whitespace or '#'.  Empty-value lines are
+    DROPPED, which is the REP semantic: 'Disallow:' with no value means
+    allow-everything, NOT a zero-length ban — keeping it as a ''-prefix
+    rule would invert the verdict for every otherwise-unmatched URL.
+    Pure split/explode/regexp projection, zero Python."""
+    line = F.explode(F.split(F.col(body_col), "\n")).alias("line")
+    rows = robots.select(F.col(host_col).alias("host"), line)
+    directive = F.regexp_extract("line", r"^(Allow|Disallow):[ \t]*([^ \t#]*)", 1)
+    value = F.regexp_extract("line", r"^(Allow|Disallow):[ \t]*([^ \t#]*)", 2)
+    return (rows.select("host", directive.alias("_d"), value.alias("prefix"))
+            .where((F.col("_d") != "") & (F.col("prefix") != ""))
+            .select("host", (F.col("_d") == "Allow").cast("int")
+                    .alias("is_allow"), "prefix"))
+
+
+def robots_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """(id, host, path, allowed, match_len, match_prefix) — REP
+    longest-match verdict per URL: among the host's rules whose prefix
+    starts the URL path, the LONGEST wins; at equal length Allow beats
+    Disallow; no matching rule (or no rules for the host) -> allowed,
+    match_len = -1, match_prefix = ''.
+
+    Two same-length prefixes matching one path are necessarily the SAME
+    string (both equal path[:len]), so max over
+    struct(len, is_allow, prefix) is deterministic and the struct's
+    prefix leg never actually breaks a tie.
+
+    Scale shape: the rules table is O(hosts x rules-per-host) — tiny next
+    to a 100 TB URL corpus — so it is broadcast and the matching join
+    shuffles NOTHING; the only exchange is the per-id max aggregation,
+    map-side combined.  The LEFT join carries rule-less URLs through with
+    nulls folded into the (-1, allow) default, so no second join-back
+    pass is needed."""
+    path = F.regexp_replace("url_norm", r"^[a-z]+://[^/]*", "")
+    u = urls.select("id", "host", path.alias("path"))
+    r = rules.select(F.col("host").alias("_rhost"), "is_allow", "prefix")
+    joined = u.join(
+        F.broadcast(r),
+        (F.col("host") == F.col("_rhost"))
+        & F.col("path").startswith(F.col("prefix")), "left")
+    best = F.max(F.struct(
+        F.coalesce(F.length("prefix"), F.lit(-1)).cast("long").alias("l"),
+        F.coalesce(F.col("is_allow"), F.lit(1)).alias("a"),
+        F.coalesce(F.col("prefix"), F.lit("")).alias("p"))).alias("m")
+    return (joined.groupBy("id", "host", "path").agg(best)
+            .select("id", "host", "path",
+                    (F.col("m.a") == 1).alias("allowed"),
+                    F.col("m.l").alias("match_len"),
+                    F.col("m.p").alias("match_prefix")))

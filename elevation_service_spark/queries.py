@@ -526,6 +526,7 @@ _DEMOTED = [
     "tile_terrain",      # new r6: fused slope+aspect, ONE decode pass
     "polygon_stats",     # new r6: integer-shoelace geometry audit
     "tile_pyramid",      # new r6: block-max overview pyramid, one decode
+    "robots_filter",     # new r6: REP longest-match crawl filtering
 ]
 
 

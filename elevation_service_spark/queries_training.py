@@ -1559,13 +1559,65 @@ SELECT t.id,
 FROM (SELECT DISTINCT id FROM t) t LEFT JOIN d USING (id)"""
 
 
+def q_robots_filter(spark, sf_dir):
+    """Robots-rules crawl filter (r6): synthetic robots.txt bodies per
+    host -> parse_robots line rules -> REP longest-match verdict per URL
+    (Allow beats Disallow at equal length; rule-less hosts default
+    allow).  The bodies exercise comment stripping, the empty-Disallow
+    drop, a blanket 'Disallow: /', and a longer Allow overriding a
+    shorter Disallow; digit-6 hosts get NO robots.txt at all.  The
+    oracle derives the rule set closed-form (no body text, no parse) —
+    an independent path to the same verdicts."""
+    from .operators.web import canonicalize_urls, parse_robots, robots_filter
+    urls = canonicalize_urls(_url_pages(spark, sf_dir))
+    hosts = urls.select("host").distinct()
+    k = F.regexp_extract("host", "([0-9])", 1).cast("int")
+    body = F.concat(
+        F.lit("User-agent: *\n# synthetic corpus rules\n"
+              "Disallow: /Path/1\nAllow: /Path/12  # re-allow\n"),
+        F.when(k % 3 == 0, F.lit("Disallow: /Path/2\n")).otherwise(F.lit("")),
+        F.when(F.col("host").endswith(".co.uk"),
+               F.lit("Disallow:\n")).otherwise(F.lit("")),
+        F.when(k == 3, F.lit("Disallow: /\n")).otherwise(F.lit("")))
+    robots = hosts.where(k != 6).select("host", body.alias("body"))
+    return robots_filter(urls, parse_robots(robots))
+
+
+_ROBOTS_ORACLE = f"""WITH u AS (
+  SELECT doc_id AS id, {_URL_SQL} AS url FROM documents),
+n AS (SELECT id, {_URL_NORM_SQL} AS url_norm FROM u),
+h AS (SELECT id, {_URL_HOST_SQL} AS host,
+  regexp_replace(url_norm, '^[a-z]+://[^/]*', '') AS path FROM n),
+hosts AS (SELECT DISTINCT host FROM h),
+hk AS (SELECT host, CAST(regexp_extract(host, '([0-9])', 1) AS INT) AS k
+       FROM hosts),
+rules AS (
+  SELECT host, 0 AS is_allow, '/Path/1' AS prefix FROM hk WHERE k <> 6
+  UNION ALL SELECT host, 1, '/Path/12' FROM hk WHERE k <> 6
+  UNION ALL SELECT host, 0, '/Path/2' FROM hk WHERE k <> 6 AND k % 3 = 0
+  UNION ALL SELECT host, 0, '/' FROM hk WHERE k = 3),
+m AS (SELECT h.id, h.host, h.path, r.is_allow, r.prefix
+      FROM h LEFT JOIN rules r
+        ON h.host = r.host AND starts_with(h.path, r.prefix)),
+b AS (SELECT *, row_number() OVER (
+        PARTITION BY id
+        ORDER BY coalesce(length(prefix), -1) DESC,
+                 coalesce(is_allow, 1) DESC) AS rn FROM m)
+SELECT id, host, path, coalesce(is_allow, 1) = 1 AS allowed,
+  CAST(coalesce(length(prefix), -1) AS BIGINT) AS match_len,
+  coalesce(prefix, '') AS match_prefix
+FROM b WHERE rn = 1"""
+
+
 SPARK_QUERIES.update({"url_canonical": q_url_canonical,
                       "url_dedup": q_url_dedup,
                       "domain_rollup": q_domain_rollup,
+                      "robots_filter": q_robots_filter,
                       "bigram_lm": q_bigram_lm})
 ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
                 "url_dedup": _URL_DEDUP_ORACLE,
                 "domain_rollup": _DOMAIN_ROLLUP_ORACLE,
+                "robots_filter": _ROBOTS_ORACLE,
                 "bigram_lm": _BIGRAM_LM_ORACLE})
 
 

@@ -854,3 +854,36 @@ def test_kmv_distinct_accuracy_and_exact_degradation(spark):
                   .orderBy("h").limit(KMV_K)
                   .agg(SF.max("h")).collect()[0][0])
     assert merged_kth == r["kth_hash"]
+
+
+def test_robots_filter_rep_semantics(spark):
+    """REP verdict edges hand-pinned: longest match wins, Allow beats
+    Disallow at EQUAL length, empty-value lines are no-ops (dropped, not
+    zero-length bans), comments/UA lines ignored, rule-less host defaults
+    to allowed with the (-1, '') sentinel."""
+    from elevation_service_spark.operators.web import (
+        parse_robots, robots_filter)
+
+    robots = spark.createDataFrame([
+        ("a.com", "User-agent: *\n# c\nDisallow: /x\nAllow: /x  # tie\n"
+                  "Disallow: /x/deep\nDisallow:\nAllow:\n"),
+        ("b.com", "Disallow: /\n"),
+    ], ["host", "body"])
+    rules = parse_robots(robots)
+    got_rules = {(r["host"], r["is_allow"], r["prefix"])
+                 for r in rules.collect()}
+    assert got_rules == {("a.com", 0, "/x"), ("a.com", 1, "/x"),
+                         ("a.com", 0, "/x/deep"), ("b.com", 0, "/")}
+
+    urls = spark.createDataFrame([
+        (1, "http://a.com/x/1", "a.com"),      # tie at len 2 -> Allow wins
+        (2, "http://a.com/x/deeper", "a.com"),  # len 7 disallow wins
+        (3, "http://a.com/y", "a.com"),         # no match -> allowed
+        (4, "http://b.com/anything", "b.com"),  # blanket ban
+        (5, "http://c.com/x", "c.com"),         # no robots at all
+    ], ["id", "url_norm", "host"])
+    got = {r["id"]: (r["allowed"], r["match_len"], r["match_prefix"])
+           for r in robots_filter(urls, rules).collect()}
+    assert got == {1: (True, 2, "/x"), 2: (False, 7, "/x/deep"),
+                   3: (True, -1, ""), 4: (False, 1, "/"),
+                   5: (True, -1, "")}
