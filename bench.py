@@ -289,7 +289,8 @@ def _registry_queries():
              # r5 operator families, tracked round-over-round from here on
              "tile_slope", "semantic_dedup", "bigram_lm", "pagerank",
              # r6 capabilities
-             "polygon_stats", "tile_pyramid", "robots_filter"]
+             "polygon_stats", "tile_pyramid", "robots_filter",
+             "paragraph_dedup"]
     return {n: qs[n] for n in names}
 
 

@@ -316,3 +316,36 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
             .select("id1", "id2",
                     F.coalesce(F.col("inter"), F.lit(0)).cast("long").alias("inter"),
                     (F.col("n1") + F.col("n2") - F.coalesce(F.col("inter"), F.lit(0))).cast("long").alias("uni")))
+
+
+def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """Corpus-wide exact paragraph dedup (r6): the CCNet/Dolma boilerplate
+    pass — every paragraph occurrence except the corpus-FIRST (min
+    (id, par_idx)) is dropped, and documents are reassembled in original
+    paragraph order.  Shared banners/footers/cookie walls survive only in
+    the first document that carried them.
+
+    Output: (id, n_pars, n_kept, text_dedup).
+
+    Scale shape: the dedup window partitions by md5(par) — content-keyed,
+    so the shuffle distributes by paragraph hash (high cardinality, no
+    hot key beyond genuine mega-duplicates) and carries only
+    (id, par_idx, par); the reassembly is one map-side-combinable
+    groupBy(id) whose collect_list is bounded by document size.  Two
+    exchanges total, all JVM (split/posexplode/window/array HOFs — no
+    Python).  ``sep`` is a regex for the split and a literal for the
+    rejoin (the default newline is both)."""
+    pars = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("par_idx", "par"))
+    w = Window.partitionBy(F.md5("par")).orderBy("id", "par_idx")
+    flagged = pars.withColumn("_keep", F.row_number().over(w) == 1)
+    kept_struct = F.when(F.col("_keep"),
+                         F.struct("par_idx", "par"))
+    return (flagged.groupBy("id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pars"),
+                 F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+                 F.concat_ws(sep, F.transform(
+                     F.array_sort(F.collect_list(kept_struct)),
+                     lambda x: x["par"])).alias("text_dedup")))

@@ -527,6 +527,7 @@ _DEMOTED = [
     "polygon_stats",     # new r6: integer-shoelace geometry audit
     "tile_pyramid",      # new r6: block-max overview pyramid, one decode
     "robots_filter",     # new r6: REP longest-match crawl filtering
+    "paragraph_dedup",   # new r6: corpus-first paragraph dedup
 ]
 
 

@@ -1609,15 +1609,53 @@ SELECT id, host, path, coalesce(is_allow, 1) = 1 AS allowed,
 FROM b WHERE rn = 1"""
 
 
+# --- corpus-wide paragraph dedup (r6) ----------------------------------------
+# Synthetic paragraph-structured docs: a per-site banner + two real text
+# chunks + a per-site footer.  Banner/footer repeat across every doc of the
+# same site (doc_id % 7) — the realistic boilerplate case — while the
+# content chunks are (near-certainly) unique; keep-first semantics strip
+# the boilerplate from all but each site's first document.  The expression
+# is valid in BOTH engines (chr/substr/CAST STRING shared subset).
+_PARA_SQL = """'BANNER domain-' || CAST(doc_id % 7 AS STRING) || chr(10)
+ || substr(text, 1, 40) || chr(10) || substr(text, 41, 40) || chr(10)
+ || 'FOOTER (c) site-' || CAST(doc_id % 7 AS STRING)"""
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet/Dolma-style exact paragraph dedup (r6): corpus-first
+    occurrence survives, documents reassembled in paragraph order —
+    md5-content-keyed window + one regroup, all JVM."""
+    from .operators.dedup import paragraph_dedup
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PARA_SQL).alias("text_p"))
+    return paragraph_dedup(docs, "doc_id", "text_p")
+
+
+_PARAGRAPH_DEDUP_ORACLE = f"""WITH d AS (
+  SELECT doc_id AS id, {_PARA_SQL} AS text_p FROM documents),
+p AS (SELECT id,
+  generate_subscripts(string_split(text_p, chr(10)), 1) AS par_idx,
+  unnest(string_split(text_p, chr(10))) AS par FROM d),
+k AS (SELECT *, row_number() OVER (
+        PARTITION BY md5(par) ORDER BY id, par_idx) = 1 AS keep FROM p)
+SELECT id, CAST(count(*) AS BIGINT) AS n_pars,
+  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+  coalesce(string_agg(CASE WHEN keep THEN par END, chr(10)
+                      ORDER BY par_idx), '') AS text_dedup
+FROM k GROUP BY id"""
+
+
 SPARK_QUERIES.update({"url_canonical": q_url_canonical,
                       "url_dedup": q_url_dedup,
                       "domain_rollup": q_domain_rollup,
                       "robots_filter": q_robots_filter,
+                      "paragraph_dedup": q_paragraph_dedup,
                       "bigram_lm": q_bigram_lm})
 ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
                 "url_dedup": _URL_DEDUP_ORACLE,
                 "domain_rollup": _DOMAIN_ROLLUP_ORACLE,
                 "robots_filter": _ROBOTS_ORACLE,
+                "paragraph_dedup": _PARAGRAPH_DEDUP_ORACLE,
                 "bigram_lm": _BIGRAM_LM_ORACLE})
 
 

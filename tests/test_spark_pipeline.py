@@ -887,3 +887,23 @@ def test_robots_filter_rep_semantics(spark):
     assert got == {1: (True, 2, "/x"), 2: (False, 7, "/x/deep"),
                    3: (True, -1, ""), 4: (False, 1, "/"),
                    5: (True, -1, "")}
+
+
+def test_paragraph_dedup_semantics(spark):
+    """Keep-first across docs AND within a doc; original paragraph order
+    preserved in the reassembly; fully-boilerplate doc collapses to ''."""
+    from elevation_service_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame([
+        (1, "banner\nalpha\nbanner\nfooter"),   # within-doc repeat of banner
+        (2, "banner\nbeta\nfooter"),            # cross-doc boilerplate
+        (3, "banner\nfooter"),                  # nothing unique
+    ], ["doc_id", "text"])
+    got = {r["id"]: r.asDict()
+           for r in paragraph_dedup(docs).collect()}
+    assert got[1] == {"id": 1, "n_pars": 4, "n_kept": 3,
+                      "text_dedup": "banner\nalpha\nfooter"}
+    assert got[2] == {"id": 2, "n_pars": 3, "n_kept": 1,
+                      "text_dedup": "beta"}
+    assert got[3] == {"id": 3, "n_pars": 2, "n_kept": 0,
+                      "text_dedup": ""}
