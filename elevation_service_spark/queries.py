@@ -528,6 +528,7 @@ _DEMOTED = [
     "tile_pyramid",      # new r6: block-max overview pyramid, one decode
     "robots_filter",     # new r6: REP longest-match crawl filtering
     "paragraph_dedup",   # new r6: corpus-first paragraph dedup
+    "upsert_stream_resumable",  # new r6: commit-log streaming MERGE
 ]
 
 

@@ -413,6 +413,83 @@ SELECT doc_id, CAST(version AS BIGINT) AS version,
 FROM r WHERE rn = 1"""
 
 
+def q_upsert_stream_resumable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crash-resumable streaming MERGE (r6): the upsert_stream drain
+    routed through the versioned commit-log sink
+    (operators/merge.versioned_merge_sink), with BOTH foreachBatch
+    failure modes injected mid-stream:
+
+    - after drain 1, the sink is re-invoked with the SAME (batch_df,
+      batch_id) — Spark's replay-after-failed-epoch contract — and must
+      no-op (marker exists);
+    - before drain 2, an ORPHAN v99 snapshot directory is planted with
+      no commit marker — a crash between data write and commit — and
+      must be invisible to readers and merges.
+
+    The final merged state must still equal the closed-form
+    highest-version-wins oracle (same oracle as upsert_stream: the crash
+    machinery must be semantically invisible, which is exactly the
+    property under gate)."""
+    import shutil
+
+    from .operators.merge import versioned_merge_sink
+    base_dir = tempfile.mkdtemp(prefix="sparkgraft_vstream_")
+    src = os.path.join(base_dir, "src")
+    target = os.path.join(base_dir, "target")
+    ckpt = os.path.join(base_dir, "ckpt")
+    os.makedirs(src)
+    apply_fn, read_latest, seed = versioned_merge_sink(target)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source")
+    seed(docs.withColumn("version", F.lit(0).cast("long")))
+    schema = read_latest(spark).schema
+
+    def drain_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (stream.writeStream.foreachBatch(apply_fn)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("resumable drain did not finish in 600s")
+
+    def land_batch(df, name):
+        import glob
+        tmp = os.path.join(base_dir, f"stage_{name}")
+        df.write.parquet(tmp)
+        for i, p in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*")))):
+            os.rename(p, os.path.join(src, f"{name}-{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    b1 = (docs.filter(F.col("doc_id") % 3 == 0)
+          .withColumn("text", F.concat(F.lit("v2 "), F.col("text")))
+          .withColumn("version", F.lit(1).cast("long")))
+    land_batch(b1, "b1")
+    drain_once()
+    v1_rows = read_latest(spark).count()
+    # failure mode 1: replay after commit — must be a no-op
+    apply_fn(b1, 0)
+    if read_latest(spark).count() != v1_rows:
+        raise RuntimeError("post-commit replay mutated the target")
+    # failure mode 2: orphan snapshot with no commit marker
+    docs.limit(5).withColumn("version", F.lit(99).cast("long")) \
+        .write.mode("overwrite").parquet(os.path.join(target, "v99"))
+    b2 = (docs.filter(F.col("doc_id") % 5 == 0)
+          .withColumn("text", F.concat(F.lit("v3 "), F.col("text")))
+          .withColumn("version", F.lit(2).cast("long")))
+    b2new = (docs.filter(F.col("doc_id") % 7 == 0)
+             .select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                     F.concat(F.lit("new "), F.col("text")).alias("text"),
+                     "lang", "source")
+             .withColumn("version", F.lit(2).cast("long")))
+    land_batch(b2.unionByName(b2new), "b2")
+    drain_once()
+    return (read_latest(spark)
+            .select("doc_id", "version",
+                    F.length("text").cast("long").alias("text_len"),
+                    "lang", "source"))
+
+
 SPARK_QUERIES = {
     "elevation_stream": q_elevation_stream,
     "sessionize_stream": q_sessionize_stream,
@@ -421,6 +498,7 @@ SPARK_QUERIES = {
     "stream_stream_join_outer": q_stream_stream_join_outer,
     "dedup_stream": q_dedup_stream,
     "upsert_stream": q_upsert_stream,
+    "upsert_stream_resumable": q_upsert_stream_resumable,
 }
 ORACLES = {
     "elevation_stream": _BILINEAR_ORACLE,
@@ -430,4 +508,6 @@ ORACLES = {
     "stream_stream_join_outer": _SSJ_OUTER_ORACLE,
     "dedup_stream": _DEDUP_STREAM_ORACLE,
     "upsert_stream": _UPSERT_STREAM_ORACLE,
+    # identical oracle BY DESIGN: the crash machinery must be invisible
+    "upsert_stream_resumable": _UPSERT_STREAM_ORACLE,
 }

@@ -285,3 +285,39 @@ def test_upsert_stream_merge_chain_multibatch_one_drain(spark, tmp_path):
     got = {r["doc_id"]: (r["version"], r["text"])
            for r in spark.read.parquet(target).collect()}
     assert got == want
+
+
+def test_versioned_merge_sink_commit_log(spark, tmp_path):
+    """Commit-log invariants without a stream: empty start, snapshot
+    retention GC, replay no-op, orphan invisibility, and the merge chain
+    reading only COMMITTED snapshots."""
+    from elevation_service_spark.operators.merge import versioned_merge_sink
+
+    base = str(tmp_path / "target")
+    apply_fn, read_latest, _seed = versioned_merge_sink(base, retain=2)
+    assert read_latest(spark) is None  # empty start
+
+    def batch(ids, version):
+        return spark.createDataFrame(
+            [(i, f"t{i}", version) for i in ids],
+            ["doc_id", "text", "version"])
+
+    apply_fn(batch([1, 2, 3], 0), 0)   # first batch merges into nothing
+    assert read_latest(spark).count() == 3
+    apply_fn(batch([2, 9], 1), 1)      # update 2, insert 9
+    got = {r["doc_id"]: r["version"] for r in read_latest(spark).collect()}
+    assert got == {1: 0, 2: 1, 3: 0, 9: 1}
+    # replay of batch 1 after commit: no-op even with different data
+    apply_fn(batch([777], 1), 1)
+    assert 777 not in {r["doc_id"] for r in read_latest(spark).collect()}
+    # orphan snapshot (crash between write and commit) is invisible
+    batch([555], 9).write.mode("overwrite").parquet(base + "/v9")
+    assert 555 not in {r["doc_id"] for r in read_latest(spark).collect()}
+    # retention: after a third commit only the last 2 snapshots remain
+    apply_fn(batch([4], 2), 2)
+    import os
+    vdirs = sorted(d for d in os.listdir(base)
+                   if d.startswith("v") and d != "v9")
+    assert vdirs == ["v1", "v2"]
+    got = {r["doc_id"]: r["version"] for r in read_latest(spark).collect()}
+    assert got == {1: 0, 2: 1, 3: 0, 9: 1, 4: 2}
