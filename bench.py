@@ -290,7 +290,7 @@ def _registry_queries():
              "tile_slope", "semantic_dedup", "bigram_lm", "pagerank",
              # r6 capabilities
              "polygon_stats", "tile_pyramid", "robots_filter",
-             "paragraph_dedup"]
+             "paragraph_dedup", "geohash"]
     return {n: qs[n] for n in names}
 
 

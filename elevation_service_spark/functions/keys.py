@@ -56,3 +56,58 @@ def valid_coord_predicate(lat: Column, lon: Column) -> Column:
         & (lat >= -90.0) & (lat <= 90.0)
         & (lon >= -180.0) & (lon <= 180.0)
     )
+
+
+# --- geohash (r6) ------------------------------------------------------------
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_stages(lat_sql: str, lon_sql: str,
+                   precision: int = 7) -> dict[str, str]:
+    """Base32 geohash as THREE staged SQL fragments, each valid verbatim
+    in BOTH Spark SQL and DuckDB — the fed-verbatim-to-both-engines
+    pattern (queries.py module docstring), so the oracle cannot drift.
+    Staged (real columns / CTE levels) rather than one inlined
+    expression: the inline form textually duplicates the quantizers into
+    every bit term (~43 KB of SQL; the array-HOF re-evaluation lesson,
+    CLAUDE.md).
+
+    Returns {'lonq', 'latq', 'v', 'gh'}: 'lonq'/'latq' quantize the
+    caller's lat/lon expressions; 'v' interleaves columns named
+    _ghlon/_ghlat; 'gh' emits base32 digits from a column named _ghv.
+
+    Construction (public geohash spec): lon gets ceil(5p/2) bits, lat
+    floor(5p/2), interleave starts with lon, 5 bits per character.
+    Engine-portable primitives only: quantization is
+    ((x + off) / range) * 2^bits in that exact IEEE order; bit
+    extraction is (q % 2^(k+1)) >= 2^k as CASE; digit extraction divides
+    by exact-in-double powers of two — no bitwise operators (DuckDB and
+    Spark disagree on syntax), no libm."""
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    lonq = (f"least(CAST(floor((({lon_sql}) + CAST(180 AS DOUBLE)) "
+            f"/ CAST(360 AS DOUBLE) * CAST({1 << lon_bits} AS DOUBLE)) "
+            f"AS BIGINT), {(1 << lon_bits) - 1})")
+    latq = (f"least(CAST(floor((({lat_sql}) + CAST(90 AS DOUBLE)) "
+            f"/ CAST(180 AS DOUBLE) * CAST({1 << lat_bits} AS DOUBLE)) "
+            f"AS BIGINT), {(1 << lat_bits) - 1})")
+    # interleaved value v: bit (nbits-1-j) comes from lon when j is even
+    terms = []
+    for j in range(nbits):
+        src, k = ("_ghlon", lon_bits - 1 - j // 2) if j % 2 == 0 else \
+                 ("_ghlat", lat_bits - 1 - j // 2)
+        out_w = 1 << (nbits - 1 - j)
+        terms.append(f"(CASE WHEN ({src} % {1 << (k + 1)}) >= {1 << k} "
+                     f"THEN {out_w} ELSE 0 END)")
+    digits = []
+    for c in range(precision):
+        p32 = 32 ** (precision - 1 - c)
+        digits.append(
+            f"substr('{GEOHASH_BASE32}', "
+            f"CAST(CAST(floor(_ghv / CAST({p32} AS DOUBLE)) AS BIGINT) % 32 "
+            f"+ 1 AS INT), 1)")
+    return {"lonq": lonq, "latq": latq,
+            "v": "(" + " + ".join(terms) + ")",
+            "gh": "(" + " || ".join(digits) + ")"}

@@ -189,6 +189,35 @@ SELECT pid, lat, lon,
 FROM p"""
 
 
+# --- geohash (r6: the third cell-key system next to skadi + mercator) -------
+
+from .functions.keys import geohash_stages as _gh_stages  # noqa: E402
+
+GEOHASH_PRECISION = 7
+_GH = _gh_stages(_KLAT_SQL.replace("c_custkey", "pid"),
+                 _KLON_SQL.replace("c_custkey", "pid"), GEOHASH_PRECISION)
+
+
+def q_geohash(spark, sf_dir):
+    """Base32 geohash cell keys over the full lat/lon range (r6) — the
+    staged verbatim-SQL fragments evaluated as chained JVM projections
+    (quantize -> interleave -> base32); the oracle replays the identical
+    text through CTE levels."""
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"))
+    return (pts
+            .select("pid", F.expr(_GH["lonq"]).alias("_ghlon"),
+                    F.expr(_GH["latq"]).alias("_ghlat"))
+            .select("pid", F.expr(_GH["v"]).alias("_ghv"))
+            .select("pid", F.expr(_GH["gh"]).alias("gh")))
+
+
+_GEOHASH_ORACLE = f"""WITH p AS (SELECT c_custkey AS pid FROM customer),
+a AS (SELECT pid, {_GH["lonq"]} AS _ghlon, {_GH["latq"]} AS _ghlat FROM p),
+b AS (SELECT pid, {_GH["v"]} AS _ghv FROM a)
+SELECT pid, {_GH["gh"]} AS gh FROM b"""
+
+
 # --- coordinate extraction (ops 1,3 + input_hint invariant) -----------------
 
 _LATD = "CAST((c_custkey * 7) % 170 AS INT) - 85"
@@ -373,6 +402,7 @@ SPARK_QUERIES = {
     "missing_tiles": q_missing_tiles,
     "geojson_augment": q_geojson_augment,
     "geojson_all_types": q_geojson_all_types,
+    "geohash": q_geohash,
     "geojson_cogroup": q_geojson_cogroup,
     "status_surface": q_status_surface,
 }
@@ -392,6 +422,7 @@ ORACLES = {
     "missing_tiles": _MISSING_ORACLE,
     "geojson_augment": _GEOJSON_ORACLE,
     "geojson_all_types": _GEOJSON_ALL_ORACLE,
+    "geohash": _GEOHASH_ORACLE,
     "geojson_cogroup": _GEOJSON_ORACLE,
     "status_surface": _STATUS_SURFACE_ORACLE,
 }
@@ -529,6 +560,7 @@ _DEMOTED = [
     "robots_filter",     # new r6: REP longest-match crawl filtering
     "paragraph_dedup",   # new r6: corpus-first paragraph dedup
     "upsert_stream_resumable",  # new r6: commit-log streaming MERGE
+    "geohash",           # new r6: base32 geohash cell keys
 ]
 
 

@@ -305,3 +305,54 @@ def test_pages_deterministic_and_golden_consistent():
         per[g["url"]].append(g["point_idx"])
     for idxs in per.values():
         assert idxs == list(range(len(idxs)))
+
+
+def test_geohash_stages_vs_independent_impl():
+    """Staged SQL geohash vs an independent pure-Python bit-twiddling
+    encoder, plus the canonical public test vector and range boundaries
+    (clamping at lat=90 / lon=180, negative coordinates)."""
+    import duckdb
+
+    from elevation_service_spark.functions.keys import (
+        GEOHASH_BASE32, geohash_stages)
+
+    def py_geohash(lat, lon, precision):
+        lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+        bits, out = [], []
+        even = True
+        while len(bits) < 5 * precision:
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if lon >= mid:
+                    bits.append(1); lon_lo = mid
+                else:
+                    bits.append(0); lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if lat >= mid:
+                    bits.append(1); lat_lo = mid
+                else:
+                    bits.append(0); lat_hi = mid
+            even = not even
+        for c in range(precision):
+            v = int("".join(map(str, bits[5 * c:5 * c + 5])), 2)
+            out.append(GEOHASH_BASE32[v])
+        return "".join(out)
+
+    con = duckdb.connect()
+
+    def sql_geohash(lat, lon, precision):
+        st = geohash_stages(repr(lat), repr(lon), precision)
+        q = f"""WITH a AS (SELECT {st['lonq']} AS _ghlon, {st['latq']} AS _ghlat),
+b AS (SELECT {st['v']} AS _ghv FROM a)
+SELECT {st['gh']} FROM b"""
+        return con.execute(q).fetchone()[0]
+
+    assert sql_geohash(57.64911, 10.40744, 7) == "u4pruyd"  # public vector
+    cases = [(57.64911, 10.40744), (-33.8, 151.2), (0.0, 0.0),
+             (-0.0001, -0.0001), (90.0, 180.0), (-90.0, -180.0),
+             (89.999999, 179.999999), (-85.05, 12.3456)]
+    for p in (1, 5, 7, 9):
+        for lat, lon in cases:
+            assert sql_geohash(lat, lon, p) == py_geohash(lat, lon, p), \
+                (lat, lon, p)
