@@ -290,7 +290,7 @@ def _registry_queries():
              "tile_slope", "semantic_dedup", "bigram_lm", "pagerank",
              # r6 capabilities
              "polygon_stats", "tile_pyramid", "robots_filter",
-             "paragraph_dedup", "geohash"]
+             "paragraph_dedup", "geohash", "inverted_index"]
     return {n: qs[n] for n in names}
 
 
@@ -407,11 +407,22 @@ def scaling_run(sf_dir, runs=3, multiplier=16, pair=(8, 32)):
     thr2 = results[n2]["throughput_pts_per_sec"]
     eff = (thr2 / thr1) / (n2 / n1)
     hw = _hardware_ceiling(n1, n2)
-    return {"n_points": n_points, "pair": [n1, n2],
-            f"local{n1}": results[n1], f"local{n2}": results[n2],
-            "scaling_efficiency": round(eff, 3),
-            "hardware_ceiling_efficiency": hw,
-            "efficiency_vs_hardware_ceiling": round(eff / hw, 3) if hw else None}
+    out = {"n_points": n_points, "pair": [n1, n2],
+           f"local{n1}": results[n1], f"local{n2}": results[n2],
+           "scaling_efficiency": round(eff, 3),
+           "hardware_ceiling_efficiency": hw,
+           "efficiency_vs_hardware_ceiling": round(eff / hw, 3) if hw else None}
+    # every attempt lands in the unfiltered log (r6: previously appended by
+    # hand, which silently lost runs)
+    try:
+        log = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH", "scaling_attempts.jsonl")
+        with open(log, "a") as f:
+            f.write(json.dumps(out) + "\n")
+    except OSError as exc:  # read-only checkout etc. — never fail the run
+        print(f"WARN: could not append scaling attempt ({exc})",
+              file=sys.stderr)
+    return out
 
 
 def _host_cpu_score(work: int = 3_000_000) -> float:

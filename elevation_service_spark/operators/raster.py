@@ -83,7 +83,8 @@ _TERRAIN_SCHEMA = T.StructType(
 
 
 def tile_terrain_stats(tiles: DataFrame,
-                       steep_threshold2: int = STEEP_SLOPE2) -> DataFrame:
+                       steep_threshold2: int = STEEP_SLOPE2,
+                       aspect: bool = True) -> DataFrame:
     """Per-tile slope statistics AND 8-way aspect histogram in ONE decode
     pass (VERDICT r5 #5: the r5 slope and aspect operators each decoded
     every tile from scratch — two full gunzip/PNG-unfilter raster passes
@@ -109,60 +110,76 @@ def tile_terrain_stats(tiles: DataFrame,
 
     One mapInPandas pass, map-only — no shuffle; output is O(tiles), so
     at 100 TB of tiles the job is scan-shaped with a trivially small
-    result."""
+    result.
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k.name: [] for k in _TERRAIN_SCHEMA.fields}
-            for _, r in pdf.iterrows():
-                z = decode_tile_bytes(r["encoding"], bytes(r["data"])) \
-                    .astype(np.int64)
-                void = z == kernels.VOID
-                stencil_void = (void[1:-1, 1:-1] | void[1:-1, 2:]
-                                | void[1:-1, :-2] | void[2:, 1:-1]
-                                | void[:-2, 1:-1])
-                valid = ~stencil_void
-                dx = (z[1:-1, 2:] - z[1:-1, :-2])[valid]
-                dy = (z[2:, 1:-1] - z[:-2, 1:-1])[valid]
-                slope2 = dx * dx + dy * dy
-                n_valid = int(dx.size)
-                out["tile_key"].append(r["tile_key"])
-                out["n_interior"].append(int(valid.size))
-                out["n_valid"].append(n_valid)
-                out["n_void_adj"].append(int(valid.size - n_valid))
-                out["max_slope2"].append(int(slope2.max()) if n_valid else None)
-                out["sum_slope2"].append(int(slope2.sum()))
-                out["n_steep"].append(int((slope2 > steep_threshold2).sum()))
-                ax, ay = np.abs(dx), np.abs(dy)
-                out["n_flat"].append(int(((dx == 0) & (dy == 0)).sum()))
-                out["h_e"].append(int(((ax > ay) & (dx > 0)).sum()))
-                out["h_w"].append(int(((ax > ay) & (dx < 0)).sum()))
-                out["h_n"].append(int(((ay > ax) & (dy > 0)).sum()))
-                out["h_s"].append(int(((ay > ax) & (dy < 0)).sum()))
-                diag = (ax == ay) & (ax > 0)
-                out["h_ne"].append(int((diag & (dx > 0) & (dy > 0)).sum()))
-                out["h_nw"].append(int((diag & (dx < 0) & (dy > 0)).sum()))
-                out["h_se"].append(int((diag & (dx > 0) & (dy < 0)).sum()))
-                out["h_sw"].append(int((diag & (dx < 0) & (dy < 0)).sum()))
-            yield pd.DataFrame(out)
+    ``aspect=False`` skips the aspect sums entirely (schema shrinks to
+    the slope fields): the single-family views must not pay the other
+    family's reductions — the r6 bench measured the aspect half at
+    roughly the slope half's cost (~12 extra 13M-element boolean
+    reductions per SRTM1 tile), so "costs ~nothing" held only for the
+    decode+stencil, not the sums."""
 
+    def gen_factory(aspect_on: bool):
+        schema = _TERRAIN_SCHEMA if aspect_on else _SLOPE_SCHEMA
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {k.name: [] for k in schema.fields}
+                for _, r in pdf.iterrows():
+                    z = decode_tile_bytes(r["encoding"], bytes(r["data"])) \
+                        .astype(np.int64)
+                    void = z == kernels.VOID
+                    stencil_void = (void[1:-1, 1:-1] | void[1:-1, 2:]
+                                    | void[1:-1, :-2] | void[2:, 1:-1]
+                                    | void[:-2, 1:-1])
+                    valid = ~stencil_void
+                    dx = (z[1:-1, 2:] - z[1:-1, :-2])[valid]
+                    dy = (z[2:, 1:-1] - z[:-2, 1:-1])[valid]
+                    slope2 = dx * dx + dy * dy
+                    n_valid = int(dx.size)
+                    out["tile_key"].append(r["tile_key"])
+                    out["n_interior"].append(int(valid.size))
+                    out["n_valid"].append(n_valid)
+                    out["n_void_adj"].append(int(valid.size - n_valid))
+                    out["max_slope2"].append(
+                        int(slope2.max()) if n_valid else None)
+                    out["sum_slope2"].append(int(slope2.sum()))
+                    out["n_steep"].append(
+                        int((slope2 > steep_threshold2).sum()))
+                    if aspect_on:
+                        ax, ay = np.abs(dx), np.abs(dy)
+                        out["n_flat"].append(int(((dx == 0) & (dy == 0)).sum()))
+                        out["h_e"].append(int(((ax > ay) & (dx > 0)).sum()))
+                        out["h_w"].append(int(((ax > ay) & (dx < 0)).sum()))
+                        out["h_n"].append(int(((ay > ax) & (dy > 0)).sum()))
+                        out["h_s"].append(int(((ay > ax) & (dy < 0)).sum()))
+                        diag = (ax == ay) & (ax > 0)
+                        out["h_ne"].append(int((diag & (dx > 0) & (dy > 0)).sum()))
+                        out["h_nw"].append(int((diag & (dx < 0) & (dy > 0)).sum()))
+                        out["h_se"].append(int((diag & (dx > 0) & (dy < 0)).sum()))
+                        out["h_sw"].append(int((diag & (dx < 0) & (dy < 0)).sum()))
+                yield pd.DataFrame(out)
+
+        return gen, schema
+
+    gen, schema = gen_factory(aspect)
     return (tiles.select("tile_key", "encoding", "data")
-            .mapInPandas(gen, _TERRAIN_SCHEMA))
+            .mapInPandas(gen, schema))
 
 
 def tile_slope_stats(tiles: DataFrame,
                      steep_threshold2: int = STEEP_SLOPE2) -> DataFrame:
-    """Slope-only view of tile_terrain_stats (schema unchanged from r5).
-    The aspect sums the fused kernel also computes cost ~nothing next to
-    the shared decode + stencil; callers wanting BOTH families use
-    tile_terrain_stats directly and pay ONE decode."""
-    return tile_terrain_stats(tiles, steep_threshold2).select(
-        *[f.name for f in _SLOPE_SCHEMA.fields])
+    """Slope-only view (schema unchanged from r5) — runs the shared
+    decode+stencil kernel with the aspect sums GATED OFF; callers wanting
+    BOTH families use tile_terrain_stats directly and pay ONE decode."""
+    return tile_terrain_stats(tiles, steep_threshold2, aspect=False)
 
 
 def tile_aspect_hist(tiles: DataFrame) -> DataFrame:
     """Aspect-only view of tile_terrain_stats (schema unchanged from r5);
-    see tile_slope_stats for the fusion contract."""
+    see tile_slope_stats for the fusion contract.  The slope stats it
+    also computes genuinely ARE cheap next to the aspect masks (three
+    reductions on an already-materialized array), so no slope gate."""
     return tile_terrain_stats(tiles).select(
         *[f.name for f in _ASPECT_SCHEMA.fields])
 

@@ -428,3 +428,39 @@ def quality_filter(docs: DataFrame, id_col: str = "doc_id",
         lang_pred.alias("lang_pred"),
         F.when(reasons == "", F.lit("KEEP")).otherwise(F.lit("REJECT")).alias("verdict"),
         reasons.alias("reasons"))
+
+
+def inverted_index(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n_shards: int = 4) -> DataFrame:
+    """Sharded positional inverted index (r6): the term-lookup structure a
+    contamination / exact-substring search runs against a training corpus.
+
+    Output: (token, shard, df, postings) where shard = doc_id % n_shards,
+    df = documents of that token IN the shard, and postings serializes
+    the shard's documents in doc_id order as
+    ``doc_id:pos1 pos2 ...;doc_id:...`` (0-based token positions,
+    ascending).
+
+    Scale shape: two map-side-combinable aggregations — (token, doc)
+    collapses positions locally before anything wide shuffles, then
+    (token, shard) assembles the lists.  Sharding by doc_id bounds any
+    single group to corpus/n_shards documents, so a stop-word's postings
+    never concentrate on one task; n_shards is the 100 TB knob (shards
+    are merge-ready: reading all shards of a token in shard order is the
+    full ordered list).  All JVM: split/posexplode/HOFs, no Python."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"))
+    per_doc = (toks.groupBy("token", "id")
+               .agg(F.concat_ws(" ", F.transform(
+                   F.array_sort(F.collect_list("pos")),
+                   lambda p: p.cast("string"))).alias("_plist")))
+    entry = F.concat_ws(":", F.col("id").cast("string"), F.col("_plist"))
+    return (per_doc
+            .withColumn("shard", F.pmod(F.col("id"), F.lit(n_shards)).cast("int"))
+            .groupBy("token", "shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"),
+                 F.concat_ws(";", F.transform(
+                     F.array_sort(F.collect_list(F.struct(
+                         F.col("id"), entry.alias("_e")))),
+                     lambda s: s["_e"])).alias("postings")))

@@ -561,6 +561,7 @@ _DEMOTED = [
     "paragraph_dedup",   # new r6: corpus-first paragraph dedup
     "upsert_stream_resumable",  # new r6: commit-log streaming MERGE
     "geohash",           # new r6: base32 geohash cell keys
+    "inverted_index",    # new r6: sharded positional inverted index
 ]
 
 

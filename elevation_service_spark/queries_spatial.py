@@ -185,7 +185,12 @@ def q_polygon_stats(spark, sf_dir):
     polys = cust.select(
         F.concat(F.lit("G"), F.col("c_custkey").cast("string")).alias("poly_id"),
         geo.alias("geojson"))
-    return polygon_stats(polys, scale=_PS_SCALE)
+    # the tiny bench parquet arrives as ONE split and the shoelace HOF is
+    # CPU-bound (r6 window: 4.1 s of exec in 3 tasks); at real scale the
+    # scan supplies the partitions — here we spread it explicitly, same
+    # rationale as bench._bench_points
+    ncores = polys.sparkSession.sparkContext.defaultParallelism
+    return polygon_stats(polys.repartition(ncores), scale=_PS_SCALE)
 
 
 # closed-form oracle: side s = 2*(2 + k%4) lattice units; |shoelace| = 2*s^2;

@@ -1609,6 +1609,35 @@ SELECT id, host, path, coalesce(is_allow, 1) = 1 AS allowed,
 FROM b WHERE rn = 1"""
 
 
+# --- sharded positional inverted index (r6) ----------------------------------
+
+_INV_SHARDS = 4
+
+
+def q_inverted_index(spark, sf_dir):
+    """Positional inverted index over the documents table (r6): postings
+    serialized in doc_id order, positions ascending, doc_id-sharded so no
+    stop-word group concentrates — two map-side-combinable aggs, all JVM."""
+    from .operators.text import inverted_index
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return inverted_index(docs, n_shards=_INV_SHARDS)
+
+
+_INVERTED_INDEX_ORACLE = f"""WITH t AS (
+  SELECT doc_id AS id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents),
+pd AS (SELECT token, id,
+         string_agg(CAST(pos AS VARCHAR), ' ' ORDER BY pos) AS plist
+       FROM t GROUP BY token, id)
+SELECT token, CAST(id % {_INV_SHARDS} AS INT) AS shard,
+  CAST(count(*) AS BIGINT) AS df,
+  string_agg(CAST(id AS VARCHAR) || ':' || plist, ';' ORDER BY id)
+    AS postings
+FROM pd GROUP BY token, CAST(id % {_INV_SHARDS} AS INT)"""
+
+
 # --- corpus-wide paragraph dedup (r6) ----------------------------------------
 # Synthetic paragraph-structured docs: a per-site banner + two real text
 # chunks + a per-site footer.  Banner/footer repeat across every doc of the
@@ -1650,12 +1679,14 @@ SPARK_QUERIES.update({"url_canonical": q_url_canonical,
                       "domain_rollup": q_domain_rollup,
                       "robots_filter": q_robots_filter,
                       "paragraph_dedup": q_paragraph_dedup,
+                      "inverted_index": q_inverted_index,
                       "bigram_lm": q_bigram_lm})
 ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
                 "url_dedup": _URL_DEDUP_ORACLE,
                 "domain_rollup": _DOMAIN_ROLLUP_ORACLE,
                 "robots_filter": _ROBOTS_ORACLE,
                 "paragraph_dedup": _PARAGRAPH_DEDUP_ORACLE,
+                "inverted_index": _INVERTED_INDEX_ORACLE,
                 "bigram_lm": _BIGRAM_LM_ORACLE})
 
 
