@@ -562,6 +562,7 @@ _DEMOTED = [
     "upsert_stream_resumable",  # new r6: commit-log streaming MERGE
     "geohash",           # new r6: base32 geohash cell keys
     "inverted_index",    # new r6: sharded positional inverted index
+    "geo_tag",           # new r6: extract -> PIP -> rollup composition
 ]
 
 

@@ -63,7 +63,10 @@ def q_pip(spark, sf_dir):
     return pip_assign(pts, _polygons_df(spark))
 
 
-def _pip_oracle() -> str:
+def _pip_assign_cte(pts_cte: str) -> str:
+    """Exact ray-cast PIP of an arbitrary ``pts`` CTE (pid, lat, lon)
+    against the fixture polygon edge table; yields the ``par`` CTE whose
+    inside predicate is outer_par = 1 AND hole_par = 0."""
     edges = []
     for r in fixtures.polygons_rows():
         rings = json.loads(r["geojson"])["coordinates"]
@@ -71,8 +74,7 @@ def _pip_oracle() -> str:
             for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
                 edges.append(f"('{r['poly_id']}', {ri}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
     values = ",\n  ".join(edges)
-    return f"""WITH pts AS (
-  SELECT c_custkey AS pid, {LAT_SQL} AS lat, {LON_SQL} AS lon FROM customer),
+    return f"""WITH {pts_cte},
 edges(poly_id, ring_idx, x1, y1, x2, y2) AS (VALUES
   {values}),
 cr AS (
@@ -85,8 +87,15 @@ par AS (
   SELECT pid, lat, lon, poly_id,
     sum(CASE WHEN ring_idx = 0 THEN c ELSE 0 END) % 2 AS outer_par,
     sum(CASE WHEN ring_idx > 0 THEN c ELSE 0 END) % 2 AS hole_par
-  FROM cr GROUP BY pid, lat, lon, poly_id)
-SELECT pid, lat, lon, poly_id FROM par WHERE outer_par = 1 AND hole_par = 0"""
+  FROM cr GROUP BY pid, lat, lon, poly_id)"""
+
+
+def _pip_oracle() -> str:
+    pts = (f"pts AS (\n  SELECT c_custkey AS pid, {LAT_SQL} AS lat, "
+           f"{LON_SQL} AS lon FROM customer)")
+    return (_pip_assign_cte(pts)
+            + "\nSELECT pid, lat, lon, poly_id FROM par"
+              " WHERE outer_par = 1 AND hole_par = 0")
 
 
 def q_pip_bucketed(spark, sf_dir):
@@ -209,10 +218,61 @@ SELECT 'G' || CAST(k AS VARCHAR) AS poly_id,
 FROM p"""
 
 
+# --- geo_tag: the graft composition (r6) -------------------------------------
+# web-page text -> regex coordinate extraction -> exact PIP region
+# assignment -> per-region rollup: the webtext x geospatial pipeline
+# end-to-end under ONE hash gate.  Coordinate strings are built from
+# INTEGER pieces (never CAST(double AS STRING), which formats differently
+# across engines); the parsed value is CAST(str AS DOUBLE) on both sides.
+# Base CASE keys the point into the fixture-polygon neighborhoods: class 0
+# lands inside hot_box AND holed (minus the hole), class 2 inside
+# greenwich when both fractions <= .5 — holes, overlap, and misses are all
+# live under the gate.
+_GT_FRAC_LAT = "lpad(CAST((c_custkey * 7919) % 960 + 20 AS STRING), 3, '0')"
+_GT_FRAC_LON = "lpad(CAST((c_custkey * 104729) % 960 + 20 AS STRING), 3, '0')"
+_GT_LAT_STR = ("(CASE CAST(c_custkey % 5 AS INT) WHEN 0 THEN '57' "
+               "WHEN 1 THEN '-34' WHEN 2 THEN '0' WHEN 3 THEN '-1' "
+               f"ELSE '59' END || '.' || {_GT_FRAC_LAT})")
+_GT_LON_STR = ("(CASE CAST(c_custkey % 5 AS INT) WHEN 0 THEN '11' "
+               "WHEN 1 THEN '-71' WHEN 2 THEN '0' WHEN 3 THEN '-1' "
+               f"ELSE '179' END || '.' || {_GT_FRAC_LON})")
+_GT_TEXT_SQL = (f"'crawl page geo:' || {_GT_LAT_STR} || ',' || {_GT_LON_STR}"
+                " || ' body text v1.2, 3.4.5 decoy'")
+
+
+def q_geo_tag(spark, sf_dir):
+    """Extract -> PIP -> rollup composition: the real regex extractor over
+    constructed page text feeds the exact ray-cast polygon assignment,
+    rolled up per region with min/max page ids."""
+    from .operators.extract import extract_coords
+    from .queries import load as _load
+    pages = _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"), F.expr(_GT_TEXT_SQL).alias("text"))
+    pts = extract_coords(pages, keep_cols=("pid",)).select("pid", "lat", "lon")
+    tagged = pip_assign(pts, _polygons_df(spark))
+    return (tagged.groupBy("poly_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_points"),
+                 F.min("pid").alias("min_pid"),
+                 F.max("pid").alias("max_pid")))
+
+
+def _geo_tag_oracle() -> str:
+    pts = (f"pts AS (\n  SELECT c_custkey AS pid, "
+           f"CAST({_GT_LAT_STR} AS DOUBLE) AS lat, "
+           f"CAST({_GT_LON_STR} AS DOUBLE) AS lon FROM customer)")
+    return (_pip_assign_cte(pts)
+            + """
+SELECT poly_id, CAST(count(*) AS BIGINT) AS n_points,
+  min(pid) AS min_pid, max(pid) AS max_pid
+FROM par WHERE outer_par = 1 AND hole_par = 0 GROUP BY poly_id""")
+
+
 SPARK_QUERIES = {"knn": q_knn, "pip": q_pip, "pip_bucketed": q_pip_bucketed,
                  "pip_oversize": q_pip_oversize,
-                 "polygon_stats": q_polygon_stats}
+                 "polygon_stats": q_polygon_stats,
+                 "geo_tag": q_geo_tag}
 ORACLES = {"knn": _KNN_ORACLE, "pip": _pip_oracle(),
            "pip_bucketed": _pip_oracle(),
            "pip_oversize": _PIP_OVERSIZE_ORACLE,
-           "polygon_stats": _POLYGON_STATS_ORACLE}
+           "polygon_stats": _POLYGON_STATS_ORACLE,
+           "geo_tag": _geo_tag_oracle()}
