@@ -464,3 +464,51 @@ def inverted_index(docs: DataFrame, id_col: str = "doc_id",
                      F.array_sort(F.collect_list(F.struct(
                          F.col("id"), entry.alias("_e")))),
                      lambda s: s["_e"])).alias("postings")))
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
+              scale: int = 1000, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(id, score) — top-k documents for a bag-of-terms query under a
+    rational BM25 surrogate (k1 = 6/5, b = 3/4) kept in exact integer
+    arithmetic so the DuckDB oracle replays it bit-for-bit:
+
+        tfn  = floor(44*T*tf*scale / (20*T*tf + 6*T + 18*dl*N))
+             [= (k1+1)*tf / (tf + k1*(1 - b + b*dl/avgdl)) * scale, the
+              fractions cleared by 20*T with avgdl = T/N]
+        idf  = floor((2N - 2df + 1)*scale / (2df + 1))
+             [the BM25 idf ratio (N - df + .5)/(df + .5) + 1 WITHOUT the
+              log — engine-portable where ln is not; a deliberate,
+              documented scoring variant, not an approximation error]
+        score = sum over query terms of idf * tfn
+
+    Ranking is (score desc, id asc) with a global TakeOrderedAndProject —
+    no partition-less Window.  int64 headroom: 44*T*tf*scale must stay
+    under 2^63 (fine through ~sf1-scale corpora at scale=1000; at 100 TB
+    the score becomes a double-ranked quantity and exactness is no longer
+    the contract — the plan shape is unchanged).
+
+    Scale shape: one corpus tokenize -> filtered explode (query terms
+    only, so the exploded row count is O(matching occurrences), not
+    corpus tokens), tiny df/stats aggregates broadcast back, one per-doc
+    sum, top-k.  No Python, no Window."""
+    tk = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col).alias("id"), tk.alias("_tk"))
+    stats = base.agg(F.count(F.lit(1)).alias("N"),
+                     F.sum(F.size("_tk")).cast("long").alias("T"))
+    occ = (base.select("id", F.size("_tk").cast("long").alias("dl"),
+                       F.explode("_tk").alias("token"))
+           .where(F.col("token").isin(*terms)))
+    tf = occ.groupBy("id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.first("dl").alias("dl"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    j = (tf.join(F.broadcast(df), "token")
+         .crossJoin(F.broadcast(stats)))
+    contrib = F.expr(
+        f"((2*N - 2*df + 1) * {scale} div (2*df + 1)) * "
+        f"((44 * T * tf * {scale}) div (20 * T * tf + 6 * T + 18 * dl * N))")
+    return (j.select("id", contrib.alias("_c"))
+            .groupBy("id").agg(F.sum("_c").cast("long").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(k))

@@ -563,6 +563,7 @@ _DEMOTED = [
     "geohash",           # new r6: base32 geohash cell keys
     "inverted_index",    # new r6: sharded positional inverted index
     "geo_tag",           # new r6: extract -> PIP -> rollup composition
+    "bm25_topk",         # new r6: rational-BM25 top-k retrieval
 ]
 
 

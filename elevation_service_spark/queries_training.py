@@ -1638,6 +1638,41 @@ SELECT token, CAST(id % {_INV_SHARDS} AS INT) AS shard,
 FROM pd GROUP BY token, CAST(id % {_INV_SHARDS} AS INT)"""
 
 
+# --- BM25-surrogate top-k retrieval (r6) -------------------------------------
+
+_BM25_TERMS = ["spark", "merge", "window"]
+_BM25_K = 10
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Top-k documents for a bag-of-terms query under the exact rational
+    BM25 surrogate (integer idf-ratio x tf-normalization, no ln) — the
+    search/contamination-retrieval primitive over the documents table."""
+    from .operators.text import bm25_topk
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
+
+
+_BM25_ORACLE = f"""WITH base AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS tk FROM documents),
+st AS (SELECT CAST(count(*) AS BIGINT) AS N,
+              CAST(sum(len(tk)) AS BIGINT) AS T FROM base),
+occ AS (SELECT id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS token
+        FROM base),
+tft AS (SELECT id, token, CAST(count(*) AS BIGINT) AS tf,
+               CAST(min(dl) AS BIGINT) AS dl
+        FROM occ WHERE token IN ({", ".join(repr(t) for t in _BM25_TERMS)})
+        GROUP BY id, token),
+dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        FROM tft GROUP BY token),
+j AS (SELECT tft.id,
+        (((2*N - 2*df + 1) * 1000) // (2*df + 1))
+        * ((44 * T * tf * 1000) // (20 * T * tf + 6 * T + 18 * dl * N)) AS c
+      FROM tft, dfc, st WHERE tft.token = dfc.token)
+SELECT id, CAST(sum(c) AS BIGINT) AS score
+FROM j GROUP BY id ORDER BY score DESC, id ASC LIMIT {_BM25_K}"""
+
+
 # --- corpus-wide paragraph dedup (r6) ----------------------------------------
 # Synthetic paragraph-structured docs: a per-site banner + two real text
 # chunks + a per-site footer.  Banner/footer repeat across every doc of the
@@ -1680,6 +1715,7 @@ SPARK_QUERIES.update({"url_canonical": q_url_canonical,
                       "robots_filter": q_robots_filter,
                       "paragraph_dedup": q_paragraph_dedup,
                       "inverted_index": q_inverted_index,
+                      "bm25_topk": q_bm25_topk,
                       "bigram_lm": q_bigram_lm})
 ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
                 "url_dedup": _URL_DEDUP_ORACLE,
@@ -1687,6 +1723,7 @@ ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
                 "robots_filter": _ROBOTS_ORACLE,
                 "paragraph_dedup": _PARAGRAPH_DEDUP_ORACLE,
                 "inverted_index": _INVERTED_INDEX_ORACLE,
+                "bm25_topk": _BM25_ORACLE,
                 "bigram_lm": _BIGRAM_LM_ORACLE})
 
 

@@ -907,3 +907,38 @@ def test_paragraph_dedup_semantics(spark):
                       "text_dedup": "beta"}
     assert got[3] == {"id": 3, "n_pars": 2, "n_kept": 0,
                       "text_dedup": ""}
+
+
+def test_bm25_topk_integer_formula(spark):
+    """Spark scores equal a straight-line Python replay of the integer
+    formula; tf saturation and rarity both order as BM25 should, ties
+    break by id, and k truncates deterministically."""
+    from elevation_service_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "spark spark spark spark common common"),  # high tf, long doc
+        (2, "spark common"),                            # tf 1, short doc
+        (3, "rare common common common"),               # rare term only
+        (4, "common common"),                           # no query term
+        (5, "spark common"),                            # tie with doc 2
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [(r["id"], r["score"])
+           for r in bm25_topk(docs, ["spark", "rare"], k=3).collect()]
+
+    texts = {i: t.split(" ") for i, t in rows}
+    N = len(rows)
+    T = sum(len(t) for t in texts.values())
+    exp = {}
+    for term in ("spark", "rare"):
+        hits = {i: t.count(term) for i, t in texts.items() if term in t}
+        dfc = len(hits)
+        idf = (2 * N - 2 * dfc + 1) * 1000 // (2 * dfc + 1)
+        for i, tf in hits.items():
+            dl = len(texts[i])
+            tfn = (44 * T * tf * 1000) // (20 * T * tf + 6 * T + 18 * dl * N)
+            exp[i] = exp.get(i, 0) + idf * tfn
+    order = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == order, (got, order)
+    # the rare term (df=1) must outrank the tf-saturated common term
+    assert got[0][0] == 3
