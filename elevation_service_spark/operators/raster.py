@@ -325,3 +325,104 @@ def tile_pyramid(tiles: DataFrame, levels: int = 3) -> DataFrame:
 
     return (tiles.select("tile_key", "sw_lat", "sw_lon", "encoding", "data")
             .mapInPandas(gen, _PYR_TILES_SCHEMA))
+
+
+# --- cross-tile mosaic: the parent pyramid level (r6) ------------------------
+
+_MOSAIC_STATS_SCHEMA = T.StructType([
+    T.StructField("parent_key", T.StringType(), False),
+    T.StructField("n_children", T.IntegerType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("n_void", T.LongType(), False),
+    T.StructField("sum_elev", T.LongType(), False),
+    T.StructField("min_elev", T.LongType(), True),
+    T.StructField("max_elev", T.LongType(), True),
+])
+
+_MOSAIC_TILES_SCHEMA = T.StructType([
+    T.StructField("parent_key", T.StringType(), False),
+    T.StructField("sw_lat", T.IntegerType(), False),
+    T.StructField("sw_lon", T.IntegerType(), False),
+    T.StructField("size", T.IntegerType(), False),
+    T.StructField("n_children", T.IntegerType(), False),
+    T.StructField("encoding", T.StringType(), False),
+    T.StructField("data", T.BinaryType(), False),
+])
+
+
+def _skadi_key(lat: int, lon: int) -> str:
+    return (f"{'S' if lat < 0 else 'N'}{abs(lat):02d}"
+            f"{'W' if lon < 0 else 'E'}{abs(lon):03d}")
+
+
+def _mosaic_groups(tiles: DataFrame):
+    """Tiles keyed by their 2-degree parent cell (floor-to-even on both
+    axes) plus the child offset inside it."""
+    plat = (F.floor(F.col("sw_lat") / F.lit(2)) * 2).cast("int")
+    plon = (F.floor(F.col("sw_lon") / F.lit(2)) * 2).cast("int")
+    return (tiles.select("sw_lat", "sw_lon", "size", "encoding", "data")
+            .withColumn("plat", plat).withColumn("plon", plon)
+            .withColumn("dlat", (F.col("sw_lat") - F.col("plat")).cast("int"))
+            .withColumn("dlon", (F.col("sw_lon") - F.col("plon")).cast("int")))
+
+
+def _assemble_parent(pdf: pd.DataFrame):
+    """(parent sw, assembled-and-halved grid, n_children) for one group.
+    SRTM neighbors SHARE their edge row/column, so a 2x2 mosaic is
+    (2s-1)^2 cells; pasting order is irrelevant because shared-edge
+    values are identical by the SRTM contract.  Missing quadrants stay
+    VOID — block-max then propagates exactly like the in-tile pyramid."""
+    sizes = set(int(s) for s in pdf["size"])
+    if len(sizes) != 1:
+        raise ValueError(f"mosaic group mixes tile sizes {sorted(sizes)}: "
+                         "resample to a uniform size first")
+    s = sizes.pop()
+    m = np.full((2 * s - 1, 2 * s - 1), kernels.VOID, dtype=np.int64)
+    for _, r in pdf.iterrows():
+        z = decode_tile_bytes(r["encoding"], bytes(r["data"]))
+        o_r, o_c = int(r["dlat"]) * (s - 1), int(r["dlon"]) * (s - 1)
+        m[o_r:o_r + s, o_c:o_c + s] = z
+    return _blockmax(m), len(pdf)
+
+
+def tile_mosaic_stats(tiles: DataFrame) -> DataFrame:
+    """Per-parent integer stats of the 2x2 cross-tile mosaic level: four
+    1-degree neighbors assemble into one 2-degree grid (shared edges
+    overlap by the SRTM contract) and block-max-halve back to the child
+    resolution — the z-1 pyramid level the in-tile pyramid cannot build.
+    This is the one raster operator that MUST shuffle (tile blobs group
+    by parent cell: ~4 blobs per group, the minimum possible data
+    motion for the semantics); everything after the grouping is local
+    numpy.  Missing quadrants surface as VOID coarse cells, gated."""
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        g, n = _assemble_parent(pdf)
+        live = g[g != kernels.VOID]
+        return pd.DataFrame({
+            "parent_key": [_skadi_key(int(key[0]), int(key[1]))],
+            "n_children": [n], "width": [int(g.shape[0])],
+            "n_void": [int(g.size - live.size)],
+            "sum_elev": [int(live.sum())],
+            "min_elev": [int(live.min()) if live.size else None],
+            "max_elev": [int(live.max()) if live.size else None]})
+
+    return (_mosaic_groups(tiles).groupBy("plat", "plon")
+            .applyInPandas(fn, _MOSAIC_STATS_SCHEMA))
+
+
+def tile_mosaic(tiles: DataFrame) -> DataFrame:
+    """Materialized 2-degree parent tiles (HGT), composable with every
+    tile operator; see tile_mosaic_stats for the shape contract."""
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        g, n = _assemble_parent(pdf)
+        plat, plon = int(key[0]), int(key[1])
+        return pd.DataFrame({
+            "parent_key": [_skadi_key(plat, plon)],
+            "sw_lat": [plat], "sw_lon": [plon],
+            "size": [int(g.shape[0])], "n_children": [n],
+            "encoding": ["hgt"],
+            "data": [kernels.encode_hgt(g.astype(np.int16))]})
+
+    return (_mosaic_groups(tiles).groupBy("plat", "plon")
+            .applyInPandas(fn, _MOSAIC_TILES_SCHEMA))

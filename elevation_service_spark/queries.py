@@ -564,6 +564,7 @@ _DEMOTED = [
     "inverted_index",    # new r6: sharded positional inverted index
     "geo_tag",           # new r6: extract -> PIP -> rollup composition
     "bm25_topk",         # new r6: rational-BM25 top-k retrieval
+    "tile_mosaic",       # new r6: cross-tile 2x2 parent pyramid level
 ]
 
 

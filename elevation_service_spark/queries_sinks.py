@@ -224,6 +224,76 @@ SELECT tile_key, CAST(level AS INT) AS level,
 FROM coarse GROUP BY tile_key, level, s, size"""
 
 
+# --- cross-tile mosaic (r6) --------------------------------------------------
+# Six crafted 1-degree neighbors in two parent cells: (56,10) is a FULL
+# 2x2 group; (58,10) holds only its SW and NE quadrants, so the missing
+# quadrants' VOID propagation through the block-max is live under the
+# gate.  Size 41 (any exact 2*s^2 decodes since the r6 sniff
+# generalization) keeps the 11.5M-cell oracle down to ~13k cells.
+_MOSAIC_CHILDREN = [(56, 10), (56, 11), (57, 10), (57, 11),
+                    (58, 10), (59, 11)]
+_MOSAIC_SIZE = 41
+
+
+def _mosaic_tiles_df(spark: SparkSession) -> DataFrame:
+    from .sources.tiles import TILES_SCHEMA
+    rows = []
+    for la, lo in _MOSAIC_CHILDREN:
+        grid = fixtures.tile_grid(la, lo, _MOSAIC_SIZE)
+        rows.append((f"N{la:02d}E{lo:03d}", None, None, None, la, lo,
+                     _MOSAIC_SIZE, "hgt",
+                     bytearray(fixtures.encode_tile(grid, "hgt"))))
+    return spark.createDataFrame(rows, schema=TILES_SCHEMA)
+
+
+def q_tile_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tile 2x2 mosaic level (r6): neighbors assemble by parent
+    cell (shared SRTM edges overlap), block-max-halve to child
+    resolution — the z-1 pyramid level that MUST shuffle (≤4 tile blobs
+    per group, the minimum data motion for the semantics)."""
+    from .operators.raster import tile_mosaic_stats
+    return tile_mosaic_stats(_mosaic_tiles_df(spark))
+
+
+def _tile_mosaic_oracle() -> str:
+    n = _MOSAIC_SIZE - 1
+    vr, vc = fixtures.VOID_NODE
+    ch = ", ".join(
+        f"({la - (la % 2)}, {lo - (lo % 2)}, {la % 2}, {lo % 2})"
+        for la, lo in _MOSAIC_CHILDREN)
+    return f"""WITH ch(plat, plon, dlat, dlon) AS (VALUES {ch}),
+p AS (SELECT DISTINCT plat, plon FROM ch),
+rr AS (SELECT plat, plon, unnest(range(0, {2 * n + 1})) AS r FROM p),
+rc AS (SELECT plat, plon, r, unnest(range(0, {2 * n + 1})) AS c FROM rr),
+cov AS (SELECT g.plat, g.plon, g.r, g.c,
+    max(CASE WHEN ch.dlat IS NOT NULL THEN 1 ELSE 0 END) AS covered,
+    max(CASE WHEN g.r = ch.dlat * {n} + {vr}
+              AND g.c = ch.dlon * {n} + {vc} THEN 1 ELSE 0 END) AS voided
+  FROM rc g LEFT JOIN ch ON g.plat = ch.plat AND g.plon = ch.plon
+    AND g.r >= ch.dlat * {n} AND g.r <= ch.dlat * {n} + {n}
+    AND g.c >= ch.dlon * {n} AND g.c <= ch.dlon * {n} + {n}
+  GROUP BY g.plat, g.plon, g.r, g.c),
+base AS (SELECT plat, plon, r, c,
+    CASE WHEN covered = 0 OR voided = 1 THEN -32768
+         ELSE (((plat + 90) * {n} + r) * 31
+               + ((plon + 180) * {n} + c) * 17) % 2000 - 1000
+    END AS v FROM cov),
+coarse AS (SELECT plat, plon, r // 2 AS cr, c // 2 AS cc, max(v) AS cv
+           FROM base GROUP BY plat, plon, cr, cc),
+nch AS (SELECT plat, plon, CAST(count(*) AS INT) AS n_children
+        FROM ch GROUP BY plat, plon)
+SELECT 'N' || lpad(CAST(plat AS VARCHAR), 2, '0')
+       || 'E' || lpad(CAST(plon AS VARCHAR), 3, '0') AS parent_key,
+  n_children, CAST({_MOSAIC_SIZE} AS INT) AS width,
+  CAST(count(*) FILTER (WHERE cv = -32768) AS BIGINT) AS n_void,
+  CAST(coalesce(sum(cv) FILTER (WHERE cv <> -32768), 0) AS BIGINT)
+    AS sum_elev,
+  CAST(min(cv) FILTER (WHERE cv <> -32768) AS BIGINT) AS min_elev,
+  CAST(max(cv) FILTER (WHERE cv <> -32768) AS BIGINT) AS max_elev
+FROM coarse JOIN nch USING (plat, plon)
+GROUP BY plat, plon, n_children"""
+
+
 def q_resumable_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="sparkgraft_resume_")
     out, man = os.path.join(base, "out"), os.path.join(base, "manifest")
@@ -253,6 +323,7 @@ SPARK_QUERIES = {
     "tile_aspect": q_tile_aspect,
     "tile_terrain": q_tile_terrain,
     "tile_pyramid": q_tile_pyramid,
+    "tile_mosaic": q_tile_mosaic,
     "resumable_enrich": q_resumable_enrich,
 }
 ORACLES = {
@@ -261,5 +332,6 @@ ORACLES = {
     "tile_aspect": _tile_aspect_oracle(),
     "tile_terrain": _tile_terrain_oracle(),
     "tile_pyramid": _tile_pyramid_oracle(),
+    "tile_mosaic": _tile_mosaic_oracle(),
     "resumable_enrich": _BILINEAR_ORACLE,
 }

@@ -440,3 +440,51 @@ def test_tile_pyramid_roundtrip_and_voids(spark):
           for r in tile_pyramid_stats(tiles, levels=3).collect()
           if r["tile_key"] == key}
     assert st == {1: 4, 2: 1, 3: 0}
+
+
+def test_tile_mosaic_roundtrip_and_errors(spark):
+    """Materialized parent tiles decode to the block-max of the assembled
+    mosaic (shared edges overlapping); a missing quadrant stays VOID; a
+    mixed-size group raises."""
+    import numpy as np
+    import pytest
+
+    from elevation_service_spark import fixtures, kernels
+    from elevation_service_spark.operators.raster import (
+        _blockmax, tile_mosaic)
+    from elevation_service_spark import queries as _q  # noqa: F401
+    from elevation_service_spark.queries_sinks import (
+        _MOSAIC_SIZE, _mosaic_tiles_df)
+
+    got = {r["parent_key"]: r.asDict(True)
+           for r in tile_mosaic(_mosaic_tiles_df(spark)).collect()}
+    s = _MOSAIC_SIZE
+    # full group N56E010: assemble by hand
+    m = np.full((2 * s - 1, 2 * s - 1), kernels.VOID, dtype=np.int64)
+    for la, lo in [(56, 10), (56, 11), (57, 10), (57, 11)]:
+        z = fixtures.tile_grid(la, lo, s)
+        m[(la - 56) * (s - 1):(la - 56) * (s - 1) + s,
+          (lo - 10) * (s - 1):(lo - 10) * (s - 1) + s] = z
+    exp = _blockmax(m)
+    full = got["N56E010"]
+    assert full["n_children"] == 4 and full["size"] == s
+    dec = kernels.decode_hgt(bytes(full["data"]))
+    assert np.array_equal(dec, exp)
+    # partial group N58E010: SW+NE quadrants only -> voids present
+    part = got["N58E010"]
+    assert part["n_children"] == 2
+    decp = kernels.decode_hgt(bytes(part["data"]))
+    assert (decp == kernels.VOID).sum() > 0
+    # the NW coarse quadrant interior must be void, its SW interior real
+    assert decp[2, (s - 1) // 2 + 2] == kernels.VOID
+    assert decp[2, 2] != kernels.VOID
+    # mixed sizes refuse loudly
+    from elevation_service_spark.sources.tiles import TILES_SCHEMA
+    bad = spark.createDataFrame(
+        [("A", None, None, None, 56, 10, 41, "hgt",
+          bytearray(fixtures.encode_tile(fixtures.tile_grid(56, 10, 41), "hgt"))),
+         ("B", None, None, None, 56, 11, 1201, "hgt",
+          bytearray(fixtures.encode_tile(fixtures.tile_grid(56, 11, 1201), "hgt")))],
+        schema=TILES_SCHEMA)
+    with pytest.raises(Exception, match="mixes tile sizes"):
+        tile_mosaic(bad).collect()
