@@ -512,3 +512,33 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
             .groupBy("id").agg(F.sum("_c").cast("long").alias("score"))
             .orderBy(F.col("score").desc(), F.col("id").asc())
             .limit(k))
+
+
+# --- PII redaction (r6) ------------------------------------------------------
+# Patterns sit in the Java/RE2 common subset (no lookaround, no capture
+# groups in replacements).  Spark's regexp_replace replaces ALL matches;
+# the DuckDB twin must pass the 'g' flag (CLAUDE.md regex rule).
+PII_RULES = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+[0-9]{7,15}", "<PHONE>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(id, text_redacted, n_email, n_phone, n_ip) — the training-data
+    PII scrub: emails, international phone numbers, IPv4 literals
+    replaced by type tokens, with per-type match counts (the audit
+    metric a pipeline reports).  Counts are taken BEFORE redaction and
+    rules apply in declaration order, so an email's host is counted once
+    as email, not again as a bare host.  Pure Column regex projection —
+    zero shuffle, whole-stage codegen."""
+    text = F.col(text_col)
+    counts = [F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+              .cast("long").alias(f"n_{name}") for name, pat, _ in PII_RULES]
+    red = text
+    for _, pat, token in PII_RULES:
+        red = F.regexp_replace(red, pat, token)
+    return docs.select(F.col(id_col).alias("id"),
+                       red.alias("text_redacted"), *counts)

@@ -565,6 +565,7 @@ _DEMOTED = [
     "geo_tag",           # new r6: extract -> PIP -> rollup composition
     "bm25_topk",         # new r6: rational-BM25 top-k retrieval
     "tile_mosaic",       # new r6: cross-tile 2x2 parent pyramid level
+    "pii_redact",        # new r6: email/phone/IP scrub with audit counts
 ]
 
 

@@ -1638,6 +1638,43 @@ SELECT token, CAST(id % {_INV_SHARDS} AS INT) AS shard,
 FROM pd GROUP BY token, CAST(id % {_INV_SHARDS} AS INT)"""
 
 
+# --- PII redaction (r6) ------------------------------------------------------
+# Synthetic PII appended to real text; two-thirds of docs carry an email +
+# phone, every third adds an IPv4, so every rule and the zero case are live.
+_PII_TEXT_SQL = ("text || ' contact bob' || CAST(doc_id % 50 AS STRING)"
+                 " || '@mail' || CAST(doc_id % 7 AS STRING) || '.com'"
+                 " || CASE WHEN doc_id % 2 = 0 THEN ' tel +44'"
+                 " || CAST(1000000 + doc_id AS STRING) ELSE '' END"
+                 " || CASE WHEN doc_id % 3 = 0 THEN ' ip 10.0.'"
+                 " || CAST(doc_id % 256 AS STRING) || '.'"
+                 " || CAST(doc_id % 100 AS STRING) ELSE '' END")
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub over the documents corpus (r6): emails / international
+    phones / IPv4 literals replaced by type tokens with pre-redaction
+    audit counts — pure JVM regex projection."""
+    from .operators.text import redact_pii
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_TEXT_SQL).alias("text_p"))
+    return redact_pii(docs, "doc_id", "text_p")
+
+
+def _pii_oracle() -> str:
+    from .operators.text import PII_RULES
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_RULES)
+    red = "t"
+    for _, pat, token in PII_RULES:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""WITH d AS (
+  SELECT doc_id AS id, {_PII_TEXT_SQL} AS t FROM documents)
+SELECT id, {red} AS text_redacted,
+  {counts}
+FROM d"""
+
+
 # --- BM25-surrogate top-k retrieval (r6) -------------------------------------
 
 _BM25_TERMS = ["spark", "merge", "window"]
@@ -1716,6 +1753,7 @@ SPARK_QUERIES.update({"url_canonical": q_url_canonical,
                       "paragraph_dedup": q_paragraph_dedup,
                       "inverted_index": q_inverted_index,
                       "bm25_topk": q_bm25_topk,
+                      "pii_redact": q_pii_redact,
                       "bigram_lm": q_bigram_lm})
 ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
                 "url_dedup": _URL_DEDUP_ORACLE,
@@ -1724,6 +1762,7 @@ ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
                 "paragraph_dedup": _PARAGRAPH_DEDUP_ORACLE,
                 "inverted_index": _INVERTED_INDEX_ORACLE,
                 "bm25_topk": _BM25_ORACLE,
+                "pii_redact": _pii_oracle(),
                 "bigram_lm": _BIGRAM_LM_ORACLE})
 
 

@@ -942,3 +942,25 @@ def test_bm25_topk_integer_formula(spark):
     assert got == order, (got, order)
     # the rare term (df=1) must outrank the tf-saturated common term
     assert got[0][0] == 3
+
+
+def test_redact_pii_rules(spark):
+    from elevation_service_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame([
+        (1, "mail a.b+c@x-y.co.uk now"),
+        (2, "call +441234567 or +12025550100 x"),
+        (3, "host 10.0.255.1 and 999.1.2.3 deep"),   # 999.. still matches the
+                                                      # documented 1-3-digit rule
+        (4, "clean text only"),
+        (5, "a@b.io +1234567 1.2.3.4"),               # all three at once
+    ], ["doc_id", "text"])
+    got = {r["id"]: r.asDict() for r in redact_pii(docs).collect()}
+    assert got[1]["text_redacted"] == "mail <EMAIL> now"
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ip"]) == (1, 0, 0)
+    assert got[2]["text_redacted"] == "call <PHONE> or <PHONE> x"
+    assert got[2]["n_phone"] == 2
+    assert got[3]["text_redacted"] == "host <IP> and <IP> deep"
+    assert got[4] == {"id": 4, "text_redacted": "clean text only",
+                      "n_email": 0, "n_phone": 0, "n_ip": 0}
+    assert got[5]["text_redacted"] == "<EMAIL> <PHONE> <IP>"
