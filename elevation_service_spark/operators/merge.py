@@ -61,6 +61,48 @@ def upsert_latest(base: DataFrame, updates: DataFrame,
             .drop("_rn", "_src"))
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  key_col: str = "doc_id",
+                  fingerprint_col: str = "text") -> DataFrame:
+    """Change-data-capture between two corpus snapshots: one row per key
+    whose content changed, appeared, or disappeared —
+    ``(id, change, old_fp, new_fp)`` with ``change`` in
+    {'added','removed','changed'} and ``*_fp`` = md5 of the content
+    column (NULL on the absent side).  Unchanged keys are dropped: the
+    output IS the CDC stream a downstream incremental job consumes.
+
+    Physical shape, 100 TB honest: ONE union + ONE map-side-combinable
+    groupBy on the key (conditional max of the side-tagged fingerprint)
+    — not a full-outer join, which shuffles the same bytes but cannot
+    partial-aggregate and must carry whole rows to the join instead of
+    a 32-byte fingerprint.  Fingerprints are computed BEFORE the
+    shuffle, so only (key, fp, side) moves regardless of document size.
+
+    Precondition: each snapshot has at most one row per key (the
+    definition of a snapshot); duplicate keys inside one side would be
+    silently collapsed by max()."""
+    reserved = {"_fp", "_side"} & (set(old.columns) | set(new.columns))
+    if reserved:
+        raise ValueError(f"snapshot_diff: input columns {sorted(reserved)} "
+                         "collide with reserved bookkeeping names — rename "
+                         "them before diffing")
+    def slim(df: DataFrame, side: int) -> DataFrame:
+        return df.select(F.col(key_col).alias("id"),
+                         F.md5(F.col(fingerprint_col)).alias("_fp"),
+                         F.lit(side).alias("_side"))
+    u = slim(old, 0).unionByName(slim(new, 1))
+    g = u.groupBy("id").agg(
+        F.max(F.when(F.col("_side") == 0, F.col("_fp"))).alias("old_fp"),
+        F.max(F.when(F.col("_side") == 1, F.col("_fp"))).alias("new_fp"))
+    return (g.filter(F.col("old_fp").isNull() | F.col("new_fp").isNull()
+                     | (F.col("old_fp") != F.col("new_fp")))
+            .select("id",
+                    F.when(F.col("old_fp").isNull(), F.lit("added"))
+                     .when(F.col("new_fp").isNull(), F.lit("removed"))
+                     .otherwise(F.lit("changed")).alias("change"),
+                    "old_fp", "new_fp"))
+
+
 # --- crash-resumable streaming MERGE sink (r6) -------------------------------
 
 def versioned_merge_sink(target_base: str, key_col: str = "doc_id",

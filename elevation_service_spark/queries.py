@@ -566,6 +566,7 @@ _DEMOTED = [
     "bm25_topk",         # new r6: rational-BM25 top-k retrieval
     "tile_mosaic",       # new r6: cross-tile 2x2 parent pyramid level
     "pii_redact",        # new r6: email/phone/IP scrub with audit counts
+    "snapshot_diff",     # new r6: CDC between corpus snapshots, union+agg
 ]
 
 

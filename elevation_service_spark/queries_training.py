@@ -925,6 +925,43 @@ SPARK_QUERIES["corpus_upsert"] = q_corpus_upsert
 ORACLES["corpus_upsert"] = _CORPUS_UPSERT_ORACLE
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """CDC between two deterministic corpus snapshots (r6): docs with
+    id%13==3 exist only in the new snapshot (added), id%11==5 only in
+    the old (removed), id%7==0 carry revised text (changed); everything
+    else is unchanged and must NOT appear.  One union + one
+    map-side-combinable groupBy — no full-outer join."""
+    from .operators.merge import snapshot_diff
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 13 != 3).select("doc_id", "text")
+    new = (docs.filter(F.col("doc_id") % 11 != 5)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 7 == 0,
+                          F.concat(F.lit("rev "), F.col("text")))
+                   .otherwise(F.col("text")).alias("text")))
+    return snapshot_diff(old, new, "doc_id", "text")
+
+
+_SNAPSHOT_DIFF_ORACLE = """WITH old AS (
+  SELECT doc_id AS id, md5(text) AS fp FROM documents WHERE doc_id % 13 <> 3),
+new AS (
+  SELECT doc_id AS id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN 'rev ' || text ELSE text END) AS fp
+  FROM documents WHERE doc_id % 11 <> 5),
+u AS (SELECT id, fp, 0 AS side FROM old
+      UNION ALL SELECT id, fp, 1 FROM new),
+g AS (SELECT id, MAX(CASE WHEN side = 0 THEN fp END) AS old_fp,
+             MAX(CASE WHEN side = 1 THEN fp END) AS new_fp
+      FROM u GROUP BY id)
+SELECT id, CASE WHEN old_fp IS NULL THEN 'added'
+                WHEN new_fp IS NULL THEN 'removed'
+                ELSE 'changed' END AS change, old_fp, new_fp
+FROM g WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp"""
+
+SPARK_QUERIES["snapshot_diff"] = q_snapshot_diff
+ORACLES["snapshot_diff"] = _SNAPSHOT_DIFF_ORACLE
+
+
 def q_source_quality(spark, sf_dir):
     """Per-source curation rollup: how many docs each crawl source
     contributes and how many survive the quality gate — the table a data

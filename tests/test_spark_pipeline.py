@@ -964,3 +964,26 @@ def test_redact_pii_rules(spark):
     assert got[4] == {"id": 4, "text_redacted": "clean text only",
                       "n_email": 0, "n_phone": 0, "n_ip": 0}
     assert got[5]["text_redacted"] == "<EMAIL> <PHONE> <IP>"
+
+
+def test_snapshot_diff_semantics(spark):
+    import pytest
+    from elevation_service_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([
+        (1, "same"), (2, "was this"), (3, "gone soon")], ["doc_id", "text"])
+    new = spark.createDataFrame([
+        (1, "same"), (2, "now this"), (4, "brand new")], ["doc_id", "text"])
+    got = {r["id"]: r for r in snapshot_diff(old, new).collect()}
+    # unchanged key 1 is absent: the output IS the CDC stream
+    assert set(got) == {2, 3, 4}
+    assert got[2]["change"] == "changed"
+    assert got[2]["old_fp"] is not None and got[2]["new_fp"] is not None
+    assert got[2]["old_fp"] != got[2]["new_fp"]
+    assert got[3]["change"] == "removed" and got[3]["new_fp"] is None
+    assert got[4]["change"] == "added" and got[4]["old_fp"] is None
+
+    # reserved bookkeeping names refuse loudly (same contract as upsert)
+    with pytest.raises(ValueError, match="_fp"):
+        snapshot_diff(old.withColumnRenamed("text", "_fp"), new,
+                      fingerprint_col="_fp")
