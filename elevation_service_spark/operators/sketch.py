@@ -90,6 +90,69 @@ def bloom_lookup(bits: DataFrame, probes: DataFrame, tok_col: str = "tok",
                  .alias("is_member")))
 
 
+HLL_P = 6            # 2^6 = 64 registers
+HLL_HASH_BITS = 52   # 13-hex-digit md5 prefix
+
+
+def hll_rank_case_sql(w_expr: str, w_bits: int) -> str:
+    """Engine-portable HLL rank (position of the highest set bit from the
+    top, i.e. leading zeros + 1) as a pure integer-compare CASE ladder —
+    the geohash-staging trick: neither Spark nor DuckDB shares a
+    leading-zeros builtin, but both evaluate an ordered CASE of >=
+    power-of-two literals identically.  w == 0 (all w_bits zero) maps to
+    w_bits + 1, the HLL convention."""
+    branches = " ".join(f"WHEN {w_expr} >= {1 << (w_bits - r)} THEN {r}"
+                        for r in range(1, w_bits + 1))
+    return f"CASE {branches} ELSE {w_bits + 1} END"
+
+
+def hll_registers(df: DataFrame, key_col: str, p: int = HLL_P) -> DataFrame:
+    """(bucket, max_rank) — the HyperLogLog register table as a
+    DataFrame: bucket = low p bits of the portable 52-bit md5 hash,
+    rank = leading-zero rank of the remaining bits.  Unlike engine-native
+    HLL sketches (opaque binary registers), every row is deterministic
+    and hash-gateable, and the table IS the mergeable artifact: shards
+    merge by union + groupBy(bucket).max(max_rank) — verified by pytest.
+    Scale: one map-side-combined groupBy whose result is <= 2^p rows
+    whatever the corpus; the shuffle moves at most 2^p rows per task."""
+    m = 1 << p
+    w_bits = HLL_HASH_BITS - p
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 13),
+               16, 10).cast("long")
+    staged = (df.select(h.alias("_h"))
+              .select((F.col("_h") % m).cast("long").alias("bucket"),
+                      F.expr(f"_h div {m}").alias("_w"))
+              .select("bucket",
+                      F.expr(hll_rank_case_sql("_w", w_bits))
+                      .cast("long").alias("rank")))
+    return staged.groupBy("bucket").agg(F.max("rank").alias("max_rank"))
+
+
+def hll_estimate(regs: DataFrame, p: int = HLL_P) -> DataFrame:
+    """(seen, sum_pow, est_distinct) — the raw HLL harmonic-mean estimate
+    from a register table.  sum_pow = S = sum over all 2^p buckets of
+    2^(maxrank - rank) (empty bucket = rank 0) is EXACT int64 (<= 2^p
+    terms of <= 2^(w_bits+1), fits comfortably); the estimate
+    alpha_m * m^2 * 2^maxrank / S is then two IEEE-exact-rounded double
+    ops on exact integers — deterministic, no libm, no correction terms
+    (consumers apply linear-counting corrections from `seen` if wanted)."""
+    m = 1 << p
+    maxr = HLL_HASH_BITS - p + 1
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    agg = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("seen"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                     f"CAST({maxr} - max_rank AS INT))"))
+        .cast("long").alias("seen_pow"))
+    return (agg.select(
+        "seen",
+        (F.col("seen_pow")
+         + (F.lit(m) - F.col("seen")) * F.lit(1 << maxr)).alias("sum_pow"))
+        .select("seen", "sum_pow",
+                (F.lit(float(alpha * m * m)) * F.lit(float(1 << maxr))
+                 / F.col("sum_pow").cast("double")).alias("est_distinct")))
+
+
 KMV_K = 128
 KMV_HASH_SPACE = 1 << 52  # 13-hex-digit md5 prefix: (k-1)*H fits int64
 

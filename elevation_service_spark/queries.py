@@ -567,6 +567,7 @@ _DEMOTED = [
     "tile_mosaic",       # new r6: cross-tile 2x2 parent pyramid level
     "pii_redact",        # new r6: email/phone/IP scrub with audit counts
     "snapshot_diff",     # new r6: CDC between corpus snapshots, union+agg
+    "hll_registers",     # new r6: gateable HLL register table, <=2^p rows
 ]
 
 

@@ -1962,12 +1962,39 @@ SELECT n_mins, kth_hash,
 FROM agg, ex"""
 
 
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog register table over lineitem part keys (r6): the
+    classically-opaque sketch made hash-gateable — bucket = low 6 hash
+    bits, rank via the engine-portable CASE ladder; <= 64 rows out, one
+    map-side-combined groupBy.  Mergeability (union shards + re-max) is
+    pinned by pytest."""
+    from .operators.sketch import hll_registers
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    return hll_registers(li, "l_partkey")
+
+
+def _hll_oracle():
+    from .operators.sketch import HLL_HASH_BITS, HLL_P, hll_rank_case_sql
+    m = 1 << HLL_P
+    w_bits = HLL_HASH_BITS - HLL_P
+    return f"""WITH h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(l_partkey AS STRING)), 1, 13))
+              AS BIGINT) AS h
+  FROM lineitem),
+b AS (SELECT h % {m} AS bucket, h // {m} AS w FROM h)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(MAX({hll_rank_case_sql('w', w_bits)}) AS BIGINT) AS max_rank
+FROM b GROUP BY bucket"""
+
+
 SPARK_QUERIES.update({"cms_counts": q_cms_counts,
                       "bloom_filter": q_bloom_filter,
-                      "kmv_distinct": q_kmv_distinct})
+                      "kmv_distinct": q_kmv_distinct,
+                      "hll_registers": q_hll_registers})
 ORACLES.update({"cms_counts": _cms_oracle(),
                 "bloom_filter": _bloom_oracle(),
-                "kmv_distinct": _kmv_oracle()})
+                "kmv_distinct": _kmv_oracle(),
+                "hll_registers": _hll_oracle()})
 
 
 # --- integer PageRank over a derived link graph (r5) -------------------------

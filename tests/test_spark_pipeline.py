@@ -987,3 +987,40 @@ def test_snapshot_diff_semantics(spark):
     with pytest.raises(ValueError, match="_fp"):
         snapshot_diff(old.withColumnRenamed("text", "_fp"), new,
                       fingerprint_col="_fp")
+
+
+def test_hll_registers_merge_and_estimate(spark):
+    import hashlib
+    from elevation_service_spark.operators.sketch import (
+        HLL_HASH_BITS, HLL_P, hll_estimate, hll_registers)
+
+    n = 5000
+    df = spark.createDataFrame([(i * 7919,) for i in range(n)], ["k"])
+    regs = hll_registers(df, "k")
+    rows = {r["bucket"]: r["max_rank"] for r in regs.collect()}
+    assert len(rows) <= 1 << HLL_P
+
+    # bit-replay one register against a pure-python recompute
+    m, w_bits = 1 << HLL_P, HLL_HASH_BITS - HLL_P
+    py = {}
+    for i in range(n):
+        h = int(hashlib.md5(str(i * 7919).encode()).hexdigest()[:13], 16)
+        w = h // m
+        rank = (w_bits - w.bit_length() + 1) if w else w_bits + 1
+        b = h % m
+        py[b] = max(py.get(b, 0), rank)
+    assert rows == py
+
+    # mergeability: shard registers union + re-max == whole-corpus table
+    a = hll_registers(df.filter(F.col("k") % 2 == 0), "k")
+    b = hll_registers(df.filter(F.col("k") % 2 != 0), "k")
+    merged = (a.unionByName(b).groupBy("bucket")
+              .agg(F.max("max_rank").alias("max_rank")))
+    assert {r["bucket"]: r["max_rank"] for r in merged.collect()} == rows
+
+    # raw estimate lands within HLL's expected error band (~1.04/sqrt(64)
+    # = 13% std err; deterministic data, so this is a fixed number)
+    est = hll_estimate(regs).collect()[0]
+    assert est["sum_pow"] == sum(
+        1 << (w_bits + 1 - py.get(bkt, 0)) for bkt in range(m))
+    assert abs(est["est_distinct"] - n) / n < 0.30, est["est_distinct"]
