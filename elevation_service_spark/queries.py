@@ -568,6 +568,7 @@ _DEMOTED = [
     "pii_redact",        # new r6: email/phone/IP scrub with audit counts
     "snapshot_diff",     # new r6: CDC between corpus snapshots, union+agg
     "hll_registers",     # new r6: gateable HLL register table, <=2^p rows
+    "perceptron_quality",  # new r6: exact-integer batch-perceptron training
 ]
 
 

@@ -852,6 +852,63 @@ SPARK_QUERIES["quality_filter"] = q_quality_filter
 ORACLES["quality_filter"] = _quality_filter_oracle()
 
 
+def q_perceptron_quality(spark, sf_dir):
+    """Distributed batch-perceptron training (r6): learn a linear quality
+    classifier from the rule-based gate's own labels — 16 exact-integer
+    epochs (one scan + one d-sum aggregate each, d+1 ints of driver
+    state), then the trained model's confusion matrix (zero training
+    error on the gate corpus — the separable-indicator design).  The
+    DuckDB twin replays the ENTIRE training trajectory in chained
+    MATERIALIZED CTEs."""
+    from .operators.train import perceptron_train, quality_features
+    qf = text.quality_filter(load(spark, sf_dir, "documents"))
+    return perceptron_train(quality_features(qf))
+
+
+def _perceptron_oracle() -> str:
+    from .operators.train import PERCEPTRON_EPOCHS
+    d = 5
+
+    def dot(ws: list[str]) -> str:
+        return " + ".join(f"({ws[j]}) * x{j}" for j in range(d))
+
+    # AS MATERIALIZED is load-bearing: each epoch CTE references its
+    # predecessor ~6d times via scalar subqueries, so inlining (DuckDB's
+    # default) would re-evaluate the corpus scan exponentially many times
+    ctes = [f"q AS MATERIALIZED ({_quality_filter_oracle()})",
+            f"""f AS MATERIALIZED (SELECT
+  CAST(CASE WHEN verdict = 'KEEP' THEN 1 ELSE -1 END AS BIGINT) AS y,
+  CAST(1 AS BIGINT) AS x0,
+  CAST(CASE WHEN n_tokens >= {text.QF_MIN_TOKENS} THEN 1 ELSE 0 END AS BIGINT) AS x1,
+  CAST(CASE WHEN uniq_milli >= {text.QF_MIN_UNIQ_MILLI} THEN 1 ELSE 0 END AS BIGINT) AS x2,
+  CAST(CASE WHEN n_stopwords >= 1 THEN 1 ELSE 0 END AS BIGINT) AS x3,
+  CAST(CASE WHEN lang_pred <> 'und' THEN 1 ELSE 0 END AS BIGINT) AS x4
+  FROM q)"""]
+    prev = ["0"] * d
+    for e in range(1, PERCEPTRON_EPOCHS + 1):
+        margin = f"y * ({dot(prev)})"
+        cols = ", ".join(
+            f"CAST(({prev[j]}) + coalesce(sum(CASE WHEN {margin} <= 0 "
+            f"THEN y * x{j} END), 0) AS BIGINT) AS w{j}" for j in range(d))
+        ctes.append(f"e{e} AS MATERIALIZED (SELECT {cols} FROM f)")
+        prev = [f"(SELECT w{j} FROM e{e})" for j in range(d)]
+    final_dot = dot(prev)
+    return f"""WITH {', '.join(ctes)},
+c AS (SELECT
+  CAST(coalesce(sum(CASE WHEN y = 1 AND {final_dot} > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+  CAST(coalesce(sum(CASE WHEN y = -1 AND {final_dot} > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+  CAST(coalesce(sum(CASE WHEN y = 1 AND {final_dot} <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+  CAST(coalesce(sum(CASE WHEN y = -1 AND {final_dot} <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn,
+  CAST(count(*) AS BIGINT) AS n
+  FROM f)
+SELECT {', '.join(f'w{j}' for j in range(d))}, tp, fp, fn, tn, n
+FROM e{PERCEPTRON_EPOCHS}, c"""
+
+
+SPARK_QUERIES["perceptron_quality"] = q_perceptron_quality
+ORACLES["perceptron_quality"] = _perceptron_oracle()
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition signals: top-token concentration and
     duplicate 2-/3-gram occurrence shares, one scan, zero shuffle."""

@@ -1024,3 +1024,34 @@ def test_hll_registers_merge_and_estimate(spark):
     assert est["sum_pow"] == sum(
         1 << (w_bits + 1 - py.get(bkt, 0)) for bkt in range(m))
     assert abs(est["est_distinct"] - n) / n < 0.30, est["est_distinct"]
+
+
+def test_perceptron_train_replays_exactly(spark):
+    from elevation_service_spark.operators.train import perceptron_train
+
+    # (y, x0..x4) hand-made examples; d=5, 3 epochs, lr=1
+    ex = [(1, 1, 40, 9, 5, 1), (1, 1, 80, 8, 7, 1), (1, 1, 60, 7, 3, 1),
+          (-1, 1, 3, 2, 0, 0), (-1, 1, 5, 1, 0, 0), (-1, 1, 90, 1, 0, 1)]
+    cols = ["y", "x0", "x1", "x2", "x3", "x4"]
+    feats = spark.createDataFrame(ex, cols)
+    got = perceptron_train(feats, epochs=3).collect()[0].asDict()
+
+    w = [0] * 5
+    for _ in range(3):
+        upd = [0] * 5
+        for row in ex:
+            y, x = row[0], row[1:]
+            if y * sum(w[j] * x[j] for j in range(5)) <= 0:
+                for j in range(5):
+                    upd[j] += y * x[j]
+        w = [w[j] + upd[j] for j in range(5)]
+    conf = {"tp": 0, "fp": 0, "fn": 0, "tn": 0}
+    for row in ex:
+        y, x = row[0], row[1:]
+        pos = sum(w[j] * x[j] for j in range(5)) > 0
+        conf["tp" if y == 1 and pos else
+             "fp" if y == -1 and pos else
+             "fn" if y == 1 else "tn"] += 1
+    assert [got[f"w{j}"] for j in range(5)] == w
+    assert {k: got[k] for k in conf} == conf
+    assert got["n"] == len(ex)
