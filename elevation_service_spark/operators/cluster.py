@@ -215,3 +215,51 @@ def pagerank_integer(edges: DataFrame, vertices: DataFrame,
                          .cast("long").alias("rank"))
                  .localCheckpoint())
     return ranks
+
+
+def triangle_count(edges: DataFrame, a_col: str = "a",
+                   b_col: str = "b") -> DataFrame:
+    """Exact triangle counting via degree-ordered wedge closure — ONE row
+    (n_nodes, n_edges, n_wedges, n_triangles), all exact int64.
+
+    The input is an undirected graph as edge rows (either direction,
+    duplicates and self-loops tolerated: canonicalized here).  Each edge
+    is oriented from its lower-(degree, id) endpoint to the higher; a
+    wedge is two oriented edges sharing a source, closed by the canonical
+    edge between its endpoints.  Every triangle is counted EXACTLY once —
+    at its unique minimum-(degree, id) vertex.
+
+    Scale shape: the degree orientation is the whole point — out-degree
+    of every node is bounded by O(sqrt(m)) after orienting toward higher
+    degree, so the wedge self-join (the quadratic term) generates
+    O(m^{3/2}) rows worst-case instead of sum(deg^2) — the standard
+    node-iterator bound; hub nodes (degree ~n) contribute ZERO wedges
+    because all their edges point inward.  Three shuffles total: degree
+    agg, wedge self-join, closing join; nothing driver-side."""
+    und = (edges.select(F.least(F.col(a_col), F.col(b_col)).alias("a"),
+                        F.greatest(F.col(a_col), F.col(b_col)).alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    deg = (und.select(F.col("a").alias("id"))
+           .unionByName(und.select(F.col("b").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("d")))
+    da, db = deg.alias("da"), deg.alias("db")
+    first_a = ((F.col("da.d") < F.col("db.d"))
+               | ((F.col("da.d") == F.col("db.d")) & (F.col("a") < F.col("b"))))
+    o = (und.join(da, F.col("a") == F.col("da.id"))
+         .join(db, F.col("b") == F.col("db.id"))
+         .select(F.when(first_a, F.col("a")).otherwise(F.col("b")).alias("src"),
+                 F.when(first_a, F.col("b")).otherwise(F.col("a")).alias("dst")))
+    o1, o2 = o.alias("o1"), o.alias("o2")
+    w = (o1.join(o2, (F.col("o1.src") == F.col("o2.src"))
+                 & (F.col("o1.dst") < F.col("o2.dst")))
+         .select(F.least(F.col("o1.dst"), F.col("o2.dst")).alias("x"),
+                 F.greatest(F.col("o1.dst"), F.col("o2.dst")).alias("y")))
+    w = w.localCheckpoint()  # consumed twice (count + closing join)
+    tri = w.join(und, (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")))
+    counts = [und.agg(F.count(F.lit(1)).cast("long").alias("n_edges")),
+              deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")),
+              w.agg(F.count(F.lit(1)).cast("long").alias("n_wedges")),
+              tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))]
+    out = counts[1].crossJoin(counts[0]).crossJoin(counts[2]) \
+                   .crossJoin(counts[3])
+    return out.select("n_nodes", "n_edges", "n_wedges", "n_triangles")

@@ -569,6 +569,7 @@ _DEMOTED = [
     "snapshot_diff",     # new r6: CDC between corpus snapshots, union+agg
     "hll_registers",     # new r6: gateable HLL register table, <=2^p rows
     "perceptron_quality",  # new r6: exact-integer batch-perceptron training
+    "triangle_count",    # new r6: degree-ordered exact triangle census
 ]
 
 

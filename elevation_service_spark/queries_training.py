@@ -2110,6 +2110,55 @@ SPARK_QUERIES.update({"pagerank": q_pagerank})
 ORACLES.update({"pagerank": _pagerank_oracle()})
 
 
+def q_triangle_count(spark, sf_dir):
+    """Exact triangle census (r6) over a deterministic document graph —
+    two ring rules guarantee closures, a quadratic-residue rule adds
+    irregular chords, an integer-division rule adds hubs (which the
+    degree orientation must neutralize: their edges all point inward).
+    One row out: nodes / edges / wedges / triangles."""
+    from .operators.cluster import triangle_count
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # one scalar job (the pagerank pattern); ids 0..N-1
+    rules = [(F.col("doc_id") + 1) % n,
+             (F.col("doc_id") + 2) % n,
+             (F.col("doc_id") * F.col("doc_id") + 2) % n,
+             F.expr("doc_id div 7") % n]
+    raw = None
+    for dst in rules:
+        e = docs.select(F.col("doc_id").alias("a"), dst.alias("b"))
+        raw = e if raw is None else raw.unionByName(e)
+    return triangle_count(raw)
+
+
+_TRIANGLE_ORACLE = """WITH v AS (SELECT doc_id AS id FROM documents),
+n AS (SELECT count(*) AS n FROM v),
+raw AS (
+  SELECT id AS a, (id + 1) % (SELECT n FROM n) AS b FROM v
+  UNION ALL SELECT id, (id + 2) % (SELECT n FROM n) FROM v
+  UNION ALL SELECT id, (id * id + 2) % (SELECT n FROM n) FROM v
+  UNION ALL SELECT id, (id // 7) % (SELECT n FROM n) FROM v),
+und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        FROM raw WHERE a <> b),
+deg AS (SELECT x AS id, count(*) AS d FROM (
+          SELECT a AS x FROM und UNION ALL SELECT b FROM und) GROUP BY x),
+o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS src,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS dst
+      FROM und u JOIN deg da ON da.id = u.a JOIN deg db ON db.id = u.b),
+w AS (SELECT least(o1.dst, o2.dst) AS x, greatest(o1.dst, o2.dst) AS y
+      FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+t AS (SELECT count(*) AS n_tri
+      FROM w JOIN und ON und.a = w.x AND und.b = w.y)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM w) AS BIGINT) AS n_wedges,
+       CAST((SELECT n_tri FROM t) AS BIGINT) AS n_triangles"""
+
+SPARK_QUERIES.update({"triangle_count": q_triangle_count})
+ORACLES.update({"triangle_count": _TRIANGLE_ORACLE})
+
+
 SEMDEDUP_MIN_SCORE = 300_000  # quantized dot ~ cos 0.3 on unit vectors:
 # at the gate SF this leaves 223 components of 500 vectors — real merge
 # structure without collapsing the corpus into one ball

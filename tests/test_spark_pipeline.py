@@ -1055,3 +1055,17 @@ def test_perceptron_train_replays_exactly(spark):
     assert [got[f"w{j}"] for j in range(5)] == w
     assert {k: got[k] for k in conf} == conf
     assert got["n"] == len(ex)
+
+
+def test_triangle_count_k4_and_canonicalization(spark):
+    from elevation_service_spark.operators.cluster import triangle_count
+
+    # K4 on {0,1,2,3} (4 triangles, 12 wedges... check: oriented wedges),
+    # plus a pendant node 4, a self-loop, a duplicate, and reversed edges
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 4), (2, 2), (1, 0), (0, 1)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = triangle_count(df).collect()[0].asDict()
+    assert got["n_nodes"] == 5
+    assert got["n_edges"] == 7       # 6 K4 edges + pendant
+    assert got["n_triangles"] == 4   # C(4,3)
