@@ -81,10 +81,23 @@ _TERRAIN_SCHEMA = T.StructType(
     list(_SLOPE_SCHEMA.fields)
     + [T.StructField(f, T.LongType(), False) for f in _ASPECT_FIELDS])
 
+# Terrain Ruggedness Index (Riley): per interior node the sum of |dz| to
+# all 8 neighbours — exact integers, 3x3 void exclusion.  The rough-node
+# threshold is set so only the DEM's modulo-wrap cliffs qualify.
+ROUGH_TRI = 4000
+_TRI_FIELDS = ["n_valid8", "n_void_adj8", "sum_tri", "n_rough"]
+_TRI_SCHEMA = T.StructType(
+    [T.StructField("tile_key", T.StringType(), False),
+     T.StructField("n_valid8", T.LongType(), False),
+     T.StructField("n_void_adj8", T.LongType(), False),
+     T.StructField("sum_tri", T.LongType(), False),
+     T.StructField("max_tri", T.LongType(), True),
+     T.StructField("n_rough", T.LongType(), False)])
+
 
 def tile_terrain_stats(tiles: DataFrame,
                        steep_threshold2: int = STEEP_SLOPE2,
-                       aspect: bool = True) -> DataFrame:
+                       aspect: bool = True, tri: bool = False) -> DataFrame:
     """Per-tile slope statistics AND 8-way aspect histogram in ONE decode
     pass (VERDICT r5 #5: the r5 slope and aspect operators each decoded
     every tile from scratch — two full gunzip/PNG-unfilter raster passes
@@ -117,10 +130,23 @@ def tile_terrain_stats(tiles: DataFrame,
     family's reductions — the r6 bench measured the aspect half at
     roughly the slope half's cost (~12 extra 13M-element boolean
     reductions per SRTM1 tile), so "costs ~nothing" held only for the
-    decode+stencil, not the sums."""
+    decode+stencil, not the sums.
 
-    def gen_factory(aspect_on: bool):
-        schema = _TERRAIN_SCHEMA if aspect_on else _SLOPE_SCHEMA
+    ``tri=True`` (r6) adds the Terrain Ruggedness Index family under the
+    SAME decode: per interior node TRI = sum of |z_neighbour - z_centre|
+    over all 8 neighbours, excluded when ANY of the 3x3 cells is void
+    (the 8-neighbour stencil sees more voids than the 5-point one, hence
+    the separate n_valid8/n_void_adj8 counts).  Gated off by default for
+    the same reason as aspect: eight |diff| reductions per tile."""
+
+    def gen_factory(aspect_on: bool, tri_on: bool):
+        fields = list(_SLOPE_SCHEMA.fields)
+        if aspect_on:
+            fields += [f for f in _TERRAIN_SCHEMA.fields
+                       if f.name in _ASPECT_FIELDS]
+        if tri_on:
+            fields += _TRI_SCHEMA.fields[1:]
+        schema = T.StructType(fields)
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -158,11 +184,34 @@ def tile_terrain_stats(tiles: DataFrame,
                         out["h_nw"].append(int((diag & (dx < 0) & (dy > 0)).sum()))
                         out["h_se"].append(int((diag & (dx > 0) & (dy < 0)).sum()))
                         out["h_sw"].append(int((diag & (dx < 0) & (dy < 0)).sum()))
+                    if tri_on:
+                        void8 = np.zeros_like(valid)
+                        for dr in (0, 1, 2):
+                            for dc in (0, 1, 2):
+                                void8 |= void[dr:dr + valid.shape[0],
+                                              dc:dc + valid.shape[1]]
+                        valid8 = ~void8
+                        zc = z[1:-1, 1:-1][valid8]
+                        tri8 = np.zeros_like(zc)
+                        for dr in (0, 1, 2):
+                            for dc in (0, 1, 2):
+                                if dr == 1 and dc == 1:
+                                    continue
+                                tri8 += np.abs(
+                                    z[dr:dr + valid.shape[0],
+                                      dc:dc + valid.shape[1]][valid8] - zc)
+                        n_valid8 = int(zc.size)
+                        out["n_valid8"].append(n_valid8)
+                        out["n_void_adj8"].append(int(valid.size - n_valid8))
+                        out["sum_tri"].append(int(tri8.sum()))
+                        out["max_tri"].append(
+                            int(tri8.max()) if n_valid8 else None)
+                        out["n_rough"].append(int((tri8 > ROUGH_TRI).sum()))
                 yield pd.DataFrame(out)
 
         return gen, schema
 
-    gen, schema = gen_factory(aspect)
+    gen, schema = gen_factory(aspect, tri)
     return (tiles.select("tile_key", "encoding", "data")
             .mapInPandas(gen, schema))
 
@@ -173,6 +222,15 @@ def tile_slope_stats(tiles: DataFrame,
     decode+stencil kernel with the aspect sums GATED OFF; callers wanting
     BOTH families use tile_terrain_stats directly and pay ONE decode."""
     return tile_terrain_stats(tiles, steep_threshold2, aspect=False)
+
+
+def tile_tri_stats(tiles: DataFrame) -> DataFrame:
+    """Terrain-Ruggedness-Index view of the fused kernel (r6): slope
+    fields + the 8-neighbour |dz| sums in one decode pass, aspect sums
+    gated off.  TRI excludes a node when ANY 3x3 cell is void, so its
+    valid/void counts differ from the 5-point slope stencil's on the
+    same tile — both are emitted for exactly that contrast."""
+    return tile_terrain_stats(tiles, aspect=False, tri=True)
 
 
 def tile_aspect_hist(tiles: DataFrame) -> DataFrame:

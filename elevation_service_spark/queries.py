@@ -555,6 +555,7 @@ _DEMOTED = [
     # lead the r7 rotation — the head is full, per the standing discipline
     # that new capabilities queue at the FRONT of the tail)
     "tile_terrain",      # new r6: fused slope+aspect, ONE decode pass
+    "tile_tri",          # new r6: terrain-ruggedness family, same decode
     "polygon_stats",     # new r6: integer-shoelace geometry audit
     "tile_pyramid",      # new r6: block-max overview pyramid, one decode
     "robots_filter",     # new r6: REP longest-match crawl filtering

@@ -139,6 +139,50 @@ SELECT tile_key,
 FROM g GROUP BY tile_key"""
 
 
+def q_tile_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terrain Ruggedness Index (r6): per-tile sums of the 8-neighbour
+    |dz| stencil, fused into the SAME decode pass as the slope stats
+    (aspect gated off).  TRI's 3x3 void exclusion is stricter than the
+    slope's 5-point one, so the oracle derives a second, different
+    valid/void split for the same planted void node — both splits land
+    under one hash."""
+    from .operators.raster import tile_tri_stats
+    return tile_tri_stats(fixture_tiles_df(spark))
+
+
+def _tile_tri_oracle() -> str:
+    from .operators.raster import ROUGH_TRI
+    tiles = ", ".join(f"('{t[0]}', {t[1]}, {t[2]}, {t[3]})"
+                      for t in fixtures.FIXTURE_TILES)
+    vr, vc = fixtures.VOID_NODE
+    terms = " + ".join(
+        f"abs((((gr0 + r + {dr}) * 31 + (gc0 + c + {dc}) * 17) % 2000) - zc)"
+        for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+        if not (dr == 0 and dc == 0))
+    return f"""WITH s AS ({_tile_slope_oracle()}),
+t(tile_key, sw_lat, sw_lon, size) AS (VALUES {tiles}),
+rr AS (SELECT *, unnest(range(1, size - 1)) AS r FROM t),
+rc AS (SELECT *, unnest(range(1, size - 1)) AS c FROM rr),
+zz AS (SELECT tile_key, r, c,
+  (abs(r - {vr}) <= 1 AND abs(c - {vc}) <= 1) AS void_adj8,
+  (sw_lat + 90) * (size - 1) AS gr0, (sw_lon + 180) * (size - 1) AS gc0,
+  (((sw_lat + 90) * (size - 1) + r) * 31
+   + ((sw_lon + 180) * (size - 1) + c) * 17) % 2000 AS zc
+  FROM rc),
+g AS (SELECT tile_key, void_adj8, {terms} AS tri FROM zz),
+tr AS (SELECT tile_key,
+  CAST(count(*) FILTER (WHERE NOT void_adj8) AS BIGINT) AS n_valid8,
+  CAST(count(*) FILTER (WHERE void_adj8) AS BIGINT) AS n_void_adj8,
+  CAST(coalesce(sum(tri) FILTER (WHERE NOT void_adj8), 0) AS BIGINT)
+    AS sum_tri,
+  CAST(max(tri) FILTER (WHERE NOT void_adj8) AS BIGINT) AS max_tri,
+  CAST(count(*) FILTER (WHERE NOT void_adj8 AND tri > {ROUGH_TRI})
+    AS BIGINT) AS n_rough
+  FROM g GROUP BY tile_key)
+SELECT s.*, tr.n_valid8, tr.n_void_adj8, tr.sum_tri, tr.max_tri, tr.n_rough
+FROM s JOIN tr USING (tile_key)"""
+
+
 def q_tile_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused slope + aspect in ONE decode pass (r6, VERDICT r5 #5): the
     combined schema a terrain pipeline actually wants — paying the
@@ -322,6 +366,7 @@ SPARK_QUERIES = {
     "tile_slope": q_tile_slope,
     "tile_aspect": q_tile_aspect,
     "tile_terrain": q_tile_terrain,
+    "tile_tri": q_tile_tri,
     "tile_pyramid": q_tile_pyramid,
     "tile_mosaic": q_tile_mosaic,
     "resumable_enrich": q_resumable_enrich,
@@ -331,6 +376,7 @@ ORACLES = {
     "tile_slope": _tile_slope_oracle(),
     "tile_aspect": _tile_aspect_oracle(),
     "tile_terrain": _tile_terrain_oracle(),
+    "tile_tri": _tile_tri_oracle(),
     "tile_pyramid": _tile_pyramid_oracle(),
     "tile_mosaic": _tile_mosaic_oracle(),
     "resumable_enrich": _BILINEAR_ORACLE,

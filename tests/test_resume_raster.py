@@ -403,6 +403,61 @@ def test_tile_aspect_hist_semantics(spark):
         assert total == srows[k]["n_valid"], k
 
 
+def test_tile_tri_stats_semantics(spark):
+    """r6 Terrain Ruggedness Index: hand-computed TRI on a linear ramp
+    (every 8-neighbour |dz| is |3dr + 5dc|), the stricter 3x3 void
+    exclusion (9 centres vs the slope stencil's 5), and a direct numpy
+    recomputation on a fixture tile — all from the ONE fused decode."""
+    import numpy as np
+
+    from elevation_service_spark import fixtures, kernels
+    from elevation_service_spark.operators.raster import (tile_terrain_stats,
+                                                          tile_tri_stats)
+
+    size = 8
+    # z = 3r + 5c -> per-node TRI = 3+3+5+5+8+8+2+2 = 36
+    grid = (3 * np.arange(size)[:, None]
+            + 5 * np.arange(size)[None, :]).astype(np.int16)
+    grid[3, 3] = kernels.VOID
+    tiles = spark.createDataFrame(
+        [("T", 0, 0, "terrarium-png",
+          bytearray(kernels.encode_terrarium_png(grid)))],
+        "tile_key string, sw_lat int, sw_lon int, encoding string, data binary")
+    row = tile_tri_stats(tiles).collect()[0]
+    n_int = (size - 2) ** 2
+    # 3x3 exclusion: all 9 centres around the void are interior here
+    assert row["n_void_adj8"] == 9 and row["n_valid8"] == n_int - 9
+    # slope fields ride along in the same pass, 5-point exclusion intact
+    assert row["n_void_adj"] == 5 and row["n_valid"] == n_int - 5
+    assert row["max_tri"] == 36
+    assert row["sum_tri"] == 36 * (n_int - 9)
+    assert row["n_rough"] == 0
+    plan = tile_tri_stats(tiles)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # fixture tile: direct numpy recomputation of the 8-neighbour sums
+    g = fixtures.tile_grid(57, 11, 1201).astype(np.int64)
+    void = g == kernels.VOID
+    v8 = np.zeros((1199, 1199), dtype=bool)
+    for dr in (0, 1, 2):
+        for dc in (0, 1, 2):
+            v8 |= void[dr:dr + 1199, dc:dc + 1199]
+    zc = g[1:-1, 1:-1]
+    tri = np.zeros_like(zc)
+    for dr in (0, 1, 2):
+        for dc in (0, 1, 2):
+            if (dr, dc) != (1, 1):
+                tri += np.abs(g[dr:dr + 1199, dc:dc + 1199] - zc)
+    tri = tri[~v8]
+    from elevation_service_spark.sources.tiles import fixture_tiles_df
+    full = {r["tile_key"]: r for r in tile_terrain_stats(
+        fixture_tiles_df(spark), tri=True).collect()}
+    r = full["N57E011"]
+    assert (r["sum_tri"], r["max_tri"]) == (int(tri.sum()), int(tri.max()))
+    assert r["n_void_adj8"] == int(v8.sum())
+    # full fused schema carries all three families at once
+    assert "h_ne" in r.asDict() and "sum_slope2" in r.asDict()
+
+
 def test_tile_pyramid_roundtrip_and_voids(spark):
     """Materialized overview tiles decode back to the iterated block-max
     of the base grid (odd-size ceil-halving included), and the crafted
