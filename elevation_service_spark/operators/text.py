@@ -542,3 +542,56 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id",
         red = F.regexp_replace(red, pat, token)
     return docs.select(F.col(id_col).alias("id"),
                        red.alias("text_redacted"), *counts)
+
+
+def robust_outliers(docs: DataFrame, group_col: str = "source",
+                    val_col: str = "n_chars", id_col: str = "doc_id",
+                    c: int = 5) -> DataFrame:
+    """(id, group, val, med, mad, is_outlier) — per-group robust outlier
+    detection by median / MAD (median absolute deviation), the curation
+    primitive that survives the heavy-tailed length/score distributions
+    where mean/stddev fences collapse (one 100 MB document drags a
+    stddev fence past every other outlier; it moves a median by one
+    rank).
+
+    Exactness: both statistics are type-1 SELECTION quantiles — the
+    element at rank ceil(n/2) under (value, id) order — so every number
+    here is an input integer; the fence compare ``|x - med| > c * mad``
+    is pure int64 and the DuckDB oracle replays it bit-for-bit
+    (interpolated medians differ in ULPs across engines; selection
+    cannot — the value_quantiles rule).
+
+    Shape: two ordered passes over the group (rank for the median, rank
+    for the MAD — MAD is a quantile OF deviations from the first
+    quantile, so a second ordered pass is inherent to the statistic),
+    each a key-partitioned window followed by a group-sized aggregate
+    joined back.  Both windows shuffle on the SAME key.  A pathological
+    group concentrates one task per pass — the stratified_sample
+    two-phase note applies verbatim if a real corpus has one dominant
+    source."""
+    from pyspark.sql import Window
+    g, v, i = F.col(group_col), F.col(val_col).cast("long"), F.col(id_col)
+    base = docs.select(i.alias("id"), g.alias("grp"), v.alias("val"))
+    w1 = Window.partitionBy("grp").orderBy(F.col("val").asc(),
+                                           F.col("id").asc())
+    ranked = base.withColumn("_rn", F.row_number().over(w1)) \
+                 .withColumn("_n", F.count(F.lit(1)).over(
+                     Window.partitionBy("grp")))
+    med = (ranked.groupBy("grp")
+           .agg(F.max(F.when(F.col("_rn") == F.ceil(F.col("_n") * 0.5),
+                             F.col("val"))).alias("med")))
+    dev = (base.join(F.broadcast(med), "grp")
+           .withColumn("dev", F.abs(F.col("val") - F.col("med"))))
+    w2 = Window.partitionBy("grp").orderBy(F.col("dev").asc(),
+                                           F.col("id").asc())
+    dranked = dev.withColumn("_rn", F.row_number().over(w2)) \
+                 .withColumn("_n", F.count(F.lit(1)).over(
+                     Window.partitionBy("grp")))
+    mad = (dranked.groupBy("grp")
+           .agg(F.max(F.when(F.col("_rn") == F.ceil(F.col("_n") * 0.5),
+                             F.col("dev"))).alias("mad")))
+    return (dev.join(F.broadcast(mad), "grp")
+            .select("id", F.col("grp").alias(group_col),
+                    F.col("val"), "med", "mad",
+                    (F.col("dev") > F.lit(int(c)) * F.col("mad"))
+                    .alias("is_outlier")))

@@ -571,6 +571,8 @@ _DEMOTED = [
     "hll_registers",     # new r6: gateable HLL register table, <=2^p rows
     "perceptron_quality",  # new r6: exact-integer batch-perceptron training
     "triangle_count",    # new r6: degree-ordered exact triangle census
+    "events_pivot",      # new r6: explicit-values PIVOT, one exchange
+    "source_outliers",   # new r6: median/MAD robust curation fence
 ]
 
 

@@ -420,6 +420,100 @@ SELECT event_type, CAST(max(n) AS BIGINT) AS n,
 FROM r GROUP BY event_type"""
 
 
+# --- per-source robust outliers (r6) -----------------------------------------
+# every 97th doc gets +5000 chars so the outlier class is live at every SF
+_OUTLIER_VAL_SQL = ("n_chars + CASE WHEN doc_id % 97 = 0 "
+                    "THEN 5000 ELSE 0 END")
+
+
+def q_source_outliers(spark, sf_dir):
+    """Per-source robust outlier detection (r6): median/MAD fence over
+    document length — the curation filter that drops the one pathological
+    page without a distribution assumption.  Both statistics are type-1
+    selection quantiles, the fence is pure int64."""
+    from .operators.text import robust_outliers
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_OUTLIER_VAL_SQL).alias("v"))
+    return robust_outliers(docs, "source", "v", "doc_id", c=5)
+
+
+_SOURCE_OUTLIERS_ORACLE = f"""WITH d AS (
+  SELECT doc_id AS id, source AS grp,
+         CAST({_OUTLIER_VAL_SQL} AS BIGINT) AS val
+  FROM documents),
+r1 AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY val, id) AS rn,
+              count(*) OVER (PARTITION BY grp) AS n FROM d),
+med AS (SELECT grp, max(CASE WHEN rn = ceil(n * 0.5) THEN val END) AS med
+        FROM r1 GROUP BY grp),
+dv AS (SELECT d.id, d.grp, d.val, med.med,
+              abs(d.val - med.med) AS dev
+       FROM d JOIN med USING (grp)),
+r2 AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY dev, id) AS rn,
+              count(*) OVER (PARTITION BY grp) AS n FROM dv),
+mad AS (SELECT grp, max(CASE WHEN rn = ceil(n * 0.5) THEN dev END) AS mad
+        FROM r2 GROUP BY grp)
+SELECT dv.id, dv.grp AS source, dv.val, dv.med, mad.mad,
+       dv.dev > 5 * mad.mad AS is_outlier
+FROM dv JOIN mad USING (grp)"""
+
+
+# --- relational PIVOT (r6) ---------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(spark, sf_dir):
+    """Relational PIVOT (r6): per-user event-type matrix — count + exact
+    milli-quantized value sum per type, one column pair per type.  The
+    pivot VALUES are passed explicitly: without them Spark runs an extra
+    distinct-scan job over the whole input to discover the domain before
+    it can even plan — at 100 TB that is a full second pass, and the
+    column set would silently drift with the data.  With the literal list
+    the pivot is ONE map-side-combinable groupBy (partial aggregation of
+    5x2 cells per user on the map side, one exchange on user_id).
+
+    Physical form: conditional aggregation (sum of CASE per cell), NOT
+    `DataFrame.pivot` — measured on this plan, native pivot compiles to
+    TWO exchanges (partial (user,type) agg, then a pivotfirst re-agg on
+    user) while the CASE form is a single map-side-combined
+    HashAggregate + ONE exchange carrying one already-partial row per
+    user.  Same result, one fewer stage barrier.
+
+    Empty cells: sum(CASE ...) yields NULL for a (user, type) pair with
+    no rows; both engines coalesce to 0 so absence is a value, not a
+    hole."""
+    e = load(spark, sf_dir, "events")
+    mv = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+    base = e.select("user_id", "event_type", mv.alias("mv"))
+    aggs = []
+    for t in EVENT_TYPES:
+        hit = F.col("event_type") == t
+        aggs.append(F.coalesce(F.sum(F.when(hit, F.lit(1))), F.lit(0))
+                    .cast("long").alias(f"{t}_n"))
+        aggs.append(F.coalesce(F.sum(F.when(hit, F.col("mv"))), F.lit(0))
+                    .cast("long").alias(f"{t}_mv"))
+    return base.groupBy("user_id").agg(*aggs)
+
+
+def _events_pivot_oracle() -> str:
+    cells = []
+    for t in EVENT_TYPES:
+        cells.append(
+            f"CAST(coalesce(sum(CASE WHEN event_type = '{t}' THEN 1 END), 0)"
+            f" AS BIGINT) AS {t}_n")
+        cells.append(
+            f"CAST(coalesce(sum(CASE WHEN event_type = '{t}' THEN mv END), 0)"
+            f" AS BIGINT) AS {t}_mv")
+    body = ",\n  ".join(cells)
+    return f"""WITH e AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mv
+  FROM events)
+SELECT user_id,
+  {body}
+FROM e GROUP BY user_id"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min gap) via lag + cumulative flag —
     the batch equivalent of a streaming session window."""
@@ -473,6 +567,8 @@ SPARK_QUERIES = {
     "sessionize": q_sessionize,
     "props_rollup": q_props_rollup,
     "value_quantiles": q_value_quantiles,
+    "events_pivot": q_events_pivot,
+    "source_outliers": q_source_outliers,
 }
 
 ORACLES = {
@@ -496,6 +592,8 @@ ORACLES = {
     "sessionize": _SESSIONIZE_ORACLE,
     "props_rollup": _PROPS_ROLLUP_ORACLE,
     "value_quantiles": _VALUE_QUANTILES_ORACLE,
+    "events_pivot": _events_pivot_oracle(),
+    "source_outliers": _SOURCE_OUTLIERS_ORACLE,
 }
 
 
