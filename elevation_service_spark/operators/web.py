@@ -120,6 +120,41 @@ def domain_rollup(pages: DataFrame, url_col: str = "url",
                  F.countDistinct("url_norm").alias("n_urls")))
 
 
+HREF_REGEX = 'href="([^"]+)"'
+
+
+def extract_links(pages: DataFrame, html_col: str = "html",
+                  src_host_col: str = "src_host") -> DataFrame:
+    """(src_host, url, dst_host) — one row per hyperlink in the corpus:
+    every href attribute extracted, canonicalized through the SAME
+    url_normalize as the crawl dedup (case, www., :80, utm_*, fragment,
+    trailing slash — so http://WWW.X.com:80/a#f and https://x.com/a land
+    on one node), host taken as the graph node id.
+
+    This is the crawl-structure extraction pass that feeds pagerank /
+    triangle_count with a REAL edge list instead of a synthetic rule
+    graph.  Pure Column regexp_extract_all + ONE generator (explode) —
+    scan-shaped, zero shuffle, codegen end-to-end."""
+    urls = F.regexp_extract_all(F.col(html_col), F.lit(HREF_REGEX), F.lit(1))
+    return (pages.select(F.col(src_host_col).alias("src_host"),
+                         F.explode(urls).alias("url"))
+            .select("src_host", "url",
+                    url_host(url_normalize(F.col("url"))).alias("dst_host")))
+
+
+def link_graph(pages: DataFrame, html_col: str = "html",
+               src_host_col: str = "src_host") -> DataFrame:
+    """(src_host, dst_host, n_links) — the host-level web link graph with
+    edge multiplicities: extract_links collapsed by endpoint pair.  Self
+    links are kept (they are real and downstream graph ops decide).  One
+    map-side-combined aggregation — the partial agg collapses a host's
+    repeated links before the exchange, so shuffle volume is bounded by
+    the DISTINCT edge set, not the link count."""
+    e = extract_links(pages, html_col, src_host_col)
+    return (e.groupBy("src_host", "dst_host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_links")))
+
+
 # --- robots-rules crawl filtering (r6) ---------------------------------------
 
 def parse_robots(robots: DataFrame, host_col: str = "host",

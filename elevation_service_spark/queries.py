@@ -573,6 +573,8 @@ _DEMOTED = [
     "triangle_count",    # new r6: degree-ordered exact triangle census
     "events_pivot",      # new r6: explicit-values PIVOT, one exchange
     "source_outliers",   # new r6: median/MAD robust curation fence
+    "link_graph",        # new r6: href extraction -> host edge list
+    "tile_flowdir",      # new r6: D8 steepest-descent histogram, fused decode
 ]
 
 

@@ -183,6 +183,56 @@ SELECT s.*, tr.n_valid8, tr.n_void_adj8, tr.sum_tri, tr.max_tri, tr.n_rough
 FROM s JOIN tr USING (tile_key)"""
 
 
+def q_tile_flowdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow-direction histogram (r6): per-tile counts of the
+    steepest-descent direction (8 ways + pits) from unweighted integer
+    drops, fused into the same one-decode terrain kernel.  The oracle
+    replays every node's 8 drops closed-form, takes GREATEST, and applies
+    the identical clockwise-from-East first-max tie rule as a CASE
+    chain."""
+    from .operators.raster import tile_flowdir_stats
+    return tile_flowdir_stats(fixture_tiles_df(spark))
+
+
+def _tile_flowdir_oracle() -> str:
+    from .operators.raster import _FLOW_DIRS
+    tiles = ", ".join(f"('{t[0]}', {t[1]}, {t[2]}, {t[3]})"
+                      for t in fixtures.FIXTURE_TILES)
+    vr, vc = fixtures.VOID_NODE
+    drops = ",\n  ".join(
+        f"zc - (((gr0 + r + {dr}) * 31 + (gc0 + c + {dc}) * 17) % 2000)"
+        f" AS d_{name[2:]}" for name, dr, dc in _FLOW_DIRS)
+    mx = "greatest(" + ", ".join(f"d_{n[2:]}" for n, _, _ in _FLOW_DIRS) + ")"
+    dir_case = ("CASE WHEN mx <= 0 THEN 'pit' "
+                + " ".join(f"WHEN d_{n[2:]} = mx THEN '{n}'"
+                           for n, _, _ in _FLOW_DIRS) + " END")
+    counts = ",\n  ".join(
+        [f"CAST(count(*) FILTER (WHERE dir = 'pit') AS BIGINT) AS n_pit"]
+        + [f"CAST(count(*) FILTER (WHERE dir = '{n}') AS BIGINT) AS {n}"
+           for n, _, _ in _FLOW_DIRS])
+    return f"""WITH s AS ({_tile_slope_oracle()}),
+t(tile_key, sw_lat, sw_lon, size) AS (VALUES {tiles}),
+rr AS (SELECT *, unnest(range(1, size - 1)) AS r FROM t),
+rc AS (SELECT *, unnest(range(1, size - 1)) AS c FROM rr),
+zz AS (SELECT tile_key, r, c,
+  (abs(r - {vr}) <= 1 AND abs(c - {vc}) <= 1) AS void_adj8,
+  (sw_lat + 90) * (size - 1) AS gr0, (sw_lon + 180) * (size - 1) AS gc0,
+  (((sw_lat + 90) * (size - 1) + r) * 31
+   + ((sw_lon + 180) * (size - 1) + c) * 17) % 2000 AS zc
+  FROM rc),
+g AS (SELECT tile_key,
+  {drops}
+  FROM zz WHERE NOT void_adj8),
+m AS (SELECT *, {mx} AS mx FROM g),
+f AS (SELECT tile_key, {dir_case} AS dir FROM m),
+fr AS (SELECT tile_key,
+  {counts}
+  FROM f GROUP BY tile_key)
+SELECT s.*, fr.n_pit, fr.f_e, fr.f_se, fr.f_s, fr.f_sw,
+       fr.f_w, fr.f_nw, fr.f_n, fr.f_ne
+FROM s JOIN fr USING (tile_key)"""
+
+
 def q_tile_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused slope + aspect in ONE decode pass (r6, VERDICT r5 #5): the
     combined schema a terrain pipeline actually wants — paying the
@@ -367,6 +417,7 @@ SPARK_QUERIES = {
     "tile_aspect": q_tile_aspect,
     "tile_terrain": q_tile_terrain,
     "tile_tri": q_tile_tri,
+    "tile_flowdir": q_tile_flowdir,
     "tile_pyramid": q_tile_pyramid,
     "tile_mosaic": q_tile_mosaic,
     "resumable_enrich": q_resumable_enrich,
@@ -377,6 +428,7 @@ ORACLES = {
     "tile_aspect": _tile_aspect_oracle(),
     "tile_terrain": _tile_terrain_oracle(),
     "tile_tri": _tile_tri_oracle(),
+    "tile_flowdir": _tile_flowdir_oracle(),
     "tile_pyramid": _tile_pyramid_oracle(),
     "tile_mosaic": _tile_mosaic_oracle(),
     "resumable_enrich": _BILINEAR_ORACLE,

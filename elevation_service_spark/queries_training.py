@@ -1723,6 +1723,48 @@ SELECT {_URL_DOMAIN_SQL} AS domain,
 FROM h GROUP BY 1"""
 
 
+# --- host-level link graph (r6) ----------------------------------------------
+# deterministic html-ish bodies: every doc carries two hrefs (one clean,
+# one messy spelling that must canonicalize — upper-case scheme/host, www.,
+# fragment) and every 3rd doc a third with a sole utm_ param; 40 hosts make
+# a dense multigraph with live self-links at every SF
+_LINKS_BODY_SQL = """'<p><a href="http://site'
+|| CAST((doc_id * 31 + 1) % 40 AS STRING) || '.example/a/'
+|| CAST(doc_id % 17 AS STRING) || '">l1</a> <a href="HTTPS://WWW.Site'
+|| CAST((doc_id * 7 + 3) % 40 AS STRING) || '.Example/b/'
+|| CAST(doc_id % 11 AS STRING) || '#f">l2</a>'
+|| CASE WHEN doc_id % 3 = 0 THEN ' <a href="http://site'
+|| CAST((doc_id * 13 + 5) % 40 AS STRING)
+|| '.example/c?utm_source=x">l3</a>' ELSE '' END || '</p>'"""
+
+_SRC_HOST_SQL = "'site' || CAST(doc_id % 40 AS STRING) || '.example'"
+
+
+def q_link_graph(spark, sf_dir):
+    """Host-level link-graph extraction (r6): every href in the corpus →
+    canonicalize → (src_host, dst_host, n_links) edge list — the
+    crawl-structure pass that feeds PageRank / triangle counting with a
+    real graph.  Scan-shaped extraction + one map-side-combined
+    aggregation bounded by the distinct edge set."""
+    from .operators.web import link_graph
+    pages = load(spark, sf_dir, "documents").select(
+        F.expr(_SRC_HOST_SQL).alias("src_host"),
+        F.expr(_LINKS_BODY_SQL).alias("html"))
+    return link_graph(pages)
+
+
+_LINK_GRAPH_ORACLE = f"""WITH d AS (
+  SELECT {_SRC_HOST_SQL} AS src_host, {_LINKS_BODY_SQL} AS html
+  FROM documents),
+x AS (SELECT src_host,
+             unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS url
+      FROM d),
+n AS (SELECT src_host, {_URL_NORM_SQL} AS url_norm FROM x),
+h AS (SELECT src_host, {_URL_HOST_SQL} AS dst_host FROM n)
+SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+FROM h GROUP BY 1, 2"""
+
+
 def q_bigram_lm(spark, sf_dir):
     """Count-based bigram LM quality scoring (r5): corpus-trained bigram /
     context counts, each doc scored as the exact integer micro-sum of its
@@ -1946,7 +1988,8 @@ SPARK_QUERIES.update({"url_canonical": q_url_canonical,
                       "inverted_index": q_inverted_index,
                       "bm25_topk": q_bm25_topk,
                       "pii_redact": q_pii_redact,
-                      "bigram_lm": q_bigram_lm})
+                      "bigram_lm": q_bigram_lm,
+                      "link_graph": q_link_graph})
 ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
                 "url_dedup": _URL_DEDUP_ORACLE,
                 "domain_rollup": _DOMAIN_ROLLUP_ORACLE,
@@ -1955,7 +1998,8 @@ ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
                 "inverted_index": _INVERTED_INDEX_ORACLE,
                 "bm25_topk": _BM25_ORACLE,
                 "pii_redact": _pii_oracle(),
-                "bigram_lm": _BIGRAM_LM_ORACLE})
+                "bigram_lm": _BIGRAM_LM_ORACLE,
+                "link_graph": _LINK_GRAPH_ORACLE})
 
 
 # --- stratified (class-balanced) sampling (r5) -------------------------------

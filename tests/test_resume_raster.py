@@ -458,6 +458,78 @@ def test_tile_tri_stats_semantics(spark):
     assert "h_ne" in r.asDict() and "sum_slope2" in r.asDict()
 
 
+def test_tile_flowdir_stats_semantics(spark):
+    """r6 D8 flow direction: hand-computed steepest descent on a linear
+    ramp, the clockwise-from-East tie rule on a pure-E ramp (SW beats W
+    and NW at equal unweighted drop), pits on a flat grid, the 3x3 void
+    exclusion shared with TRI, and a direct numpy recomputation on a
+    fixture tile — all from the ONE fused decode."""
+    import numpy as np
+
+    from elevation_service_spark import fixtures, kernels
+    from elevation_service_spark.operators.raster import (_FLOW_DIRS,
+                                                          tile_flowdir_stats)
+
+    size = 8
+    n_int = (size - 2) ** 2
+
+    def run(grid):
+        tiles = spark.createDataFrame(
+            [("T", 0, 0, "terrarium-png",
+              bytearray(kernels.encode_terrarium_png(
+                  grid.astype(np.int16))))],
+            "tile_key string, sw_lat int, sw_lon int, encoding string, data binary")
+        return tile_flowdir_stats(tiles).collect()[0]
+
+    # z = 3r + 5c -> unique steepest drop 8 toward (dr,dc)=(-1,-1) = SW
+    r = run(3 * np.arange(size)[:, None] + 5 * np.arange(size)[None, :]
+            + np.zeros((size, size)))
+    assert r["f_sw"] == n_int and r["n_pit"] == 0
+    # pure E ramp z = 5c: drop 5 ties across SW/W/NW; clockwise-from-East
+    # priority (E,SE,S,SW,W,NW,N,NE) picks SW first
+    r = run(5 * np.arange(size)[None, :] * np.ones((size, 1)))
+    assert r["f_sw"] == n_int and r["f_w"] == 0 and r["f_nw"] == 0
+    # flat grid -> every interior node is a pit
+    r = run(np.full((size, size), 7.0))
+    assert r["n_pit"] == n_int and sum(r[n] for n, _, _ in _FLOW_DIRS) == 0
+    # void: 3x3 exclusion, remaining counts partition n_valid8
+    grid = (3 * np.arange(size)[:, None] + 5 * np.arange(size)[None, :]
+            + np.zeros((size, size))).astype(np.int16)
+    grid[3, 3] = kernels.VOID
+    r = run(grid)
+    assert (r["n_pit"] + sum(r[n] for n, _, _ in _FLOW_DIRS)
+            == n_int - 9)
+    # slope fields ride along in the same pass
+    assert r["n_void_adj"] == 5 and r["n_valid"] == n_int - 5
+    plan = (tile_flowdir_stats(spark.createDataFrame(
+        [("T", 0, 0, "terrarium-png",
+          bytearray(kernels.encode_terrarium_png(grid)))],
+        "tile_key string, sw_lat int, sw_lon int, encoding string, data binary"))
+        ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    # fixture tile: direct numpy recomputation of the D8 histogram
+    g = fixtures.tile_grid(57, 11, 1201).astype(np.int64)
+    void = g == kernels.VOID
+    n = 1199
+    v8 = np.zeros((n, n), dtype=bool)
+    for dr in (0, 1, 2):
+        for dc in (0, 1, 2):
+            v8 |= void[dr:dr + n, dc:dc + n]
+    zc = g[1:-1, 1:-1][~v8]
+    drops = np.stack([zc - g[1 + dr:1 + dr + n, 1 + dc:1 + dc + n][~v8]
+                      for _, dr, dc in _FLOW_DIRS])
+    best = drops.max(axis=0)
+    code = drops.argmax(axis=0)
+    pit = best <= 0
+    from elevation_service_spark.sources.tiles import fixture_tiles_df
+    full = {x["tile_key"]: x for x in
+            tile_flowdir_stats(fixture_tiles_df(spark)).collect()}
+    row = full["N57E011"]
+    assert row["n_pit"] == int(pit.sum())
+    for k, (name, _, _) in enumerate(_FLOW_DIRS):
+        assert row[name] == int(((code == k) & ~pit).sum()), name
+
+
 def test_tile_pyramid_roundtrip_and_voids(spark):
     """Materialized overview tiles decode back to the iterated block-max
     of the base grid (odd-size ceil-halving included), and the crafted
