@@ -575,6 +575,7 @@ _DEMOTED = [
     "source_outliers",   # new r6: median/MAD robust curation fence
     "link_graph",        # new r6: href extraction -> host edge list
     "tile_flowdir",      # new r6: D8 steepest-descent histogram, fused decode
+    "bpe_merges",        # new r6: distributed BPE tokenizer training
 ]
 
 

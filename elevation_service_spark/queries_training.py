@@ -1793,6 +1793,54 @@ SELECT t.id,
 FROM (SELECT DISTINCT id FROM t) t LEFT JOIN d USING (id)"""
 
 
+# --- distributed BPE vocabulary training (r6) --------------------------------
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (r6): lowercase ascii-run words
+    -> one corpus scan for the Zipf-bounded word-frequency table -> six
+    merge rounds, each ONE vocabulary-sized pair aggregate + a pure
+    Column greedy left-fold rewrite, ONE (a, b) row of driver state per
+    round.  Returns the ranked merge table (merge_rank, a, b, n) — the
+    artifact a BPE trainer actually ships.  The oracle replays the whole
+    trajectory as chained CTEs: DuckDB list_reduce runs the identical
+    greedy automaton as Spark's aggregate HOF."""
+    from .operators.bpe import bpe_train
+    return bpe_train(load(spark, sf_dir, "documents"))
+
+
+def _bpe_oracle(n_merges: int | None = None) -> str:
+    from .operators.bpe import BPE_MERGES
+    n = int(n_merges or BPE_MERGES)
+    ctes = ["""wt AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents)""",
+            """w0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS c,
+         regexp_extract_all(word, '.') AS toks
+  FROM wt GROUP BY word)"""]
+    for r in range(1, n + 1):
+        ctes.append(
+            f"p{r} AS (SELECT c, toks, unnest(range(1, len(toks))) AS i "
+            f"FROM w{r - 1})")
+        ctes.append(
+            f"a{r} AS (SELECT toks[i] AS a, toks[i + 1] AS b, "
+            f"CAST(sum(c) AS BIGINT) AS n FROM p{r} GROUP BY 1, 2)")
+        ctes.append(
+            f"b{r} AS (SELECT a, b, n FROM a{r} "
+            f"ORDER BY n DESC, a, b LIMIT 1)")
+        if r < n:  # greedy left-fold rewrite feeding the next round
+            ctes.append(
+                f"w{r} AS (SELECT c, list_reduce("
+                "list_transform(toks, x -> [x]), "
+                f"(acc, x) -> CASE WHEN acc[-1] = b{r}.a AND x[1] = b{r}.b "
+                f"THEN acc[:-2] || [b{r}.a || b{r}.b] "
+                f"ELSE acc || x END) AS toks FROM w{r - 1}, b{r})")
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank, a, b, n FROM b{r}"
+        for r in range(1, n + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 def q_robots_filter(spark, sf_dir):
     """Robots-rules crawl filter (r6): synthetic robots.txt bodies per
     host -> parse_robots line rules -> REP longest-match verdict per URL
@@ -1989,7 +2037,8 @@ SPARK_QUERIES.update({"url_canonical": q_url_canonical,
                       "bm25_topk": q_bm25_topk,
                       "pii_redact": q_pii_redact,
                       "bigram_lm": q_bigram_lm,
-                      "link_graph": q_link_graph})
+                      "link_graph": q_link_graph,
+                      "bpe_merges": q_bpe_merges})
 ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
                 "url_dedup": _URL_DEDUP_ORACLE,
                 "domain_rollup": _DOMAIN_ROLLUP_ORACLE,
@@ -1999,7 +2048,8 @@ ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
                 "bm25_topk": _BM25_ORACLE,
                 "pii_redact": _pii_oracle(),
                 "bigram_lm": _BIGRAM_LM_ORACLE,
-                "link_graph": _LINK_GRAPH_ORACLE})
+                "link_graph": _LINK_GRAPH_ORACLE,
+                "bpe_merges": _bpe_oracle()})
 
 
 # --- stratified (class-balanced) sampling (r5) -------------------------------

@@ -1069,3 +1069,57 @@ def test_triangle_count_k4_and_canonicalization(spark):
     assert got["n_nodes"] == 5
     assert got["n_edges"] == 7       # 6 K4 edges + pendant
     assert got["n_triangles"] == 4   # C(4,3)
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """r6 BPE trainer vs an independent textbook implementation
+    (Sennrich-style: count adjacent pairs weighted by word frequency,
+    merge the winner greedily left-to-right, repeat) — including the
+    overlap case (repeated symbols: 'aaa' + merge (a,a) -> [aa, a]) and
+    the lexicographic tie rule."""
+    from collections import Counter
+
+    from elevation_service_spark.operators.bpe import bpe_train
+
+    texts = ["low low low lower lower newest newest newest",
+             "newest widest widest wide wide wide aaa aaab",
+             "Low, NEWEST!  wide-open aaa aaa"]
+
+    def reference(texts, n_merges):
+        import re
+        words = Counter(w for t in texts
+                        for w in re.findall("[a-z]+", t.lower()))
+        vocab = {w: list(w) for w in words}
+        merges = []
+        for r in range(1, n_merges + 1):
+            pairs = Counter()
+            for w, toks in vocab.items():
+                for i in range(len(toks) - 1):
+                    pairs[(toks[i], toks[i + 1])] += words[w]
+            if not pairs:
+                break
+            # deterministic argmax: max count, then (a, b) ascending
+            best = sorted(pairs.items(),
+                          key=lambda kv: (-kv[1], kv[0]))[0][0]
+            merges.append((r, best[0], best[1], pairs[best]))
+            a, b = best
+            for w, toks in vocab.items():
+                out, i = [], 0
+                while i < len(toks):  # greedy left-to-right non-overlap
+                    if (i + 1 < len(toks) and toks[i] == a
+                            and toks[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+    for n in (1, 4, 8):
+        got = [(r["merge_rank"], r["a"], r["b"], r["n"])
+               for r in bpe_train(docs, n_merges=n)
+               .orderBy("merge_rank").collect()]
+        assert got == reference(texts, n), n
