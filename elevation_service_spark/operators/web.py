@@ -211,3 +211,57 @@ def robots_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
                     (F.col("m.a") == 1).alias("allowed"),
                     F.col("m.l").alias("match_len"),
                     F.col("m.p").alias("match_prefix")))
+
+
+# --- funnel analysis (r6) ----------------------------------------------------
+
+def funnel_steps(events: DataFrame, steps: tuple[str, ...],
+                 user_col: str = "user_id", type_col: str = "event_type",
+                 ts_col: str = "ts_us") -> DataFrame:
+    """Ordered k-step funnel per user (r6): the classic web-analytics
+    conversion query — t_i = earliest step-i event STRICTLY after t_{i-1}
+    (equal timestamps never chain a step).  Returns
+    (user, t1_us..tk_us, steps_reached) over EVERY user in the input,
+    non-converting users included with NULL stage times.
+
+    Physical form: ONE groupBy(user) collecting (ts, type) pairs — the
+    step-type filter rides INSIDE collect_list via when() (collect_list
+    skips nulls), so non-converting users stay in the result without a
+    second distinct+join pass — then array_sort and a pure Column
+    left-fold whose accumulator is the array of achieved stage times:
+    append e.ts iff it is the next expected type and strictly later than
+    the last stage.  First-qualifying-in-sorted-order == min-qualifying,
+    so the fold equals the k-chained-aggregate relational form the
+    oracle runs; sort ties are irrelevant to the result (strict > blocks
+    equal-ts chains) but the (ts, type) sort key is total anyway.
+
+    Scale shape: ONE exchange; per-user state is that user's step-type
+    events (the sessionize contract — bounded by user activity, not
+    corpus).  Zero Python, zero Window, codegen end-to-end."""
+    k = len(steps)
+    if k == 0:
+        raise ValueError("funnel needs at least one step")
+    if any("'" in s for s in steps):
+        raise ValueError("step names must not contain quotes")
+    lits = ", ".join(f"'{s}'" for s in steps)
+    fold = (
+        "aggregate(evs, CAST(array() AS ARRAY<BIGINT>), (a, e) -> "
+        f"CASE WHEN size(a) < {k} "
+        f"AND e.tp = element_at(array({lits}), size(a) + 1) "
+        "AND (size(a) = 0 OR e.ts > try_element_at(a, -1)) "
+        "THEN concat(a, array(e.ts)) ELSE a END)")
+    out = (events
+           .groupBy(F.col(user_col).alias("user_id"))
+           .agg(F.array_sort(F.collect_list(F.when(
+               F.col(type_col).isin(*steps), F.struct(
+                   F.col(ts_col).alias("ts"),
+                   F.col(type_col).alias("tp")))))
+               .alias("evs"))
+           .select("user_id", F.expr(fold).alias("tl")))
+    # try_element_at: index past the achieved-stage count is a NULL
+    # stage time, not an ANSI error
+    cols = [F.try_element_at("tl", F.lit(i + 1)).alias(f"t{i + 1}_us")
+            for i in range(k)]
+    return out.select(
+        "user_id", *cols,
+        F.size("tl").cast("int").alias("steps_reached"))

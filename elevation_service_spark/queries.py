@@ -576,6 +576,7 @@ _DEMOTED = [
     "link_graph",        # new r6: href extraction -> host edge list
     "tile_flowdir",      # new r6: D8 steepest-descent histogram, fused decode
     "bpe_merges",        # new r6: distributed BPE tokenizer training
+    "user_funnel",       # new r6: ordered 3-step funnel, one-exchange fold
 ]
 
 

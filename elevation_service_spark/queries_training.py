@@ -457,6 +457,42 @@ SELECT dv.id, dv.grp AS source, dv.val, dv.med, mad.mad,
 FROM dv JOIN mad USING (grp)"""
 
 
+# --- ordered funnel analysis (r6) --------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_user_funnel(spark, sf_dir):
+    """Ordered 3-step funnel (r6): per user the earliest view, the
+    earliest click STRICTLY after it, the earliest purchase strictly
+    after that — ONE exchange (when()-filtered collect_list + pure
+    Column left-fold), non-converting users included.  The oracle runs
+    the independent k-chained-aggregate relational form (min-qualifying
+    per stage), which the fold provably equals."""
+    from .operators.web import funnel_steps
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    return funnel_steps(e, FUNNEL_STEPS)
+
+
+_USER_FUNNEL_ORACLE = """WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND ts_us > s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts_us > s2.t2 GROUP BY 1),
+u AS (SELECT DISTINCT user_id FROM e)
+SELECT u.user_id, s1.t1 AS t1_us, s2.t2 AS t2_us, s3.t3 AS t3_us,
+  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS steps_reached
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)"""
+
+
 # --- relational PIVOT (r6) ---------------------------------------------------
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -569,6 +605,7 @@ SPARK_QUERIES = {
     "value_quantiles": q_value_quantiles,
     "events_pivot": q_events_pivot,
     "source_outliers": q_source_outliers,
+    "user_funnel": q_user_funnel,
 }
 
 ORACLES = {
@@ -594,6 +631,7 @@ ORACLES = {
     "value_quantiles": _VALUE_QUANTILES_ORACLE,
     "events_pivot": _events_pivot_oracle(),
     "source_outliers": _SOURCE_OUTLIERS_ORACLE,
+    "user_funnel": _USER_FUNNEL_ORACLE,
 }
 
 

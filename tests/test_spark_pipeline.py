@@ -1123,3 +1123,38 @@ def test_bpe_train_matches_python_reference(spark):
                for r in bpe_train(docs, n_merges=n)
                .orderBy("merge_rank").collect()]
         assert got == reference(texts, n), n
+
+
+def test_funnel_steps_semantics(spark):
+    """r6 funnel: strict-after chaining (equal timestamps never advance a
+    stage), min-qualifying per stage, out-of-order input, repeated
+    cycles, and users with zero step events."""
+    from elevation_service_spark.operators.web import funnel_steps
+
+    rows = [
+        # u1 full conversion, events arrive out of order
+        (1, "purchase", 30), (1, "view", 10), (1, "click", 20),
+        # u2: click at SAME ts as view -> blocked; later click chains
+        (2, "view", 10), (2, "click", 10), (2, "click", 15),
+        # u3: click BEFORE any view never counts, purchase without click
+        (3, "click", 5), (3, "view", 10), (3, "purchase", 20),
+        # u4: only non-step events
+        (4, "error", 1), (4, "signup", 2),
+        # u5: two full cycles -> earliest qualifying chain wins
+        (5, "view", 1), (5, "click", 2), (5, "purchase", 3),
+        (5, "view", 4), (5, "click", 5), (5, "purchase", 6),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long")
+    got = {r["user_id"]: (r["t1_us"], r["t2_us"], r["t3_us"],
+                          r["steps_reached"])
+           for r in funnel_steps(e, ("view", "click", "purchase")).collect()}
+    assert got == {1: (10, 20, 30, 3),
+                   2: (10, 15, None, 2),
+                   3: (10, None, None, 1),
+                   4: (None, None, None, 0),
+                   5: (1, 2, 3, 3)}
+    # plan: one Exchange, zero Python, zero Window
+    plan = (funnel_steps(e, ("view", "click"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") <= 1
+    assert "EvalPython" not in plan and "Window" not in plan
