@@ -110,10 +110,27 @@ _FLOW_SCHEMA = T.StructType(
     + [T.StructField(f, T.LongType(), False) for f in _FLOW_FIELDS])
 
 
+# D8 flow accumulation (r6): k-round partial upstream contributing area.
+# acc_0 = 1 everywhere; acc_t(v) = 1 + sum of acc_{t-1} over the D8 edges
+# into v — after k rounds acc_k(v) counts the upstream nodes within k
+# steps (itself included), the bounded-depth form of hydrology flow
+# accumulation whose whole trajectory an oracle can replay as k chained
+# joins.  Edges leave non-pit valid8 nodes toward their steepest-descent
+# neighbour; a target outside the valid8 interior set drains out of the
+# accounting.  All-integer arithmetic.
+ACC_ROUNDS = 3
+CHANNEL_ACC = 8  # acc_k at/above this marks a channel cell
+_ACC_SCHEMA = T.StructType(
+    [T.StructField("tile_key", T.StringType(), False),
+     T.StructField("sum_acc", T.LongType(), False),
+     T.StructField("max_acc", T.LongType(), True),
+     T.StructField("n_channel", T.LongType(), False)])
+
+
 def tile_terrain_stats(tiles: DataFrame,
                        steep_threshold2: int = STEEP_SLOPE2,
                        aspect: bool = True, tri: bool = False,
-                       flow: bool = False) -> DataFrame:
+                       flow: bool = False, acc: bool = False) -> DataFrame:
     """Per-tile slope statistics AND 8-way aspect histogram in ONE decode
     pass (VERDICT r5 #5: the r5 slope and aspect operators each decoded
     every tile from scratch — two full gunzip/PNG-unfilter raster passes
@@ -160,9 +177,18 @@ def tile_terrain_stats(tiles: DataFrame,
     the 8 unweighted drops (ties to the first clockwise from East —
     np.argmax's first-max contract IS the priority rule), pits/flats
     (best drop <= 0) counted separately; 3x3 void exclusion shared with
-    TRI.  The hydrology-routing primitive."""
+    TRI.  The hydrology-routing primitive.
 
-    def gen_factory(aspect_on: bool, tri_on: bool, flow_on: bool):
+    ``acc=True`` (r6) adds ACC_ROUNDS-round D8 flow ACCUMULATION under
+    the same decode: the steepest-descent edges (shared with the flow
+    histogram) scatter-add upstream counts for k exact-integer rounds —
+    acc_k(v) = upstream nodes within k steps, itself included; edges
+    whose target leaves the valid8 interior drain out.  Per-tile
+    sum/max/channel-count outputs; the oracle replays every round as a
+    chained edge join."""
+
+    def gen_factory(aspect_on: bool, tri_on: bool, flow_on: bool,
+                    acc_on: bool):
         fields = list(_SLOPE_SCHEMA.fields)
         if aspect_on:
             fields += [f for f in _TERRAIN_SCHEMA.fields
@@ -171,6 +197,8 @@ def tile_terrain_stats(tiles: DataFrame,
             fields += _TRI_SCHEMA.fields[1:]
         if flow_on:
             fields += _FLOW_SCHEMA.fields[1:]
+        if acc_on:
+            fields += _ACC_SCHEMA.fields[1:]
         schema = T.StructType(fields)
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -209,7 +237,7 @@ def tile_terrain_stats(tiles: DataFrame,
                         out["h_nw"].append(int((diag & (dx < 0) & (dy > 0)).sum()))
                         out["h_se"].append(int((diag & (dx > 0) & (dy < 0)).sum()))
                         out["h_sw"].append(int((diag & (dx < 0) & (dy < 0)).sum()))
-                    if tri_on or flow_on:
+                    if tri_on or flow_on or acc_on:
                         void8 = np.zeros_like(valid)
                         for dr in (0, 1, 2):
                             for dc in (0, 1, 2):
@@ -233,7 +261,7 @@ def tile_terrain_stats(tiles: DataFrame,
                         out["max_tri"].append(
                             int(tri8.max()) if n_valid8 else None)
                         out["n_rough"].append(int((tri8 > ROUGH_TRI).sum()))
-                    if flow_on:
+                    if flow_on or acc_on:
                         h, w_ = valid.shape
                         drops = np.stack([
                             zc - z[1 + dr:1 + dr + h,
@@ -244,14 +272,40 @@ def tile_terrain_stats(tiles: DataFrame,
                         # exactly the clockwise-from-East tie rule
                         code = drops.argmax(axis=0)
                         pit = best <= 0
+                    if flow_on:
                         out["n_pit"].append(int(pit.sum()))
                         for k, (name, _, _) in enumerate(_FLOW_DIRS):
                             out[name].append(int(((code == k) & ~pit).sum()))
+                    if acc_on:
+                        n_nodes = int(valid8.sum())
+                        nid = np.full(valid.shape, -1, dtype=np.int64)
+                        nid[valid8] = np.arange(n_nodes)
+                        rr, cc = np.nonzero(valid8)
+                        dr_a = np.array([d[1] for d in _FLOW_DIRS])
+                        dc_a = np.array([d[2] for d in _FLOW_DIRS])
+                        tr = rr + dr_a[code]
+                        tc = cc + dc_a[code]
+                        inb = (~pit & (tr >= 0) & (tr < valid.shape[0])
+                               & (tc >= 0) & (tc < valid.shape[1]))
+                        src = np.nonzero(inb)[0]
+                        tgt = nid[tr[inb], tc[inb]]
+                        keep = tgt >= 0  # target must itself be valid8
+                        src, tgt = src[keep], tgt[keep]
+                        acc_v = np.ones(n_nodes, dtype=np.int64)
+                        for _r in range(ACC_ROUNDS):
+                            nxt = np.ones(n_nodes, dtype=np.int64)
+                            np.add.at(nxt, tgt, acc_v[src])
+                            acc_v = nxt
+                        out["sum_acc"].append(int(acc_v.sum()))
+                        out["max_acc"].append(
+                            int(acc_v.max()) if n_nodes else None)
+                        out["n_channel"].append(
+                            int((acc_v >= CHANNEL_ACC).sum()))
                 yield pd.DataFrame(out)
 
         return gen, schema
 
-    gen, schema = gen_factory(aspect, tri, flow)
+    gen, schema = gen_factory(aspect, tri, flow, acc)
     return (tiles.select("tile_key", "encoding", "data")
             .mapInPandas(gen, schema))
 
@@ -271,6 +325,14 @@ def tile_tri_stats(tiles: DataFrame) -> DataFrame:
     valid/void counts differ from the 5-point slope stencil's on the
     same tile — both are emitted for exactly that contrast."""
     return tile_terrain_stats(tiles, aspect=False, tri=True)
+
+
+def tile_flowacc_stats(tiles: DataFrame) -> DataFrame:
+    """D8 flow-accumulation view of the fused kernel (r6): slope fields
+    + ACC_ROUNDS-round upstream contributing area (sum / max / channel
+    count) in one decode pass.  Exact int64 throughout; the oracle
+    replays the edge list and every accumulation round closed-form."""
+    return tile_terrain_stats(tiles, aspect=False, acc=True)
 
 
 def tile_flowdir_stats(tiles: DataFrame) -> DataFrame:

@@ -577,6 +577,7 @@ _DEMOTED = [
     "tile_flowdir",      # new r6: D8 steepest-descent histogram, fused decode
     "bpe_merges",        # new r6: distributed BPE tokenizer training
     "user_funnel",       # new r6: ordered 3-step funnel, one-exchange fold
+    "tile_flowacc",      # new r6: k-round D8 flow accumulation, fused decode
 ]
 
 

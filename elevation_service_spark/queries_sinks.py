@@ -233,6 +233,75 @@ SELECT s.*, fr.n_pit, fr.f_e, fr.f_se, fr.f_s, fr.f_sw,
 FROM s JOIN fr USING (tile_key)"""
 
 
+def q_tile_flowacc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow accumulation (r6): ACC_ROUNDS-round upstream contributing
+    area over the steepest-descent edge graph, fused into the one-decode
+    terrain kernel.  The oracle rebuilds the edge list closed-form
+    (drops -> GREATEST -> the same clockwise-from-East CASE chain gives
+    each node its target cell) and replays every accumulation round as a
+    chained LEFT JOIN + sum — the full trajectory, not just the result,
+    is what the hash pins."""
+    from .operators.raster import tile_flowacc_stats
+    return tile_flowacc_stats(fixture_tiles_df(spark))
+
+
+def _tile_flowacc_oracle() -> str:
+    from .operators.raster import ACC_ROUNDS, CHANNEL_ACC, _FLOW_DIRS
+    tiles = ", ".join(f"('{t[0]}', {t[1]}, {t[2]}, {t[3]})"
+                      for t in fixtures.FIXTURE_TILES)
+    vr, vc = fixtures.VOID_NODE
+    drops = ",\n  ".join(
+        f"zc - (((gr0 + r + {dr}) * 31 + (gc0 + c + {dc}) * 17) % 2000)"
+        f" AS d_{name[2:]}" for name, dr, dc in _FLOW_DIRS)
+    mx = "greatest(" + ", ".join(f"d_{n[2:]}" for n, _, _ in _FLOW_DIRS) + ")"
+    tr_case = ("CASE WHEN mx <= 0 THEN NULL "
+               + " ".join(f"WHEN d_{n[2:]} = mx THEN r + ({dr})"
+                          for n, dr, _ in _FLOW_DIRS) + " END")
+    tc_case = ("CASE WHEN mx <= 0 THEN NULL "
+               + " ".join(f"WHEN d_{n[2:]} = mx THEN c + ({dc})"
+                          for n, _, dc in _FLOW_DIRS) + " END")
+    rounds = ["""a1 AS (SELECT n.tile_key, n.r, n.c, 1 + count(e.tr) AS acc
+  FROM nodes n LEFT JOIN e
+    ON e.tile_key = n.tile_key AND e.tr = n.r AND e.tc = n.c
+  GROUP BY 1, 2, 3)"""]
+    for k in range(2, int(ACC_ROUNDS) + 1):
+        rounds.append(f"""a{k} AS (SELECT n.tile_key, n.r, n.c,
+  1 + coalesce(sum(p.acc), 0) AS acc
+  FROM nodes n LEFT JOIN (
+    SELECT e.tile_key, e.tr, e.tc, a.acc FROM e
+    JOIN a{k - 1} a
+      ON a.tile_key = e.tile_key AND a.r = e.r AND a.c = e.c) p
+    ON p.tile_key = n.tile_key AND p.tr = n.r AND p.tc = n.c
+  GROUP BY 1, 2, 3)""")
+    last = f"a{int(ACC_ROUNDS)}"
+    return f"""WITH s AS ({_tile_slope_oracle()}),
+t(tile_key, sw_lat, sw_lon, size) AS (VALUES {tiles}),
+rr AS (SELECT *, unnest(range(1, size - 1)) AS r FROM t),
+rc AS (SELECT *, unnest(range(1, size - 1)) AS c FROM rr),
+zz AS (SELECT tile_key, r, c, size,
+  (abs(r - {vr}) <= 1 AND abs(c - {vc}) <= 1) AS void_adj8,
+  (sw_lat + 90) * (size - 1) AS gr0, (sw_lon + 180) * (size - 1) AS gc0,
+  (((sw_lat + 90) * (size - 1) + r) * 31
+   + ((sw_lon + 180) * (size - 1) + c) * 17) % 2000 AS zc
+  FROM rc),
+nodes AS (SELECT tile_key, r, c FROM zz WHERE NOT void_adj8),
+g AS (SELECT tile_key, r, c,
+  {drops}
+  FROM zz WHERE NOT void_adj8),
+m AS (SELECT *, {mx} AS mx FROM g),
+d AS (SELECT tile_key, r, c, {tr_case} AS tr, {tc_case} AS tc FROM m),
+e AS (SELECT d.tile_key, d.r, d.c, d.tr, d.tc FROM d
+  JOIN nodes n ON n.tile_key = d.tile_key AND n.r = d.tr AND n.c = d.tc),
+{','.join(rounds)},
+fr AS (SELECT tile_key,
+  CAST(sum(acc) AS BIGINT) AS sum_acc,
+  CAST(max(acc) AS BIGINT) AS max_acc,
+  CAST(count(*) FILTER (WHERE acc >= {CHANNEL_ACC}) AS BIGINT) AS n_channel
+  FROM {last} GROUP BY 1)
+SELECT s.*, fr.sum_acc, fr.max_acc, fr.n_channel
+FROM s JOIN fr USING (tile_key)"""
+
+
 def q_tile_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused slope + aspect in ONE decode pass (r6, VERDICT r5 #5): the
     combined schema a terrain pipeline actually wants — paying the
@@ -418,6 +487,7 @@ SPARK_QUERIES = {
     "tile_terrain": q_tile_terrain,
     "tile_tri": q_tile_tri,
     "tile_flowdir": q_tile_flowdir,
+    "tile_flowacc": q_tile_flowacc,
     "tile_pyramid": q_tile_pyramid,
     "tile_mosaic": q_tile_mosaic,
     "resumable_enrich": q_resumable_enrich,
@@ -429,6 +499,7 @@ ORACLES = {
     "tile_terrain": _tile_terrain_oracle(),
     "tile_tri": _tile_tri_oracle(),
     "tile_flowdir": _tile_flowdir_oracle(),
+    "tile_flowacc": _tile_flowacc_oracle(),
     "tile_pyramid": _tile_pyramid_oracle(),
     "tile_mosaic": _tile_mosaic_oracle(),
     "resumable_enrich": _BILINEAR_ORACLE,

@@ -615,3 +615,78 @@ def test_tile_mosaic_roundtrip_and_errors(spark):
         schema=TILES_SCHEMA)
     with pytest.raises(Exception, match="mixes tile sizes"):
         tile_mosaic(bad).collect()
+
+
+def test_tile_flowacc_stats_semantics(spark):
+    """r6 D8 flow accumulation: independent brute-force upstream-BFS
+    reference on small crafted grids — diagonal ramp chains, flat-grid
+    pits, the 3x3 void exclusion, and interior-edge drains."""
+    import numpy as np
+
+    from elevation_service_spark import kernels
+    from elevation_service_spark.operators.raster import (ACC_ROUNDS,
+                                                          CHANNEL_ACC,
+                                                          _FLOW_DIRS,
+                                                          tile_flowacc_stats)
+
+    def brute(grid):
+        """acc_k per valid8 interior node by literal k-round recurrence."""
+        z = grid.astype(np.int64)
+        size = z.shape[0]
+        void = z == kernels.VOID
+        n = size - 2
+        nodes = {}
+        for i in range(n):          # interior array coords
+            for j in range(n):
+                if not void[i:i + 3, j:j + 3].any():
+                    nodes[(i, j)] = True
+        tgt = {}
+        for (i, j) in nodes:
+            zc = z[i + 1, j + 1]
+            best, code = None, None
+            for k, (_, dr, dc) in enumerate(_FLOW_DIRS):
+                d = zc - z[i + 1 + dr, j + 1 + dc]
+                if best is None or d > best:  # first-max tie rule
+                    best, code = d, k
+            if best > 0:
+                _, dr, dc = _FLOW_DIRS[code]
+                t = (i + dr, j + dc)
+                if t in nodes:
+                    tgt[(i, j)] = t
+        acc = {v: 1 for v in nodes}
+        for _ in range(ACC_ROUNDS):
+            nxt = {v: 1 for v in nodes}
+            for s, t in tgt.items():
+                nxt[t] += acc[s]
+            acc = nxt
+        vals = list(acc.values())
+        return (sum(vals), max(vals) if vals else None,
+                sum(1 for v in vals if v >= CHANNEL_ACC))
+
+    def run(grid):
+        tiles = spark.createDataFrame(
+            [("T", 0, 0, "terrarium-png",
+              bytearray(kernels.encode_terrarium_png(
+                  grid.astype(np.int16))))],
+            "tile_key string, sw_lat int, sw_lon int, encoding string, data binary")
+        r = tile_flowacc_stats(tiles).collect()[0]
+        return (r["sum_acc"], r["max_acc"], r["n_channel"])
+
+    size = 12
+    # diagonal ramp: chains to SW, acc = 1 + min(k, upstream chain)
+    g = (3 * np.arange(size)[:, None] + 5 * np.arange(size)[None, :]
+         + np.zeros((size, size)))
+    assert run(g) == brute(g)
+    # flat: all pits, acc = 1 everywhere
+    g = np.full((size, size), 9.0)
+    assert run(g) == brute(g) == ((size - 2) ** 2, 1, 0)
+    # void in the middle of a ramp: 3x3 exclusion + broken chains
+    g = (3 * np.arange(size)[:, None] + 5 * np.arange(size)[None, :]
+         + np.zeros((size, size)))
+    g[5, 6] = kernels.VOID
+    assert run(g) == brute(g)
+    # rough terrain: deterministic pseudo-random heights, many pits/chains
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 50, (size, size)).astype(np.int16)
+    g[3, 3] = kernels.VOID
+    assert run(g) == brute(g)
