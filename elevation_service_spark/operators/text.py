@@ -206,6 +206,57 @@ def bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
                     .alias("lm_micro_sum")))
 
 
+
+MIN_COLLOC = 5     # bigrams below this corpus count never rank
+COLLOC_TOP_K = 50
+
+
+def collocations(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", min_count: int = MIN_COLLOC,
+                 k: int = COLLOC_TOP_K) -> DataFrame:
+    """Top-k collocation (phrase) detection by Dice score —
+    (w1, w2, c2, c_left, c_right, dice_micro): the phrase-mining pass a
+    tokenizer/embedding pipeline runs to promote "new york"-style pairs
+    to single units.  Dice = 2*c2/(c_left + c_right) is the standard
+    collocation measure that, unlike PMI, needs NO corpus-size factor —
+    so the integer surrogate floor(2*c2*1e6/(c_left+c_right)) stays in
+    int64 at any corpus size (PMI's N*c2*1e6 overflows past ~1e8
+    tokens), keeping the score engine-portable and exact.
+
+    Count conventions (all derived from the bigram table, so the corpus
+    is tokenized ONCE — the bigram-LM r5 lesson): c2(w1,w2) = bigram
+    occurrences; c_left(w) = sum_x c2(w,x) (occurrences as left
+    context); c_right(w) = sum_x c2(x,w) (occurrences as continuation).
+
+    Scale shape: one tokenize+explode pass feeds ONE map-side-combined
+    bigram aggregate; c_left/c_right re-aggregate the VOCABULARY-sized
+    c2 table; two vocab-sized hash joins; global top-k via
+    TakeOrderedAndProject (never a partition-less Window).  Ranking ties
+    break by (w1, w2) — fully deterministic."""
+    tk = F.col("_tk")
+    gram2 = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.element_at(tk, i),
+                              F.element_at(tk, i + F.lit(1))))
+    occ = (docs.select(F.split(F.col(text_col), " ").alias("_tk"))
+           .select(F.when(F.size(tk) >= 2, gram2)
+                   .otherwise(F.array().cast("array<string>")).alias("_g2"))
+           .select(F.explode("_g2").alias("bigram")))
+    c2 = occ.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    cl = (c2.groupBy(F.substring_index("bigram", " ", 1).alias("w1"))
+          .agg(F.sum("c2").cast("long").alias("c_left")))
+    cr = (c2.groupBy(F.substring_index("bigram", " ", -1).alias("w2"))
+          .agg(F.sum("c2").cast("long").alias("c_right")))
+    return (c2.filter(F.col("c2") >= int(min_count))
+            .withColumn("w1", F.substring_index("bigram", " ", 1))
+            .withColumn("w2", F.substring_index("bigram", " ", -1))
+            .join(cl, "w1").join(cr, "w2")
+            .select("w1", "w2", "c2", "c_left", "c_right",
+                    F.expr("2L * c2 * 1000000L div (c_left + c_right)")
+                    .alias("dice_micro"))
+            .orderBy(F.desc("dice_micro"), "w1", "w2").limit(int(k)))
+
+
 # --- rolling-hash document fingerprinting (winnowing) -----------------------
 
 WINNOW_B = 1000003       # polynomial base

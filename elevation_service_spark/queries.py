@@ -578,6 +578,7 @@ _DEMOTED = [
     "bpe_merges",        # new r6: distributed BPE tokenizer training
     "user_funnel",       # new r6: ordered 3-step funnel, one-exchange fold
     "tile_flowacc",      # new r6: k-round D8 flow accumulation, fused decode
+    "collocations",      # new r6: Dice-scored phrase mining top-k
 ]
 
 

@@ -1831,6 +1831,42 @@ SELECT t.id,
 FROM (SELECT DISTINCT id FROM t) t LEFT JOIN d USING (id)"""
 
 
+# --- Dice-score collocation mining (r6) --------------------------------------
+
+def q_collocations(spark, sf_dir):
+    """Top-k collocation detection (r6): Dice-scored bigram phrase mining
+    over the whitespace-token corpus — one tokenize pass, vocab-sized
+    context/continuation re-aggregations, two vocab joins, global
+    TakeOrdered.  Integer Dice surrogate stays in int64 at any corpus
+    size (the PMI alternative overflows)."""
+    from .operators.text import collocations
+    return collocations(load(spark, sf_dir, "documents"))
+
+
+def _colloc_oracle() -> str:
+    from .operators.text import COLLOC_TOP_K, MIN_COLLOC
+    return f"""WITH t AS (
+  SELECT string_split(text, ' ') AS tk FROM documents),
+g AS (SELECT unnest(CASE WHEN len(tk) >= 2
+        THEN list_transform(generate_series(1, len(tk) - 1),
+                            i -> tk[i] || ' ' || tk[i + 1])
+        ELSE []::VARCHAR[] END) AS bigram FROM t),
+c2 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c2 FROM g GROUP BY 1),
+cl AS (SELECT split_part(bigram, ' ', 1) AS w, CAST(sum(c2) AS BIGINT) AS c
+       FROM c2 GROUP BY 1),
+cr AS (SELECT split_part(bigram, ' ', 2) AS w, CAST(sum(c2) AS BIGINT) AS c
+       FROM c2 GROUP BY 1),
+s AS (SELECT split_part(bigram, ' ', 1) AS w1,
+             split_part(bigram, ' ', 2) AS w2,
+             c2.c2, cl.c AS c_left, cr.c AS c_right,
+             (2 * c2.c2 * 1000000) // (cl.c + cr.c) AS dice_micro
+      FROM c2
+      JOIN cl ON cl.w = split_part(bigram, ' ', 1)
+      JOIN cr ON cr.w = split_part(bigram, ' ', 2)
+      WHERE c2.c2 >= {MIN_COLLOC})
+SELECT * FROM s ORDER BY dice_micro DESC, w1, w2 LIMIT {COLLOC_TOP_K}"""
+
+
 # --- distributed BPE vocabulary training (r6) --------------------------------
 
 def q_bpe_merges(spark, sf_dir):
@@ -2076,7 +2112,8 @@ SPARK_QUERIES.update({"url_canonical": q_url_canonical,
                       "pii_redact": q_pii_redact,
                       "bigram_lm": q_bigram_lm,
                       "link_graph": q_link_graph,
-                      "bpe_merges": q_bpe_merges})
+                      "bpe_merges": q_bpe_merges,
+                      "collocations": q_collocations})
 ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
                 "url_dedup": _URL_DEDUP_ORACLE,
                 "domain_rollup": _DOMAIN_ROLLUP_ORACLE,
@@ -2087,7 +2124,8 @@ ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
                 "pii_redact": _pii_oracle(),
                 "bigram_lm": _BIGRAM_LM_ORACLE,
                 "link_graph": _LINK_GRAPH_ORACLE,
-                "bpe_merges": _bpe_oracle()})
+                "bpe_merges": _bpe_oracle(),
+                "collocations": _colloc_oracle()})
 
 
 # --- stratified (class-balanced) sampling (r5) -------------------------------

@@ -1158,3 +1158,28 @@ def test_funnel_steps_semantics(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") <= 1
     assert "EvalPython" not in plan and "Window" not in plan
+
+
+def test_collocations_semantics(spark):
+    """r6 Dice collocations: a planted phrase ("new york") must outrank a
+    frequent-but-promiscuous pair; min-count filters singletons; the
+    integer Dice formula is hand-checked."""
+    from elevation_service_spark.operators.text import collocations
+
+    # "new york" always together (perfect collocation); "the cat"/"the
+    # dog"/"the end" share the promiscuous left token "the"
+    docs = [(i, "new york is the cat and the dog at the end") for i in range(6)]
+    docs.append((99, "rare pair"))  # c2 = 1 < min_count -> filtered
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = collocations(df, min_count=2, k=100).collect()
+    got = {(r["w1"], r["w2"]): r for r in rows}
+    assert ("rare", "pair") not in got
+    ny = got[("new", "york")]
+    # c_left("new") = 6, c_right("york") = 6 -> dice = 2*6*1e6/12 = 1e6
+    assert (ny["c2"], ny["c_left"], ny["c_right"]) == (6, 6, 6)
+    assert ny["dice_micro"] == 1_000_000
+    cat = got[("the", "cat")]
+    # "the" as left context 18x, "cat" as continuation 6x -> 2*6e6/24
+    assert cat["dice_micro"] == 500_000
+    assert rows[0]["dice_micro"] == max(r["dice_micro"] for r in rows)
+    assert ny["dice_micro"] >= cat["dice_micro"]
