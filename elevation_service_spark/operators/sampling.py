@@ -110,3 +110,67 @@ def stratified_sample(df: DataFrame, group_col: str, key: str, k: int,
             .filter(F.col("_rn") <= int(k)).drop("_rn")
             .withColumn("_rn", F.row_number().over(w2))
             .filter(F.col("_rn") <= int(k)).drop("_rn", "_sp"))
+
+
+def weighted_systematic_sample(df: DataFrame, key: str, weight_col: str,
+                               k: int, salt: str = "") -> DataFrame:
+    """Deterministic WEIGHTED sample of k picks by systematic (grid)
+    selection over the cumulative-weight line: rows are laid out in
+    md5(key)-order, each covering [S_j, S_j + w_j); pick i selects the
+    row whose interval contains position p_i = i*W div k.  A row with
+    weight above W/k can win several picks (multiplicity IS the correct
+    weighted-sampling behaviour); expected pick count is exactly
+    proportional to weight.  Deterministic on any partitioning, any
+    engine — the weighted counterpart of deterministic_sample, without
+    exp/ln (the classic A-Res/exponential-race keys need libm, which the
+    oracle-exactness policy bans).
+
+    Scale shape — NO global window: the order key's first two hex chars
+    split the line into 256 ORDER-PREFIX buckets; per-bucket totals
+    (<= 256 rows) come to the driver once, prefix-summed into offsets
+    (the _adaptive_salt_map bounded-collect contract); within-bucket
+    cumulative sums are a bucket-PARTITIONED window; each of the k grid
+    positions is assigned its bucket ON THE DRIVER from the offsets, so
+    the stab join is a broadcast equi-join on bucket with a range
+    residual — never a k x n nested loop, never a partition-less
+    Window.  Rows with non-positive weight are excluded by contract.
+    Returns (pick_idx, id, w) — exactly k rows whenever W > 0."""
+    spark = df.sparkSession
+    out_schema = "pick_idx int, id long, w long"
+    base = (df.select(
+        F.col(key).cast("long").alias("id"),
+        F.col(weight_col).cast("long").alias("w"),
+        F.md5(F.concat(F.col(key).cast("string"),
+                       F.lit(_check_salt(salt)))).alias("_hx"))
+        .filter(F.col("w") > 0)
+        .withColumn("_bk", F.substring("_hx", 1, 2)))
+    btot = {r["_bk"]: int(r["tw"]) for r in
+            base.groupBy("_bk").agg(F.sum("w").alias("tw")).collect()}
+    total = sum(btot.values())
+    if total == 0:
+        return spark.createDataFrame([], out_schema)
+    offs, acc = {}, 0
+    for b in sorted(btot):  # hex-prefix order == full-hash order prefix
+        offs[b] = acc
+        acc += btot[b]
+    buckets = sorted(btot)
+    positions, bi = [], 0
+    for i in range(int(k)):
+        p = i * total // int(k)
+        while offs[buckets[bi]] + btot[buckets[bi]] <= p:
+            bi += 1  # positions are ascending: single forward scan
+        positions.append((i, p, buckets[bi]))
+    pos_df = spark.createDataFrame(positions, "pick_idx int, pos long, _bk string")
+    from pyspark.sql import Window
+    w_in = (Window.partitionBy("_bk").orderBy("_hx", "id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    offs_df = spark.createDataFrame(
+        [(b, o) for b, o in offs.items()], "_bk string, off long")
+    lined = (base.join(F.broadcast(offs_df), "_bk")
+             .withColumn("_s", F.sum("w").over(w_in) - F.col("w")
+                         + F.col("off")))
+    return (lined.join(
+        F.broadcast(pos_df),
+        (lined["_bk"] == pos_df["_bk"]) & (pos_df["pos"] >= F.col("_s"))
+        & (pos_df["pos"] < F.col("_s") + F.col("w")))
+        .select("pick_idx", "id", "w"))

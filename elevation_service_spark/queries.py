@@ -579,6 +579,7 @@ _DEMOTED = [
     "user_funnel",       # new r6: ordered 3-step funnel, one-exchange fold
     "tile_flowacc",      # new r6: k-round D8 flow accumulation, fused decode
     "collocations",      # new r6: Dice-scored phrase mining top-k
+    "weighted_sample",   # new r6: systematic weighted sample, no global window
 ]
 
 

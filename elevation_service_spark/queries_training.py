@@ -2149,8 +2149,38 @@ _STRATIFIED_ORACLE = f"""WITH r AS (
 SELECT doc_id, source FROM r WHERE rn <= {STRAT_K}"""
 
 
-SPARK_QUERIES.update({"stratified_sample": q_stratified_sample})
-ORACLES.update({"stratified_sample": _STRATIFIED_ORACLE})
+WSS_K = 64
+_WSS_W_SQL = "n_chars % 97 + 1"
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Weighted systematic sample (r6): 64 deterministic picks over the
+    cumulative-weight line in md5 order — multiplicity-correct weighted
+    sampling with NO libm keys and NO global window (256 order-prefix
+    buckets + bounded driver offsets).  The oracle stabs the same grid
+    positions against a plain global-window cumulative sum."""
+    from .operators.sampling import weighted_systematic_sample
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_WSS_W_SQL).alias("wt"))
+    return weighted_systematic_sample(docs, "doc_id", "wt", WSS_K)
+
+
+_WSS_ORACLE = f"""WITH d AS (
+  SELECT doc_id AS id, CAST({_WSS_W_SQL} AS BIGINT) AS w FROM documents),
+h AS (SELECT id, w, md5(CAST(id AS STRING) || '') AS hx FROM d WHERE w > 0),
+o AS (SELECT *, sum(w) OVER (ORDER BY hx, id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS s FROM h),
+t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM h),
+p AS (SELECT CAST(i AS INT) AS pick_idx, (i * tw) // {WSS_K} AS pos
+      FROM (SELECT unnest(range({WSS_K})) AS i), t)
+SELECT p.pick_idx, o.id, o.w
+FROM p JOIN o ON p.pos >= o.s AND p.pos < o.s + o.w"""
+
+
+SPARK_QUERIES.update({"stratified_sample": q_stratified_sample,
+                      "weighted_sample": q_weighted_sample})
+ORACLES.update({"stratified_sample": _STRATIFIED_ORACLE,
+                "weighted_sample": _WSS_ORACLE})
 
 
 # --- mergeable sketches: count-min + Bloom (r5) ------------------------------

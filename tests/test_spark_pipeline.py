@@ -1183,3 +1183,49 @@ def test_collocations_semantics(spark):
     assert cat["dice_micro"] == 500_000
     assert rows[0]["dice_micro"] == max(r["dice_micro"] for r in rows)
     assert ny["dice_micro"] >= cat["dice_micro"]
+
+
+def test_weighted_systematic_sample_semantics(spark):
+    """r6 weighted sampler vs a brute-force Python replay: exactly k
+    picks, interval stabbing correct across bucket boundaries, a huge
+    weight wins multiple picks with count in {floor, ceil} of w*k/W."""
+    import hashlib
+
+    from elevation_service_spark.operators.sampling import \
+        weighted_systematic_sample
+
+    rows = [(i, (i * 13) % 7 + 1) for i in range(200)]
+    rows.append((500, 400))   # dominant weight -> multiplicity
+    rows.append((501, 0))     # non-positive -> excluded
+    rows.append((502, -3))
+    df = spark.createDataFrame(rows, "doc_id long, wt long")
+
+    def brute(k):
+        live = [(i, w) for i, w in rows if w > 0]
+        order = sorted(live, key=lambda t: (hashlib.md5(
+            str(t[0]).encode()).hexdigest(), t[0]))
+        total = sum(w for _, w in order)
+        picks, s, j = [], 0, 0
+        starts = []
+        for i, w in order:
+            starts.append((s, s + w, i, w))
+            s += w
+        for i in range(k):
+            p = i * total // k
+            for lo, hi, rid, w in starts:
+                if lo <= p < hi:
+                    picks.append((i, rid, w))
+                    break
+        return sorted(picks)
+
+    for k in (7, 64):
+        got = sorted((r["pick_idx"], r["id"], r["w"]) for r in
+                     weighted_systematic_sample(df, "doc_id", "wt", k)
+                     .collect())
+        exp = brute(k)
+        assert got == exp, k
+        assert len(got) == k
+    # dominant row's multiplicity is proportional (floor/ceil of w*k/W)
+    W = sum(w for _, w in rows if w > 0)
+    n500 = sum(1 for _, rid, _ in brute(64) if rid == 500)
+    assert n500 in (400 * 64 // W, 400 * 64 // W + 1) and n500 >= 2
