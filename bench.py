@@ -290,7 +290,9 @@ def _registry_queries():
              "tile_slope", "semantic_dedup", "bigram_lm", "pagerank",
              # r6 capabilities
              "polygon_stats", "tile_pyramid", "robots_filter",
-             "paragraph_dedup", "geohash", "inverted_index"]
+             "paragraph_dedup", "geohash", "inverted_index",
+             # r6 late capabilities (first numbers this window)
+             "bpe_merges", "user_funnel", "tile_flowacc", "collocations"]
     return {n: qs[n] for n in names}
 
 

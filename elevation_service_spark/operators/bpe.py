@@ -66,16 +66,11 @@ def _apply_merge(a: str, b: str):
         "ELSE concat(acc, array(x)) END)".format(a=a, b=b, m=a + b))
 
 
-def bpe_train(docs: DataFrame, text_col: str = "text",
-              n_merges: int = BPE_MERGES) -> DataFrame:
-    """Learn the ranked BPE merge table: (merge_rank, a, b, n) with n the
-    weighted adjacent-pair count that won round merge_rank.  Ties break
-    by (a, b) ascending — deterministic whatever the partitioning."""
-    spark = SparkSession.getActiveSession()
-    w = (word_counts(docs, text_col)
-         .select("c", F.expr("filter(split(word, ''), x -> x <> '')")
-                 .alias("toks"))
-         .localCheckpoint())
+def _train_merges(w: DataFrame, n_merges: int):
+    """Shared merge-training loop over a word table carrying at least
+    (c, toks); extra columns (e.g. the word string for the apply pass)
+    ride through every rewrite.  Returns (merges, final word table)."""
+    keep = [c for c in w.columns if c != "toks"]
     merges = []
     for r in range(1, int(n_merges) + 1):
         pairs = w.select(
@@ -91,6 +86,59 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
         row = best[0]
         # ONE (a, b, n) row of driver state per round — never data
         merges.append((r, row["a"], row["b"], int(row["n"])))
-        w = (w.select("c", _apply_merge(row["a"], row["b"]).alias("toks"))
+        w = (w.select(*keep, _apply_merge(row["a"], row["b"]).alias("toks"))
              .localCheckpoint())
+    return merges, w
+
+
+def bpe_train(docs: DataFrame, text_col: str = "text",
+              n_merges: int = BPE_MERGES) -> DataFrame:
+    """Learn the ranked BPE merge table: (merge_rank, a, b, n) with n the
+    weighted adjacent-pair count that won round merge_rank.  Ties break
+    by (a, b) ascending — deterministic whatever the partitioning."""
+    spark = SparkSession.getActiveSession()
+    w = (word_counts(docs, text_col)
+         .select("c", F.expr("filter(split(word, ''), x -> x <> '')")
+                 .alias("toks"))
+         .localCheckpoint())
+    merges, _ = _train_merges(w, n_merges)
     return spark.createDataFrame(merges, _MERGE_SCHEMA)
+
+
+def bpe_piece_counts(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     n_merges: int = BPE_MERGES) -> DataFrame:
+    """Train-then-ENCODE: learn the n-merge vocabulary on the corpus,
+    apply it back, and return per-document (id, n_words, n_pieces) — the
+    token-budget accounting an LLM pipeline runs with its OWN learned
+    tokenizer rather than a fixed one.  Compression ratio
+    n_pieces/n_words falls as merges land on that document's words.
+
+    Scale shape: the (id, word) occurrence table is localCheckpointed
+    ONCE and feeds both the word-count derivation and the final
+    join-back (the bigram-LM r5 lesson — never re-tokenize per
+    consumer); training runs on the vocab-sized table as in bpe_train;
+    the apply side is word-occurrences ⨝ vocab-sized piece counts + one
+    per-doc aggregate.  Docs with zero ascii words report (0, 0)."""
+    words = F.explode(F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0)))
+    occ = (docs.select(F.col(id_col).alias("id"), words.alias("word"))
+           .localCheckpoint())
+    w = (occ.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("c"))
+         .select("word", "c",
+                 F.expr("filter(split(word, ''), x -> x <> '')")
+                 .alias("toks"))
+         .localCheckpoint())
+    _, wf = _train_merges(w, n_merges)
+    pieces = wf.select("word", F.size("toks").cast("long").alias("np"))
+    per_doc = (occ.join(pieces, "word")
+               .groupBy("id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                    F.sum("np").cast("long").alias("n_pieces")))
+    return (docs.select(F.col(id_col).alias("id")).distinct()
+            .join(per_doc, "id", "left")
+            .select("id",
+                    F.coalesce("n_words", F.lit(0)).cast("long")
+                    .alias("n_words"),
+                    F.coalesce("n_pieces", F.lit(0)).cast("long")
+                    .alias("n_pieces")))

@@ -580,6 +580,7 @@ _DEMOTED = [
     "tile_flowacc",      # new r6: k-round D8 flow accumulation, fused decode
     "collocations",      # new r6: Dice-scored phrase mining top-k
     "weighted_sample",   # new r6: systematic weighted sample, no global window
+    "bpe_encode",        # new r6: learned-vocab apply, per-doc piece counts
 ]
 
 

@@ -1882,14 +1882,16 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_train(load(spark, sf_dir, "documents"))
 
 
-def _bpe_oracle(n_merges: int | None = None) -> str:
-    from .operators.bpe import BPE_MERGES
-    n = int(n_merges or BPE_MERGES)
+def _bpe_ctes(n: int, final: bool) -> list[str]:
+    """The shared training-trajectory CTE chain (word column carried
+    through every round so the apply oracle can join back); when
+    ``final`` the last round's rewritten word table w{n} is emitted
+    too."""
     ctes = ["""wt AS (
   SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
   FROM documents)""",
             """w0 AS (
-  SELECT CAST(count(*) AS BIGINT) AS c,
+  SELECT word, CAST(count(*) AS BIGINT) AS c,
          regexp_extract_all(word, '.') AS toks
   FROM wt GROUP BY word)"""]
     for r in range(1, n + 1):
@@ -1902,17 +1904,50 @@ def _bpe_oracle(n_merges: int | None = None) -> str:
         ctes.append(
             f"b{r} AS (SELECT a, b, n FROM a{r} "
             f"ORDER BY n DESC, a, b LIMIT 1)")
-        if r < n:  # greedy left-fold rewrite feeding the next round
+        if r < n or final:  # greedy left-fold rewrite
             ctes.append(
-                f"w{r} AS (SELECT c, list_reduce("
+                f"w{r} AS (SELECT word, c, list_reduce("
                 "list_transform(toks, x -> [x]), "
                 f"(acc, x) -> CASE WHEN acc[-1] = b{r}.a AND x[1] = b{r}.b "
                 f"THEN acc[:-2] || [b{r}.a || b{r}.b] "
                 f"ELSE acc || x END) AS toks FROM w{r - 1}, b{r})")
+    return ctes
+
+
+def _bpe_oracle(n_merges: int | None = None) -> str:
+    from .operators.bpe import BPE_MERGES
+    n = int(n_merges or BPE_MERGES)
     union = "\nUNION ALL ".join(
         f"SELECT CAST({r} AS INTEGER) AS merge_rank, a, b, n FROM b{r}"
         for r in range(1, n + 1))
-    return "WITH " + ",\n".join(ctes) + "\n" + union
+    return "WITH " + ",\n".join(_bpe_ctes(n, False)) + "\n" + union
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE train-then-encode (r6): the learned n-merge vocabulary applied
+    back to the corpus — per-document word and piece counts, the
+    token-budget view under the pipeline's OWN tokenizer.  The oracle
+    replays the full training trajectory AND the apply join."""
+    from .operators.bpe import bpe_piece_counts
+    return bpe_piece_counts(load(spark, sf_dir, "documents"))
+
+
+def _bpe_encode_oracle(n_merges: int | None = None) -> str:
+    from .operators.bpe import BPE_MERGES
+    n = int(n_merges or BPE_MERGES)
+    tail = f"""pieces AS (SELECT word, CAST(len(toks) AS BIGINT) AS np
+  FROM w{n}),
+occ AS (SELECT doc_id AS id,
+  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents),
+pd AS (SELECT id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(np) AS BIGINT) AS n_pieces
+       FROM occ JOIN pieces USING (word) GROUP BY id)
+SELECT d.id, coalesce(pd.n_words, 0) AS n_words,
+       coalesce(pd.n_pieces, 0) AS n_pieces
+FROM (SELECT DISTINCT doc_id AS id FROM documents) d
+LEFT JOIN pd USING (id)"""
+    return "WITH " + ",\n".join(_bpe_ctes(n, True)) + ",\n" + tail
 
 
 def q_robots_filter(spark, sf_dir):
@@ -2113,7 +2148,8 @@ SPARK_QUERIES.update({"url_canonical": q_url_canonical,
                       "bigram_lm": q_bigram_lm,
                       "link_graph": q_link_graph,
                       "bpe_merges": q_bpe_merges,
-                      "collocations": q_collocations})
+                      "collocations": q_collocations,
+                      "bpe_encode": q_bpe_encode})
 ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
                 "url_dedup": _URL_DEDUP_ORACLE,
                 "domain_rollup": _DOMAIN_ROLLUP_ORACLE,
@@ -2125,7 +2161,8 @@ ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
                 "bigram_lm": _BIGRAM_LM_ORACLE,
                 "link_graph": _LINK_GRAPH_ORACLE,
                 "bpe_merges": _bpe_oracle(),
-                "collocations": _colloc_oracle()})
+                "collocations": _colloc_oracle(),
+                "bpe_encode": _bpe_encode_oracle()})
 
 
 # --- stratified (class-balanced) sampling (r5) -------------------------------

@@ -1116,6 +1116,28 @@ def test_bpe_train_matches_python_reference(spark):
                 vocab[w] = out
         return merges
 
+    def reference_pieces(texts, n_merges):
+        import re
+        from collections import Counter
+        words = Counter(w for t in texts
+                        for w in re.findall("[a-z]+", t.lower()))
+        vocab = {w: list(w) for w in words}
+        for r, a, b, _ in reference(texts, n_merges):
+            for w, toks in vocab.items():
+                out, i = [], 0
+                while i < len(toks):
+                    if (i + 1 < len(toks) and toks[i] == a
+                            and toks[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                vocab[w] = out
+        return {d: (len(ws), sum(len(vocab[w]) for w in ws))
+                for d, ws in ((i, re.findall("[a-z]+", t.lower()))
+                              for i, t in enumerate(texts))}
+
     docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                  "doc_id long, text string")
     for n in (1, 4, 8):
@@ -1123,6 +1145,11 @@ def test_bpe_train_matches_python_reference(spark):
                for r in bpe_train(docs, n_merges=n)
                .orderBy("merge_rank").collect()]
         assert got == reference(texts, n), n
+    # the encode pass: per-doc piece counts under the learned vocab
+    from elevation_service_spark.operators.bpe import bpe_piece_counts
+    enc = {r["id"]: (r["n_words"], r["n_pieces"])
+           for r in bpe_piece_counts(docs, n_merges=4).collect()}
+    assert enc == reference_pieces(texts, 4)
 
 
 def test_funnel_steps_semantics(spark):
