@@ -581,6 +581,7 @@ _DEMOTED = [
     "collocations",      # new r6: Dice-scored phrase mining top-k
     "weighted_sample",   # new r6: systematic weighted sample, no global window
     "bpe_encode",        # new r6: learned-vocab apply, per-doc piece counts
+    "elevation_profile", # new r6: per-track gain/loss over the real enrich
 ]
 
 

@@ -712,6 +712,53 @@ SELECT track_id, seq,
 FROM st"""
 
 
+def q_elevation_profile(spark, sf_dir):
+    """Per-track elevation profile (r6): the route-profile view an
+    elevation service exists to serve — derived waypoints through the
+    REAL broadcast enrich (tile decode + bilinear), elevation quantized
+    to e64 ticks, then per-track total gain / loss / extrema via a lag
+    window partitioned by track.  Quantize-then-diff keeps every
+    aggregate an exact integer sum (float gains would be
+    order-dependent); the oracle replays the closed-form bilinear DEM
+    and the identical window."""
+    from pyspark.sql import Window
+    from .queries import _q_elevation
+    out = _q_elevation(spark, sf_dir)
+    e = out.select(
+        (F.col("pid") % 50).cast("long").alias("track_id"),
+        F.col("pid").alias("seq"),
+        F.floor(F.col("elevation") * 64 + F.lit(0.5)).cast("long")
+        .alias("e64"))
+    w = Window.partitionBy("track_id").orderBy("seq")
+    d = F.col("e64") - F.lag("e64", 1).over(w)
+    return (e.withColumn("_d", d)
+            .groupBy("track_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_points"),
+                 F.coalesce(F.sum(F.when(F.col("_d") > 0, F.col("_d"))),
+                            F.lit(0)).cast("long").alias("gain64"),
+                 F.coalesce(F.sum(F.when(F.col("_d") < 0, -F.col("_d"))),
+                            F.lit(0)).cast("long").alias("loss64"),
+                 F.min("e64").cast("long").alias("min_e64"),
+                 F.max("e64").cast("long").alias("max_e64")))
+
+
+def _elevation_profile_oracle() -> str:
+    from .queries import _BILINEAR_ORACLE
+    return f"""WITH base AS ({_BILINEAR_ORACLE}),
+e AS (SELECT CAST(pid % 50 AS BIGINT) AS track_id, pid AS seq,
+  CAST(floor(elevation * 64 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS e64
+  FROM base),
+d AS (SELECT track_id, e64,
+  e64 - lag(e64, 1) OVER (PARTITION BY track_id ORDER BY seq) AS df
+  FROM e)
+SELECT track_id, CAST(count(*) AS BIGINT) AS n_points,
+  CAST(coalesce(sum(CASE WHEN df > 0 THEN df END), 0) AS BIGINT) AS gain64,
+  CAST(coalesce(sum(CASE WHEN df < 0 THEN -df END), 0) AS BIGINT) AS loss64,
+  CAST(min(e64) AS BIGINT) AS min_e64,
+  CAST(max(e64) AS BIGINT) AS max_e64
+FROM d GROUP BY 1"""
+
+
 def q_embedding_neardup(spark, sf_dir):
     return similarity.embedding_near_dup_pairs(
         load(spark, sf_dir, "embeddings"), min_score=1)
@@ -744,12 +791,14 @@ SPARK_QUERIES.update({
     "simhash_pairs": q_simhash_pairs,
     "distinct_stats": q_distinct_stats,
     "track_cumlen": q_track_cumlen,
+    "elevation_profile": q_elevation_profile,
     "embedding_neardup": q_embedding_neardup,
 })
 ORACLES.update({
     "simhash_pairs": _SIMHASH_PAIRS_ORACLE,
     "distinct_stats": _DISTINCT_STATS_ORACLE,
     "track_cumlen": _track_oracle(),
+    "elevation_profile": _elevation_profile_oracle(),
     "embedding_neardup": _embedding_neardup_oracle(),
 })
 
