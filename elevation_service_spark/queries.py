@@ -582,6 +582,7 @@ _DEMOTED = [
     "weighted_sample",   # new r6: systematic weighted sample, no global window
     "bpe_encode",        # new r6: learned-vocab apply, per-doc piece counts
     "elevation_profile", # new r6: per-track gain/loss over the real enrich
+    "ann_recall",        # new r6: recall@k eval of LSH vs brute truth
 ]
 
 

@@ -842,6 +842,38 @@ SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM (
 ORACLES["ann_lsh"] = _ann_lsh_oracle()
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN quality evaluation (r6): recall@k of the sign-LSH index
+    against the brute-force ground truth — the measurement loop any
+    approximate-similarity deployment runs before trusting the index.
+    Both sides are the exact gated operators; recall_milli is integer
+    (n_hits * 1000 div k), deterministic because both top-k lists use
+    the total (score DESC, vec_id) order."""
+    bt = q_ann_topk(spark, sf_dir).select("qid", "vec_id")
+    lh = (q_ann_lsh(spark, sf_dir).select("qid", "vec_id")
+          .withColumn("_hit", F.lit(1)))
+    return (bt.join(lh, ["qid", "vec_id"], "left")
+            .groupBy("qid")
+            .agg(F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+                 .alias("n_hits"))
+            .select("qid", "n_hits",
+                    F.expr(f"n_hits * 1000L div {ANN_K}")
+                    .alias("recall_milli")))
+
+
+def _ann_recall_oracle() -> str:
+    return f"""WITH bt AS ({_ANN_ORACLE}),
+lh AS ({_ann_lsh_oracle()})
+SELECT bt.qid, CAST(count(lh.vec_id) AS BIGINT) AS n_hits,
+  CAST(count(lh.vec_id) * 1000 // {ANN_K} AS BIGINT) AS recall_milli
+FROM bt LEFT JOIN lh ON lh.qid = bt.qid AND lh.vec_id = bt.vec_id
+GROUP BY bt.qid"""
+
+
+SPARK_QUERIES["ann_recall"] = q_ann_recall
+ORACLES["ann_recall"] = _ann_recall_oracle()
+
+
 # --- rows-only queries (no SQL-expressible oracle; driver records a weaker
 # rows-only check — approx sketches differ across engines by design) --------
 
