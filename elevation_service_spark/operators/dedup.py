@@ -318,6 +318,45 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                     (F.col("n1") + F.col("n2") - F.coalesce(F.col("inter"), F.lit(0))).cast("long").alias("uni")))
 
 
+def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      pairs: DataFrame | None = None) -> DataFrame:
+    """Asymmetric CONTAINMENT verification for LSH candidate pairs —
+    (id1, id2, inter, n1, n2, cont1_milli, cont2_milli) where
+    cont1 = |sh(A) ∩ sh(B)| / |sh(A)|: the quote/inclusion detector that
+    symmetric Jaccard structurally misses (a short doc fully embedded in
+    a long one has tiny Jaccard but containment 1.0 — the sub-document
+    duplication case CCNet/Dolma pipelines special-case).  Integer milli
+    scores: floor(inter * 1000 / n_sh), engine-portable.
+
+    Same verification join shape as jaccard_pairs (the intersection is
+    computed BY the composite-key hash join, never |sh1| x |sh2| per
+    pair); zero-shingle docs cannot appear (n >= 1 shingles required to
+    land in a candidate pair via minhash)."""
+    sh = ngram_shingles(docs, id_col, text_col, n)
+    if pairs is None:
+        pairs = lsh_candidate_pairs(docs, id_col, text_col)
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (pairs
+             .join(sh.withColumnRenamed("id", "id1"), "id1")
+             .join(sh.withColumnRenamed("id", "id2"), ["id2", "shingle"])
+             .groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("inter")))
+    iv = F.coalesce(F.col("inter"), F.lit(0))
+    return (pairs
+            .join(inter, ["id1", "id2"], "left")
+            .join(counts.withColumnRenamed("id", "id1")
+                  .withColumnRenamed("n_sh", "n1"), "id1")
+            .join(counts.withColumnRenamed("id", "id2")
+                  .withColumnRenamed("n_sh", "n2"), "id2")
+            .select("id1", "id2", iv.cast("long").alias("inter"),
+                    F.col("n1").cast("long").alias("n1"),
+                    F.col("n2").cast("long").alias("n2"),
+                    F.expr("coalesce(inter, 0) * 1000L div n1")
+                    .alias("cont1_milli"),
+                    F.expr("coalesce(inter, 0) * 1000L div n2")
+                    .alias("cont2_milli")))
+
+
 def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", sep: str = "\n") -> DataFrame:
     """Corpus-wide exact paragraph dedup (r6): the CCNet/Dolma boilerplate

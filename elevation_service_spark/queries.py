@@ -583,6 +583,7 @@ _DEMOTED = [
     "bpe_encode",        # new r6: learned-vocab apply, per-doc piece counts
     "elevation_profile", # new r6: per-track gain/loss over the real enrich
     "ann_recall",        # new r6: recall@k eval of LSH vs brute truth
+    "containment_pairs", # new r6: asymmetric inclusion verify for candidates
 ]
 
 

@@ -90,6 +90,36 @@ def q_lsh_pairs_capped(spark, sf_dir):
                                      max_bucket=100_000)
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment verification (r6): |A∩B|/|A| and /|B| per
+    LSH candidate pair — catches sub-document duplication (full
+    inclusion) that symmetric Jaccard misses."""
+    return dedup.containment_pairs(load(spark, sf_dir, "documents"))
+
+
+_CONTAINMENT_ORACLE = f"""WITH {_PAIRS_CTE},
+sh0 AS (SELECT id,
+        tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle,
+        lead(tok, 2) OVER w AS t2
+        FROM tok WINDOW w AS (PARTITION BY id ORDER BY pos)),
+sh AS (SELECT DISTINCT id, shingle FROM sh0 WHERE t2 IS NOT NULL),
+counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (SELECT p.id1, p.id2, count(*) AS inter
+          FROM pairs p
+          JOIN sh a ON a.id = p.id1
+          JOIN sh b ON b.id = p.id2 AND b.shingle = a.shingle
+          GROUP BY p.id1, p.id2)
+SELECT p.id1, p.id2,
+  CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+  CAST(c1.n_sh AS BIGINT) AS n1, CAST(c2.n_sh AS BIGINT) AS n2,
+  CAST(coalesce(i.inter, 0) * 1000 // c1.n_sh AS BIGINT) AS cont1_milli,
+  CAST(coalesce(i.inter, 0) * 1000 // c2.n_sh AS BIGINT) AS cont2_milli
+FROM pairs p
+LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+JOIN counts c1 ON c1.id = p.id1
+JOIN counts c2 ON c2.id = p.id2"""
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash(load(spark, sf_dir, "documents"))
 
@@ -589,6 +619,7 @@ SPARK_QUERIES = {
     "lsh_pairs_capped": q_lsh_pairs_capped,
     "simhash": q_simhash,
     "jaccard_pairs": q_jaccard_pairs,
+    "containment_pairs": q_containment_pairs,
     "text_stats": q_text_stats,
     "token_count": q_token_count,
     "lang_id": q_lang_id,
@@ -615,6 +646,7 @@ ORACLES = {
     "lsh_pairs_capped": _LSH_PAIRS_ORACLE,
     "simhash": _SIMHASH_ORACLE,
     "jaccard_pairs": _JACCARD_ORACLE,
+    "containment_pairs": _CONTAINMENT_ORACLE,
     "text_stats": _TEXT_STATS_ORACLE,
     "token_count": _TOKEN_COUNT_ORACLE,
     "lang_id": _langid_oracle(),

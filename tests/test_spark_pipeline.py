@@ -1256,3 +1256,23 @@ def test_weighted_systematic_sample_semantics(spark):
     W = sum(w for _, w in rows if w > 0)
     n500 = sum(1 for _, rid, _ in brute(64) if rid == 500)
     assert n500 in (400 * 64 // W, 400 * 64 // W + 1) and n500 >= 2
+
+
+def test_containment_pairs_detects_inclusion(spark):
+    """r6 containment: a short doc fully embedded in a long one scores
+    cont=1000 for the short side while Jaccard stays small."""
+    from elevation_service_spark.operators.dedup import (containment_pairs,
+                                                         jaccard_pairs)
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    docs = spark.createDataFrame([(1, short), (2, long_)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    got = containment_pairs(docs, pairs=pairs).collect()[0]
+    # all of short's shingles appear in long
+    assert got["cont1_milli"] == 1000
+    assert got["inter"] == got["n1"] == 3  # 5 tokens -> 3 trigram shingles
+    assert got["cont2_milli"] < 100       # tiny fraction of the long doc
+    j = jaccard_pairs(docs, pairs=pairs).collect()[0]
+    assert j["inter"] * 1000 // j["uni"] < 100  # Jaccard misses it
