@@ -584,6 +584,7 @@ _DEMOTED = [
     "elevation_profile", # new r6: per-track gain/loss over the real enrich
     "ann_recall",        # new r6: recall@k eval of LSH vs brute truth
     "containment_pairs", # new r6: asymmetric inclusion verify for candidates
+    "host_components",   # new r6: CC over the real crawl link graph
 ]
 
 

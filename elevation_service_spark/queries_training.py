@@ -1916,6 +1916,37 @@ SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
 FROM h GROUP BY 1, 2"""
 
 
+def q_host_components(spark, sf_dir):
+    """Weakly-connected components of the REAL crawl link graph (r6):
+    href extraction -> canonicalized host edges -> iterative min-label
+    propagation — the mirror-site / link-farm grouping pass.  String
+    vertex ids exercise CC's min-label over lexicographic order; the
+    oracle recomputes components with the recursive reachability CTE
+    over the same extracted edge list."""
+    from .operators.cluster import connected_components
+    from .operators.web import link_graph
+    pages = load(spark, sf_dir, "documents").select(
+        F.expr(_SRC_HOST_SQL).alias("src_host"),
+        F.expr(_LINKS_BODY_SQL).alias("html"))
+    g = link_graph(pages)
+    edges = g.select(F.col("src_host").alias("id1"),
+                     F.col("dst_host").alias("id2"))
+    return connected_components(edges)
+
+
+_HOST_COMPONENTS_ORACLE = f"""WITH RECURSIVE lg AS ({_LINK_GRAPH_ORACLE}),
+edge AS (SELECT src_host AS id1, dst_host AS id2 FROM lg),
+sym AS (SELECT id1 AS id, id2 AS nbr FROM edge
+        UNION ALL SELECT id2 AS id, id1 AS nbr FROM edge),
+verts AS (SELECT DISTINCT id1 AS id FROM edge
+          UNION SELECT DISTINCT id2 AS id FROM edge),
+reach(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT s.id, r.comp FROM sym s JOIN reach r ON r.id = s.nbr)
+SELECT id, min(comp) AS component FROM reach GROUP BY id"""
+
+
 def q_bigram_lm(spark, sf_dir):
     """Count-based bigram LM quality scoring (r5): corpus-trained bigram /
     context counts, each doc scored as the exact integer micro-sum of its
@@ -2260,6 +2291,7 @@ SPARK_QUERIES.update({"url_canonical": q_url_canonical,
                       "pii_redact": q_pii_redact,
                       "bigram_lm": q_bigram_lm,
                       "link_graph": q_link_graph,
+                      "host_components": q_host_components,
                       "bpe_merges": q_bpe_merges,
                       "collocations": q_collocations,
                       "bpe_encode": q_bpe_encode})
@@ -2273,6 +2305,7 @@ ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
                 "pii_redact": _pii_oracle(),
                 "bigram_lm": _BIGRAM_LM_ORACLE,
                 "link_graph": _LINK_GRAPH_ORACLE,
+                "host_components": _HOST_COMPONENTS_ORACLE,
                 "bpe_merges": _bpe_oracle(),
                 "collocations": _colloc_oracle(),
                 "bpe_encode": _bpe_encode_oracle()})
