@@ -137,6 +137,34 @@ def weighted_systematic_sample(df: DataFrame, key: str, weight_col: str,
     Returns (pick_idx, id, w) — exactly k rows whenever W > 0."""
     spark = df.sparkSession
     out_schema = "pick_idx int, id long, w long"
+    lined, btot, offs, total = _hash_order_prefix(df, key, weight_col, salt)
+    if total == 0:
+        return spark.createDataFrame([], out_schema)
+    buckets = sorted(btot)
+    positions, bi = [], 0
+    for i in range(int(k)):
+        p = i * total // int(k)
+        while offs[buckets[bi]] + btot[buckets[bi]] <= p:
+            bi += 1  # positions are ascending: single forward scan
+        positions.append((i, p, buckets[bi]))
+    pos_df = spark.createDataFrame(positions, "pick_idx int, pos long, _bk string")
+    return (lined.join(
+        F.broadcast(pos_df),
+        (lined["_bk"] == pos_df["_bk"]) & (pos_df["pos"] >= F.col("_s"))
+        & (pos_df["pos"] < F.col("_s") + F.col("w")))
+        .select("pick_idx", "id", "w"))
+
+
+def _hash_order_prefix(df: DataFrame, key: str, weight_col: str,
+                       salt: str = ""):
+    """Shared cumulative-weight-line machinery (weighted sample + shard
+    packing): rows in md5(key)-order with their GLOBAL start offset
+    ``_s``, built WITHOUT a partition-less window — 256 hex-prefix
+    buckets, a <= 256-row driver offset collect, and a bucket-PARTITIONED
+    cumulative window.  Returns (lined_df[id, w, _hx, _bk, _s], per-
+    bucket totals, bucket offsets, grand total).  Non-positive weights
+    are excluded by contract."""
+    from pyspark.sql import Window
     base = (df.select(
         F.col(key).cast("long").alias("id"),
         F.col(weight_col).cast("long").alias("w"),
@@ -147,30 +175,43 @@ def weighted_systematic_sample(df: DataFrame, key: str, weight_col: str,
     btot = {r["_bk"]: int(r["tw"]) for r in
             base.groupBy("_bk").agg(F.sum("w").alias("tw")).collect()}
     total = sum(btot.values())
-    if total == 0:
-        return spark.createDataFrame([], out_schema)
     offs, acc = {}, 0
     for b in sorted(btot):  # hex-prefix order == full-hash order prefix
         offs[b] = acc
         acc += btot[b]
-    buckets = sorted(btot)
-    positions, bi = [], 0
-    for i in range(int(k)):
-        p = i * total // int(k)
-        while offs[buckets[bi]] + btot[buckets[bi]] <= p:
-            bi += 1  # positions are ascending: single forward scan
-        positions.append((i, p, buckets[bi]))
-    pos_df = spark.createDataFrame(positions, "pick_idx int, pos long, _bk string")
-    from pyspark.sql import Window
     w_in = (Window.partitionBy("_bk").orderBy("_hx", "id")
             .rowsBetween(Window.unboundedPreceding, 0))
-    offs_df = spark.createDataFrame(
-        [(b, o) for b, o in offs.items()], "_bk string, off long")
+    offs_df = df.sparkSession.createDataFrame(
+        [(b, o) for b, o in offs.items()] or [("", 0)],
+        "_bk string, off long")
     lined = (base.join(F.broadcast(offs_df), "_bk")
              .withColumn("_s", F.sum("w").over(w_in) - F.col("w")
                          + F.col("off")))
-    return (lined.join(
-        F.broadcast(pos_df),
-        (lined["_bk"] == pos_df["_bk"]) & (pos_df["pos"] >= F.col("_s"))
-        & (pos_df["pos"] < F.col("_s") + F.col("w")))
-        .select("pick_idx", "id", "w"))
+    return lined, btot, offs, total
+
+
+def shard_plan(df: DataFrame, key: str, weight_col: str,
+               shard_size: int, salt: str = "") -> DataFrame:
+    """Token-budget SHARD PACKING: lay documents on the cumulative-weight
+    (token) line in md5(key) order and cut it every ``shard_size``
+    units — shard_id = floor(start_offset / shard_size).  The training-
+    shard planner: every shard holds ~shard_size tokens (±1 document),
+    assignment is deterministic on any partitioning and engine, and
+    adding documents never reshuffles earlier shards' RELATIVE order
+    (the md5 line is stable).  Returns the per-shard manifest
+    (shard, n_docs, w_sum, w_min, w_max) — the bounded artifact a shard
+    writer consumes.
+
+    Scale shape: the shared _hash_order_prefix machinery (no global
+    window, bounded driver offsets) + ONE map-side-combinable rollup."""
+    if int(shard_size) <= 0:
+        raise ValueError("shard_size must be positive")
+    lined, _, _, total = _hash_order_prefix(df, key, weight_col, salt)
+    return (lined.select(
+        F.expr(f"_s div {int(shard_size)}").alias("shard"),
+        "id", "w")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("w").cast("long").alias("w_sum"),
+             F.min("w").cast("long").alias("w_min"),
+             F.max("w").cast("long").alias("w_max")))

@@ -585,6 +585,7 @@ _DEMOTED = [
     "ann_recall",        # new r6: recall@k eval of LSH vs brute truth
     "containment_pairs", # new r6: asymmetric inclusion verify for candidates
     "host_components",   # new r6: CC over the real crawl link graph
+    "shard_plan",        # new r6: token-budget shard packing manifest
 ]
 
 

@@ -2360,10 +2360,40 @@ SELECT p.pick_idx, o.id, o.w
 FROM p JOIN o ON p.pos >= o.s AND p.pos < o.s + o.w"""
 
 
+SHARD_SIZE = 20_000  # weight units (tokens) per training shard
+
+
+def q_shard_plan(spark, sf_dir):
+    """Token-budget shard packing (r6): documents on the md5-ordered
+    cumulative-token line, cut every SHARD_SIZE units — the per-shard
+    manifest (n_docs, token sum, min/max doc weight) a training-shard
+    writer consumes.  Same no-global-window machinery as
+    weighted_sample; the oracle replays with a plain global window."""
+    from .operators.sampling import shard_plan
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_WSS_W_SQL).alias("wt"))
+    return shard_plan(docs, "doc_id", "wt", SHARD_SIZE)
+
+
+_SHARD_PLAN_ORACLE = f"""WITH d AS (
+  SELECT doc_id AS id, CAST({_WSS_W_SQL} AS BIGINT) AS w FROM documents),
+h AS (SELECT id, w, md5(CAST(id AS STRING) || '') AS hx FROM d WHERE w > 0),
+o AS (SELECT *, sum(w) OVER (ORDER BY hx, id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS s FROM h)
+SELECT CAST(s // {SHARD_SIZE} AS BIGINT) AS shard,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(w) AS BIGINT) AS w_sum,
+  CAST(min(w) AS BIGINT) AS w_min,
+  CAST(max(w) AS BIGINT) AS w_max
+FROM o GROUP BY 1"""
+
+
 SPARK_QUERIES.update({"stratified_sample": q_stratified_sample,
-                      "weighted_sample": q_weighted_sample})
+                      "weighted_sample": q_weighted_sample,
+                      "shard_plan": q_shard_plan})
 ORACLES.update({"stratified_sample": _STRATIFIED_ORACLE,
-                "weighted_sample": _WSS_ORACLE})
+                "weighted_sample": _WSS_ORACLE,
+                "shard_plan": _SHARD_PLAN_ORACLE})
 
 
 # --- mergeable sketches: count-min + Bloom (r5) ------------------------------

@@ -1276,3 +1276,33 @@ def test_containment_pairs_detects_inclusion(spark):
     assert got["cont2_milli"] < 100       # tiny fraction of the long doc
     j = jaccard_pairs(docs, pairs=pairs).collect()[0]
     assert j["inter"] * 1000 // j["uni"] < 100  # Jaccard misses it
+
+
+def test_shard_plan_packing_invariants(spark):
+    """r6 shard packing: every doc assigned once, shard sums reconstruct
+    the corpus, each shard's span obeys the size cut (a shard's docs all
+    START inside [shard*S, (shard+1)*S)), and assignment matches a
+    brute-force md5-line replay."""
+    import hashlib
+
+    from elevation_service_spark.operators.sampling import shard_plan
+
+    rows = [(i, (i * 13) % 7 + 1) for i in range(300)] + [(900, 50), (901, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, wt long")
+    S = 40
+    got = {r["shard"]: (r["n_docs"], r["w_sum"], r["w_min"], r["w_max"])
+           for r in shard_plan(df, "doc_id", "wt", S).collect()}
+
+    live = [(i, w) for i, w in rows if w > 0]
+    order = sorted(live, key=lambda t: (hashlib.md5(
+        str(t[0]).encode()).hexdigest(), t[0]))
+    exp, s = {}, 0
+    for i, w in order:
+        sh = s // S
+        n, tot, lo, hi = exp.get(sh, (0, 0, None, None))
+        exp[sh] = (n + 1, tot + w,
+                   w if lo is None else min(lo, w),
+                   w if hi is None else max(hi, w))
+        s += w
+    assert got == exp
+    assert sum(v[1] for v in got.values()) == sum(w for _, w in live)
