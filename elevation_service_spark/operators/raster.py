@@ -348,6 +348,64 @@ def tile_tri_stats(tiles: DataFrame) -> DataFrame:
     return tile_terrain_stats(tiles, aspect=False, tri=True)
 
 
+CONTOUR_LEVELS = (0, 500)  # DEM units; fixture z spans [-1000, 1000)
+_CONTOUR_SCHEMA = T.StructType([
+    T.StructField("tile_key", T.StringType(), False),
+    T.StructField("level", T.IntegerType(), False),
+    T.StructField("n_hcross", T.LongType(), False),
+    T.StructField("n_vcross", T.LongType(), False),
+    T.StructField("n_cells_cut", T.LongType(), False),
+    T.StructField("n_saddle", T.LongType(), False)])
+
+
+def tile_contour_stats(tiles: DataFrame,
+                       levels: tuple[int, ...] = CONTOUR_LEVELS) -> DataFrame:
+    """Marching-squares contour census (r6): per (tile, level) the exact
+    counts a contour extractor needs before emitting geometry — lattice
+    edges the level crosses (horizontal / vertical separately: a
+    crossing is (z1 < L) != (z2 < L), the open/closed convention fixed
+    so both engines agree on exact-level nodes), cells the level cuts,
+    and AMBIGUOUS (saddle) cells where marching squares must
+    disambiguate (diagonal corners agree, adjacent ones differ).  Void
+    nodes knock out every edge/cell that touches them.  All boolean
+    integer compares — the oracle replays each count closed-form from
+    the lattice DEM.
+
+    One decode, map-only, O(tiles x levels) output — the cartography
+    primitive (real contour GEOMETRY emission would follow the same
+    per-cell dispatch; the census is the hash-gateable core)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in _CONTOUR_SCHEMA.fields}
+            for _, r in pdf.iterrows():
+                z = decode_tile_bytes(r["encoding"], bytes(r["data"])) \
+                    .astype(np.int32)
+                vm = z != kernels.VOID
+                hvalid = vm[:, :-1] & vm[:, 1:]
+                vvalid = vm[:-1, :] & vm[1:, :]
+                cvalid = (vm[:-1, :-1] & vm[:-1, 1:]
+                          & vm[1:, :-1] & vm[1:, 1:])
+                for lv in levels:
+                    b = z < lv
+                    c00, c01 = b[:-1, :-1], b[:-1, 1:]
+                    c10, c11 = b[1:, :-1], b[1:, 1:]
+                    uniform = (c00 == c01) & (c01 == c10) & (c10 == c11)
+                    saddle = (c00 == c11) & (c01 == c10) & (c00 != c01)
+                    out["tile_key"].append(r["tile_key"])
+                    out["level"].append(int(lv))
+                    out["n_hcross"].append(
+                        int(((b[:, :-1] != b[:, 1:]) & hvalid).sum()))
+                    out["n_vcross"].append(
+                        int(((b[:-1, :] != b[1:, :]) & vvalid).sum()))
+                    out["n_cells_cut"].append(int((cvalid & ~uniform).sum()))
+                    out["n_saddle"].append(int((cvalid & saddle).sum()))
+            yield pd.DataFrame(out)
+
+    return (tiles.select("tile_key", "encoding", "data")
+            .mapInPandas(gen, _CONTOUR_SCHEMA))
+
+
 def tile_flowacc_stats(tiles: DataFrame) -> DataFrame:
     """D8 flow-accumulation view of the fused kernel (r6): slope fields
     + ACC_ROUNDS-round upstream contributing area (sum / max / channel

@@ -586,6 +586,7 @@ _DEMOTED = [
     "containment_pairs", # new r6: asymmetric inclusion verify for candidates
     "host_components",   # new r6: CC over the real crawl link graph
     "shard_plan",        # new r6: token-budget shard packing manifest
+    "tile_contour",      # new r6: marching-squares crossing census
 ]
 
 

@@ -302,6 +302,66 @@ SELECT s.*, fr.sum_acc, fr.max_acc, fr.n_channel
 FROM s JOIN fr USING (tile_key)"""
 
 
+def q_tile_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares contour census (r6): per (tile, level) crossing /
+    cut-cell / saddle counts — the cartography primitive's hash-gateable
+    core.  The oracle enumerates every lattice edge and cell closed-form
+    from the integer DEM with the identical (z < L) convention and void
+    knock-outs."""
+    from .operators.raster import tile_contour_stats
+    return tile_contour_stats(fixture_tiles_df(spark))
+
+
+def _tile_contour_oracle() -> str:
+    from .operators.raster import CONTOUR_LEVELS
+    tiles = ", ".join(f"('{t[0]}', {t[1]}, {t[2]}, {t[3]})"
+                      for t in fixtures.FIXTURE_TILES)
+    vr, vc = fixtures.VOID_NODE
+    lvals = ", ".join(f"({lv})" for lv in CONTOUR_LEVELS)
+
+    def zf(r: str, c: str) -> str:
+        return (f"(((sw_lat + 90) * (size - 1) + ({r})) * 31"
+                f" + ((sw_lon + 180) * (size - 1) + ({c})) * 17)"
+                " % 2000 - 1000")
+
+    return f"""WITH t(tile_key, sw_lat, sw_lon, size) AS (VALUES {tiles}),
+lv(level) AS (VALUES {lvals}),
+hr AS (SELECT *, unnest(range(0, size)) AS r FROM t),
+hcc AS (SELECT *, unnest(range(0, size - 1)) AS c FROM hr),
+hz AS (SELECT tile_key, {zf('r', 'c')} AS z1, {zf('r', 'c + 1')} AS z2
+       FROM hcc WHERE NOT (r = {vr} AND (c = {vc} OR c + 1 = {vc}))),
+he AS (SELECT tile_key, level,
+  CAST(count(*) FILTER (WHERE (z1 < level) <> (z2 < level)) AS BIGINT) AS n_hcross
+  FROM hz, lv GROUP BY 1, 2),
+vrr AS (SELECT *, unnest(range(0, size - 1)) AS r FROM t),
+vcc AS (SELECT *, unnest(range(0, size)) AS c FROM vrr),
+vz AS (SELECT tile_key, {zf('r', 'c')} AS z1, {zf('r + 1', 'c')} AS z2
+       FROM vcc WHERE NOT (c = {vc} AND (r = {vr} OR r + 1 = {vr}))),
+ve AS (SELECT tile_key, level,
+  CAST(count(*) FILTER (WHERE (z1 < level) <> (z2 < level)) AS BIGINT) AS n_vcross
+  FROM vz, lv GROUP BY 1, 2),
+cr AS (SELECT *, unnest(range(0, size - 1)) AS r FROM t),
+cc AS (SELECT *, unnest(range(0, size - 1)) AS c FROM cr),
+cz AS (SELECT tile_key,
+  {zf('r', 'c')} AS z00, {zf('r', 'c + 1')} AS z01,
+  {zf('r + 1', 'c')} AS z10, {zf('r + 1', 'c + 1')} AS z11
+  FROM cc WHERE NOT ((r = {vr} OR r + 1 = {vr})
+                     AND (c = {vc} OR c + 1 = {vc}))),
+cb AS (SELECT tile_key, level,
+  z00 < level AS c00, z01 < level AS c01,
+  z10 < level AS c10, z11 < level AS c11 FROM cz, lv),
+ce AS (SELECT tile_key, level,
+  CAST(count(*) FILTER (WHERE NOT (c00 = c01 AND c01 = c10 AND c10 = c11))
+    AS BIGINT) AS n_cells_cut,
+  CAST(count(*) FILTER (WHERE c00 = c11 AND c01 = c10 AND c00 <> c01)
+    AS BIGINT) AS n_saddle
+  FROM cb GROUP BY 1, 2)
+SELECT he.tile_key, CAST(he.level AS INTEGER) AS level,
+       he.n_hcross, ve.n_vcross, ce.n_cells_cut, ce.n_saddle
+FROM he JOIN ve ON ve.tile_key = he.tile_key AND ve.level = he.level
+JOIN ce ON ce.tile_key = he.tile_key AND ce.level = he.level"""
+
+
 def q_tile_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused slope + aspect in ONE decode pass (r6, VERDICT r5 #5): the
     combined schema a terrain pipeline actually wants — paying the
@@ -488,6 +548,7 @@ SPARK_QUERIES = {
     "tile_tri": q_tile_tri,
     "tile_flowdir": q_tile_flowdir,
     "tile_flowacc": q_tile_flowacc,
+    "tile_contour": q_tile_contour,
     "tile_pyramid": q_tile_pyramid,
     "tile_mosaic": q_tile_mosaic,
     "resumable_enrich": q_resumable_enrich,
@@ -500,6 +561,7 @@ ORACLES = {
     "tile_tri": _tile_tri_oracle(),
     "tile_flowdir": _tile_flowdir_oracle(),
     "tile_flowacc": _tile_flowacc_oracle(),
+    "tile_contour": _tile_contour_oracle(),
     "tile_pyramid": _tile_pyramid_oracle(),
     "tile_mosaic": _tile_mosaic_oracle(),
     "resumable_enrich": _BILINEAR_ORACLE,

@@ -690,3 +690,39 @@ def test_tile_flowacc_stats_semantics(spark):
     g = rng.integers(0, 50, (size, size)).astype(np.int16)
     g[3, 3] = kernels.VOID
     assert run(g) == brute(g)
+
+
+def test_tile_contour_stats_semantics(spark):
+    """r6 contour census: a column ramp crosses once per row, a
+    checkerboard is ALL saddles, and a void knocks out its edges and
+    cells."""
+    import numpy as np
+
+    from elevation_service_spark import kernels
+    from elevation_service_spark.operators.raster import tile_contour_stats
+
+    def run(grid, levels):
+        tiles = spark.createDataFrame(
+            [("T", 0, 0, "terrarium-png",
+              bytearray(kernels.encode_terrarium_png(
+                  grid.astype(np.int16))))],
+            "tile_key string, sw_lat int, sw_lon int, encoding string, data binary")
+        return {r["level"]: r for r in
+                tile_contour_stats(tiles, levels=levels).collect()}
+
+    size = 8
+    # column ramp z = 100c, level 350: one h-crossing per row at c=3|4
+    g = 100 * np.arange(size)[None, :] * np.ones((size, 1))
+    r = run(g, (350,))[350]
+    assert (r["n_hcross"], r["n_vcross"]) == (size, 0)
+    assert (r["n_cells_cut"], r["n_saddle"]) == (size - 1, 0)
+    # checkerboard at level 50: every edge crosses, every cell a saddle
+    g = 100.0 * ((np.arange(size)[:, None] + np.arange(size)[None, :]) % 2)
+    r = run(g, (50,))[50]
+    assert r["n_hcross"] == r["n_vcross"] == size * (size - 1)
+    assert r["n_cells_cut"] == r["n_saddle"] == (size - 1) ** 2
+    # void at (4,4) removes its 4 edges and 4 cells
+    g[4, 4] = kernels.VOID
+    r = run(g, (50,))[50]
+    assert r["n_hcross"] == r["n_vcross"] == size * (size - 1) - 2
+    assert r["n_cells_cut"] == r["n_saddle"] == (size - 1) ** 2 - 4
