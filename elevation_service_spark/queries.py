@@ -587,6 +587,7 @@ _DEMOTED = [
     "host_components",   # new r6: CC over the real crawl link graph
     "shard_plan",        # new r6: token-budget shard packing manifest
     "tile_contour",      # new r6: marching-squares crossing census
+    "resample_locf",     # new r6: fixed-grid LOCF resampling via as-of
 ]
 
 

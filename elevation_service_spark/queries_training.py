@@ -1501,6 +1501,64 @@ FROM l LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (event_id)"""
 SPARK_QUERIES["asof_join"] = q_asof_join
 ORACLES["asof_join"] = _ASOF_ORACLE
 
+# fixed resample grid: 2024-01-01T00:00Z, 2-day step, 16 instants — covers
+# the generated events window (Jan 2024) at every SF; the first instant
+# precedes the earliest event so the no-match NULL row is always exercised
+RESAMPLE_T0 = 1_704_067_200_000_000
+RESAMPLE_STEP = 172_800_000_000
+RESAMPLE_N = 16
+
+
+def q_resample_locf(spark, sf_dir):
+    """Time-grid resampling with gap-fill (r6): every user sampled at the
+    fixed 16-instant grid, each instant carrying the latest event value
+    at-or-before it (last-observation-carried-forward) — the series
+    regularization pass feature pipelines run before windowed models.
+    Pure composition: deterministic grid (sequence + ONE explode) ⨝
+    events through the union-and-window as-of join (one shuffle)."""
+    from .operators.asof import asof_join
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    grid = users.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.lit(0), F.lit(RESAMPLE_N - 1))).alias("gi"))
+    left = grid.select(
+        "user_id", "gi",
+        (F.lit(RESAMPLE_T0) + F.col("gi") * F.lit(RESAMPLE_STEP))
+        .alias("grid_ts_us"))
+    right = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("grid_ts_us"),
+        F.col("event_id").alias("rid"),
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("mv"))
+    out = asof_join(left, right, group_col="user_id", key_col="grid_ts_us",
+                    carry_cols=("mv",))
+    return out.select("user_id", "gi", "grid_ts_us",
+                      "matched_rid", "matched_mv")
+
+
+_RESAMPLE_ORACLE = f"""WITH u AS (SELECT DISTINCT user_id FROM events),
+g AS (SELECT user_id, CAST(i AS INT) AS gi,
+             {RESAMPLE_T0} + i * {RESAMPLE_STEP} AS grid_ts_us
+      FROM u, (SELECT unnest(range({RESAMPLE_N})) AS i)),
+r AS (SELECT user_id, epoch_us(ts) AS k, event_id AS rid,
+             CAST(floor(value * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mv
+      FROM events),
+cand AS (
+  SELECT g.user_id, g.gi, r.rid, r.mv,
+         row_number() OVER (PARTITION BY g.user_id, g.gi
+                            ORDER BY r.k DESC, r.rid DESC) AS rn
+  FROM g JOIN r ON r.user_id = g.user_id AND r.k <= g.grid_ts_us)
+SELECT g.user_id, g.gi, g.grid_ts_us, c.rid AS matched_rid,
+       c.mv AS matched_mv
+FROM g LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+  ON c.user_id = g.user_id AND c.gi = g.gi"""
+
+SPARK_QUERIES["resample_locf"] = q_resample_locf
+ORACLES["resample_locf"] = _RESAMPLE_ORACLE
+
 
 IVF_CENTROID_IDS = list(range(10, 18))
 
