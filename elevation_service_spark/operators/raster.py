@@ -406,6 +406,69 @@ def tile_contour_stats(tiles: DataFrame,
             .mapInPandas(gen, _CONTOUR_SCHEMA))
 
 
+_VIEW_RAYS = (  # (name, dr, dc) — 8 compass rays from the tile centre
+    ("e", 0, 1), ("ne", 1, 1), ("n", 1, 0), ("nw", 1, -1),
+    ("w", 0, -1), ("sw", -1, -1), ("s", -1, 0), ("se", -1, 1))
+_VIEW_SCHEMA = T.StructType([
+    T.StructField("tile_key", T.StringType(), False),
+    T.StructField("ray", T.StringType(), False),
+    T.StructField("n_nodes", T.LongType(), False),
+    T.StructField("n_visible", T.LongType(), False),
+    T.StructField("max_ms", T.LongType(), True)])
+
+
+def tile_viewshed_stats(tiles: DataFrame) -> DataFrame:
+    """Line-of-sight visibility census (r6): from the tile-centre
+    observer, walk the 8 compass rays to the tile edge; node at distance
+    d is VISIBLE iff its quantized elevation slope
+    ms = floor((z_d - z_0) * 1e6 / d) STRICTLY exceeds every earlier
+    node's ms on the ray (the classic viewshed running-horizon test).
+    The micro-slope quantization is the spec: it keeps the whole
+    computation in int64 (|dz| < 2^15 so |ms| < 2^45) and floor division
+    is replayed exactly by the oracle (negative dz handled by the
+    explicit floor identity -((-dz*1e6 + d - 1) div d), so DuckDB's
+    truncating // never sees a negative operand).  Void nodes on a ray
+    are SKIPPED — neither visible nor blocking.
+
+    Per (tile, ray): n_nodes (non-void on the ray), n_visible, max_ms.
+    One decode, map-only, O(tiles x 8) output; each ray is O(size)
+    numpy (gather + cummax) — the terrain analysis primitive behind
+    visibility maps and radio/solar exposure."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in _VIEW_SCHEMA.fields}
+            for _, r in pdf.iterrows():
+                z = decode_tile_bytes(r["encoding"], bytes(r["data"])) \
+                    .astype(np.int64)
+                size = z.shape[0]
+                r0 = c0 = (size - 1) // 2
+                z0 = int(z[r0, c0])
+                L = (size - 1) // 2
+                d = np.arange(1, L + 1, dtype=np.int64)
+                for name, dr, dc in _VIEW_RAYS:
+                    zv = z[r0 + d * dr, c0 + d * dc]
+                    keep = zv != kernels.VOID
+                    dk, zk = d[keep], zv[keep]
+                    # numpy // IS floor division for negatives — the
+                    # exact identity the oracle replays by CASE
+                    ms = (zk - z0) * 1_000_000 // dk
+                    prior = np.concatenate((
+                        [np.int64(-(2 ** 62))],
+                        np.maximum.accumulate(ms)[:-1]))
+                    vis = ms > prior
+                    out["tile_key"].append(r["tile_key"])
+                    out["ray"].append(name)
+                    out["n_nodes"].append(int(dk.size))
+                    out["n_visible"].append(int(vis.sum()))
+                    out["max_ms"].append(
+                        int(ms.max()) if dk.size else None)
+            yield pd.DataFrame(out)
+
+    return (tiles.select("tile_key", "encoding", "data")
+            .mapInPandas(gen, _VIEW_SCHEMA))
+
+
 def tile_flowacc_stats(tiles: DataFrame) -> DataFrame:
     """D8 flow-accumulation view of the fused kernel (r6): slope fields
     + ACC_ROUNDS-round upstream contributing area (sum / max / channel

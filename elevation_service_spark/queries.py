@@ -588,6 +588,7 @@ _DEMOTED = [
     "shard_plan",        # new r6: token-budget shard packing manifest
     "tile_contour",      # new r6: marching-squares crossing census
     "resample_locf",     # new r6: fixed-grid LOCF resampling via as-of
+    "tile_viewshed",     # new r6: running-horizon LOS census, 8 rays
 ]
 
 

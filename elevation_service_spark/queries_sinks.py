@@ -362,6 +362,52 @@ FROM he JOIN ve ON ve.tile_key = he.tile_key AND ve.level = he.level
 JOIN ce ON ce.tile_key = he.tile_key AND ce.level = he.level"""
 
 
+def q_tile_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-of-sight viewshed census (r6): per (tile, compass ray) the
+    visible-node count under the running-horizon test with exact
+    floor-division micro-slopes.  The oracle replays every ray
+    closed-form — the floor identity keeps DuckDB's truncating division
+    away from negative operands, and the horizon is a plain
+    1-preceding window max."""
+    from .operators.raster import tile_viewshed_stats
+    return tile_viewshed_stats(fixture_tiles_df(spark))
+
+
+def _tile_viewshed_oracle() -> str:
+    from .operators.raster import _VIEW_RAYS
+    tiles = ", ".join(f"('{t[0]}', {t[1]}, {t[2]}, {t[3]})"
+                      for t in fixtures.FIXTURE_TILES)
+    vr, vc = fixtures.VOID_NODE
+    rays = ", ".join(f"('{n}', {dr}, {dc})" for n, dr, dc in _VIEW_RAYS)
+
+    def zf(r: str, c: str) -> str:
+        return (f"(((sw_lat + 90) * (size - 1) + ({r})) * 31"
+                f" + ((sw_lon + 180) * (size - 1) + ({c})) * 17)"
+                " % 2000 - 1000")
+
+    return f"""WITH t(tile_key, sw_lat, sw_lon, size) AS (VALUES {tiles}),
+ray(ray, dr, dc) AS (VALUES {rays}),
+b AS (SELECT t.*, ray.*, (size - 1) // 2 AS r0 FROM t, ray),
+dd AS (SELECT *, unnest(range(1, r0 + 1)) AS d FROM b),
+n AS (SELECT tile_key, ray, d, sw_lat, sw_lon, size, r0,
+      r0 + d * dr AS rr, r0 + d * dc AS cc FROM dd),
+k AS (SELECT tile_key, ray, d,
+      {zf('rr', 'cc')} AS zd, {zf('r0', 'r0')} AS z0
+      FROM n WHERE NOT (rr = {vr} AND cc = {vc})),
+m AS (SELECT tile_key, ray, d,
+      CASE WHEN zd - z0 >= 0 THEN ((zd - z0) * 1000000) // d
+           ELSE -(((z0 - zd) * 1000000 + d - 1) // d) END AS ms
+      FROM k),
+w AS (SELECT tile_key, ray, d, ms,
+      coalesce(max(ms) OVER (PARTITION BY tile_key, ray ORDER BY d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        -4611686018427387904) AS prior FROM m)
+SELECT tile_key, ray, CAST(count(*) AS BIGINT) AS n_nodes,
+  CAST(count(*) FILTER (WHERE ms > prior) AS BIGINT) AS n_visible,
+  CAST(max(ms) AS BIGINT) AS max_ms
+FROM w GROUP BY 1, 2"""
+
+
 def q_tile_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused slope + aspect in ONE decode pass (r6, VERDICT r5 #5): the
     combined schema a terrain pipeline actually wants — paying the
@@ -549,6 +595,7 @@ SPARK_QUERIES = {
     "tile_flowdir": q_tile_flowdir,
     "tile_flowacc": q_tile_flowacc,
     "tile_contour": q_tile_contour,
+    "tile_viewshed": q_tile_viewshed,
     "tile_pyramid": q_tile_pyramid,
     "tile_mosaic": q_tile_mosaic,
     "resumable_enrich": q_resumable_enrich,
@@ -562,6 +609,7 @@ ORACLES = {
     "tile_flowdir": _tile_flowdir_oracle(),
     "tile_flowacc": _tile_flowacc_oracle(),
     "tile_contour": _tile_contour_oracle(),
+    "tile_viewshed": _tile_viewshed_oracle(),
     "tile_pyramid": _tile_pyramid_oracle(),
     "tile_mosaic": _tile_mosaic_oracle(),
     "resumable_enrich": _BILINEAR_ORACLE,

@@ -726,3 +726,44 @@ def test_tile_contour_stats_semantics(spark):
     r = run(g, (50,))[50]
     assert r["n_hcross"] == r["n_vcross"] == size * (size - 1) - 2
     assert r["n_cells_cut"] == r["n_saddle"] == (size - 1) ** 2 - 4
+
+
+def test_tile_viewshed_stats_semantics(spark):
+    """r6 viewshed: flat terrain shows only the first node per ray
+    (equal horizon never exceeds), a convex bowl shows everything, a
+    wall hides the plain behind it, and a void node is skipped without
+    blocking."""
+    import numpy as np
+
+    from elevation_service_spark import kernels
+    from elevation_service_spark.operators.raster import tile_viewshed_stats
+
+    size = 9  # centre (4,4), rays of length 4
+
+    def run(grid):
+        tiles = spark.createDataFrame(
+            [("T", 0, 0, "terrarium-png",
+              bytearray(kernels.encode_terrarium_png(
+                  grid.astype(np.int16))))],
+            "tile_key string, sw_lat int, sw_lon int, encoding string, data binary")
+        return {r["ray"]: r for r in tile_viewshed_stats(tiles).collect()}
+
+    # flat: ms = 0 everywhere -> only d=1 visible on every ray
+    got = run(np.full((size, size), 7.0))
+    for r in got.values():
+        assert (r["n_nodes"], r["n_visible"], r["max_ms"]) == (4, 1, 0)
+    # convex bowl z = (r-4)^2 + (c-4)^2: slope strictly rises -> all 4
+    rr, cc = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    got = run(((rr - 4) ** 2 + (cc - 4) ** 2).astype(float))
+    for r in got.values():
+        assert r["n_visible"] == 4, r
+    # wall at d=2 on the E ray hides d=3,4 (their ms < the wall's)
+    g = np.zeros((size, size)); g[4, 6] = 100
+    r = run(g)["e"]
+    # visible: d=1 (ms 0), d=2 (the wall, ms 5e7); d=3,4 blocked
+    assert (r["n_visible"], r["max_ms"]) == (2, 50_000_000)
+    # void at d=2 on the E ray: skipped, not blocking -> d=1,3|4 logic
+    g = np.zeros((size, size)); g[4, 6] = kernels.VOID; g[4, 7] = 9
+    r = run(g)["e"]
+    # nodes: d=1 (0), d=3 (9 -> ms 3e6), d=4 (0) -> visible d=1, d=3
+    assert (r["n_nodes"], r["n_visible"], r["max_ms"]) == (3, 2, 3_000_000)
