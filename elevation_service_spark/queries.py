@@ -589,6 +589,7 @@ _DEMOTED = [
     "tile_contour",      # new r6: marching-squares crossing census
     "resample_locf",     # new r6: fixed-grid LOCF resampling via as-of
     "tile_viewshed",     # new r6: running-horizon LOS census, 8 rays
+    "funnel_stream",     # new r6: stateful streaming funnel, batch-parity gate
 ]
 
 

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from .operators.lookup import enrich_points
 from .sources.tiles import fixture_tiles_df
 from .queries import load, _derived_points, _BILINEAR_ORACLE
+from .queries_training import _USER_FUNNEL_ORACLE as _FUNNEL_ORACLE_REF
 
 
 def _drain(stream_df: DataFrame, out: str, ckpt: str, timeout_s: int = 600,
@@ -127,6 +128,36 @@ sess AS (
 SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
        CAST(count(*) AS BIGINT) AS n_events
 FROM sess GROUP BY user_id, seq"""
+
+
+
+def q_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful STREAMING funnel (r6): every user's final ordered
+    view->click->purchase result from the incremental bounded-state
+    operator — gated against the IDENTICAL batch oracle as user_funnel
+    (batch-stream parity is the contract).  Sentinel events of a
+    non-step type, placed far past every real timestamp, advance the
+    watermark so each user's quiet period elapses and the final row is
+    emitted; the sentinels themselves fold nothing."""
+    from .streaming.stateful import FUNNEL_QUIET_US, funnel_stream
+    base = tempfile.mkdtemp(prefix="sparkgraft_fstream_")
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type")
+    gmax = events.agg(F.max(F.unix_micros(F.col("ts"))).alias("mx"))
+    sentinels = (events.select("user_id").distinct()
+                 .crossJoin(F.broadcast(gmax))
+                 .select("user_id",
+                         F.timestamp_micros(
+                             F.col("mx") + F.lit(10 * 86400 * 1_000_000)
+                             + F.lit(2 * FUNNEL_QUIET_US)).alias("ts"),
+                         F.lit("sentinel").alias("event_type")))
+    events.unionByName(sentinels).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    _drain(funnel_stream(stream), out, ckpt)
+    return spark.read.parquet(out)
 
 
 BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
@@ -499,6 +530,7 @@ SPARK_QUERIES = {
     "dedup_stream": q_dedup_stream,
     "upsert_stream": q_upsert_stream,
     "upsert_stream_resumable": q_upsert_stream_resumable,
+    "funnel_stream": q_funnel_stream,
 }
 ORACLES = {
     "elevation_stream": _BILINEAR_ORACLE,
@@ -510,4 +542,5 @@ ORACLES = {
     "upsert_stream": _UPSERT_STREAM_ORACLE,
     # identical oracle BY DESIGN: the crash machinery must be invisible
     "upsert_stream_resumable": _UPSERT_STREAM_ORACLE,
+    "funnel_stream": _FUNNEL_ORACLE_REF,
 }

@@ -118,3 +118,102 @@ def sessionize_stream(events: DataFrame, watermark: str = "10 minutes") -> DataF
     return (base.groupBy("user_id")
             .applyInPandasWithState(_sessionize_fn, OUTPUT_SCHEMA, STATE_SCHEMA,
                                     "append", GroupStateTimeout.EventTimeTimeout))
+
+
+# --- stateful streaming funnel (r6) ------------------------------------------
+
+FUNNEL_TYPES = ("view", "click", "purchase")
+FUNNEL_QUIET_US = 86_400 * 1_000_000  # finalize after 1 day of event-time quiet
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType(), False),
+    T.StructField("t1_us", T.LongType(), True),
+    T.StructField("t2_us", T.LongType(), True),
+    T.StructField("t3_us", T.LongType(), True),
+    T.StructField("steps_reached", T.IntegerType(), False),
+])
+
+# acc = achieved stage times (the batch fold's accumulator, folded over
+# SEALED events only — events the watermark has passed, which are totally
+# known); buf = unsealed (ts, type-code) step events, bounded by the
+# watermark lateness window, NOT by user history; last_ts = latest step
+# event seen (drives the quiet-period finalization timeout).
+FUNNEL_STATE_SCHEMA = T.StructType([
+    T.StructField("acc", T.ArrayType(T.LongType()), True),
+    T.StructField("buf_ts", T.ArrayType(T.LongType()), True),
+    T.StructField("buf_tp", T.ArrayType(T.IntegerType()), True),
+    T.StructField("last_ts", T.LongType(), True),
+])
+
+
+def _funnel_fold(acc: list[int], events: list[tuple[int, int]]) -> list[int]:
+    """The batch automaton: append ts iff it is the next expected type
+    and strictly later than the last achieved stage.  Tie order across
+    equal timestamps is irrelevant (strict > blocks equal-ts chains)."""
+    k = len(FUNNEL_TYPES)
+    for ts, code in sorted(events):
+        if len(acc) < k and code == len(acc) and (not acc or ts > acc[-1]):
+            acc.append(ts)
+    return acc
+
+
+def _funnel_fn(key, pdfs, state: GroupState):
+    user_id = int(key[0])
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    if state.exists:
+        acc, buf_ts, buf_tp, last_ts = state.get
+        acc = list(acc or [])
+        buf = [(int(t), int(c)) for t, c in zip(buf_ts or [], buf_tp or [])]
+        last_ts = int(last_ts or 0)
+    else:
+        acc, buf, last_ts = [], [], 0
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for ts, code in zip(pdf["ts_us"], pdf["tp_code"]):
+                if code >= 0:  # non-step events only create/keep the group
+                    buf.append((int(ts), int(code)))
+                    last_ts = max(last_ts, int(ts))
+    # seal: the watermark guarantees every event with ts < wm has arrived
+    # (older rows are dropped by the engine), so the fold over them is
+    # final — collapse into acc and shrink the buffer
+    sealed = [e for e in buf if e[0] < wm_us]
+    buf = [e for e in buf if e[0] >= wm_us]
+    acc = _funnel_fold(acc, sealed)
+    done = not buf and wm_us > last_ts + FUNNEL_QUIET_US
+    if done:
+        row = {"user_id": [user_id], "steps_reached": [len(acc)]}
+        for i in range(len(FUNNEL_TYPES)):
+            row[f"t{i + 1}_us"] = [acc[i] if i < len(acc) else None]
+        if state.exists:
+            state.remove()
+        yield pd.DataFrame(row)[[f.name for f in FUNNEL_OUTPUT_SCHEMA.fields]]
+        return
+    state.update((acc, [e[0] for e in buf], [e[1] for e in buf], last_ts))
+    wm_ms = wm_us // 1000
+    # wake when the quiet period can have elapsed (or immediately after
+    # the watermark moves, for users still holding unsealed events)
+    target_ms = max((last_ts + FUNNEL_QUIET_US) // 1000 + 1, wm_ms + 1)
+    state.setTimeoutTimestamp(target_ms)
+    return
+    yield  # pragma: no cover — make the function a generator
+
+
+def funnel_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """events stream (user_id:long, ts:timestamp, event_type:string) ->
+    one FINAL funnel row per user (the batch funnel_steps result),
+    emitted once the event-time watermark has passed the user's last
+    step event by FUNNEL_QUIET_US with nothing buffered.  Incremental
+    form with bounded state: sealed events collapse into the ≤3-slot
+    accumulator, the buffer holds only watermark-unsealed events."""
+    code = F.when(F.col("event_type") == FUNNEL_TYPES[0], 0)
+    for i, t in enumerate(FUNNEL_TYPES[1:], start=1):
+        code = code.when(F.col("event_type") == t, i)
+    base = (events
+            .withWatermark("ts", watermark)
+            .select("user_id", "ts",
+                    F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+                    code.otherwise(F.lit(-1)).cast("int").alias("tp_code")))
+    return (base.groupBy("user_id")
+            .applyInPandasWithState(_funnel_fn, FUNNEL_OUTPUT_SCHEMA,
+                                    FUNNEL_STATE_SCHEMA, "append",
+                                    GroupStateTimeout.EventTimeTimeout))

@@ -209,3 +209,82 @@ def test_straggler_emitted_set_is_slicing_invariant(spark, tmp_path, slicing):
         (us(_E1100), us(_E1135)): 3,  # straggler bridged, never emitted early
         (us(_ED2), us(_ED2)): 1,      # sealed by the day-3 watermark advance
     }, got
+
+
+def test_stateful_funnel_multibatch_out_of_order(spark, tmp_path):
+    """r6 streaming funnel: three files drained one-per-micro-batch with
+    out-of-order arrivals ACROSS batches — the final rows must equal the
+    batch funnel_steps fold exactly (sealing via watermark, not batch
+    slicing, defines the result)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from elevation_service_spark.operators.web import funnel_steps
+    from elevation_service_spark.streaming.stateful import funnel_stream
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("event_type", T.StringType(), False),
+    ])
+    src = tmp_path / "fev"
+    src.mkdir()
+    t0 = "2024-01-01T0{h}:{m:02d}:00.000Z"
+
+    def ev(uid, h, m, tp):
+        return {"user_id": uid, "ts": t0.format(h=h, m=m),
+                "event_type": tp}
+
+    # u1 converts but the view arrives LAST (out of order); u2's click is
+    # blocked (same-ts as view) then a later one chains; u3 non-step only
+    f1 = [ev(1, 1, 30, "click"), ev(2, 1, 0, "view"),
+          ev(2, 1, 0, "click"), ev(3, 1, 5, "error")]
+    f2 = [ev(1, 2, 0, "purchase"), ev(2, 1, 10, "click")]
+    f3 = [ev(1, 1, 0, "view")]
+    # sentinels: far-future non-step rows push the watermark past the
+    # quiet period for every user
+    sent = [{"user_id": u, "ts": "2024-02-20T00:00:00.000Z",
+             "event_type": "sentinel"} for u in (1, 2, 3)]
+    for i, rows in enumerate((f1, f2, f3, sent)):
+        fp = src / f"b{i}.json"
+        with open(fp, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        # the file source picks oldest-mtime first: pin the batch order
+        # explicitly or the sentinel file can run FIRST and its watermark
+        # drops every real event
+        os.utime(fp, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    out = str(tmp_path / "fout")
+    # 3h allowed lateness: the cross-batch straggler (u1's view arrives
+    # two files after its click) must stay INSIDE the watermark window —
+    # the engine drops older rows before the operator (observed via
+    # numRowsDroppedByWatermark), which is the documented lateness
+    # contract, not a bug
+    q = (funnel_stream(stream, watermark="3 hours")
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "fckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300)
+    got = {r["user_id"]: (r["t1_us"], r["t2_us"], r["t3_us"],
+                          r["steps_reached"])
+           for r in spark.read.parquet(out).collect()}
+
+    batch = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_type"])
+         for r in (x for fl in (f1, f2, f3) for x in fl)],
+        "user_id long, ts string, event_type string").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type")
+    exp = {r["user_id"]: (r["t1_us"], r["t2_us"], r["t3_us"],
+                          r["steps_reached"])
+           for r in funnel_steps(batch, ("view", "click", "purchase"),
+                                 ts_col="ts_us").collect()}
+    assert got == exp and len(got) == 3
+    assert got[1][3] == 3 and got[3][3] == 0
