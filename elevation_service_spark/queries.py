@@ -590,6 +590,7 @@ _DEMOTED = [
     "resample_locf",     # new r6: fixed-grid LOCF resampling via as-of
     "tile_viewshed",     # new r6: running-horizon LOS census, 8 rays
     "funnel_stream",     # new r6: stateful streaming funnel, batch-parity gate
+    "crawl_frontier",    # new r6: extract+canonicalize+robots composition
 ]
 
 

@@ -1974,6 +1974,81 @@ SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
 FROM h GROUP BY 1, 2"""
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Crawl-frontier builder (r6): the THREE-component webtext
+    composition a crawler runs per cycle — href extraction ->
+    canonicalization -> referrer rollup, then REP robots verdicts per
+    target (longest-match, Allow-beats-Disallow, rule-less hosts default
+    allow) — yielding the politeness-filtered, referrer-ranked frontier
+    (url_norm, host, allowed, match_len, n_ref_hosts, n_links).
+    Synthetic robots bodies exercise the blanket /c block, the
+    /a -> /a/1 longest-match re-allow, and absent-robots hosts; the
+    oracle derives the rule set closed-form (no body text) and replays
+    extraction + matching independently."""
+    from .operators.web import (extract_links, parse_robots, robots_filter,
+                                url_normalize)
+    pages = load(spark, sf_dir, "documents").select(
+        F.expr(_SRC_HOST_SQL).alias("src_host"),
+        F.expr(_LINKS_BODY_SQL).alias("html"))
+    links = extract_links(pages)
+    canon = links.select(
+        "src_host", url_normalize(F.col("url")).alias("url_norm"),
+        F.col("dst_host").alias("host"))
+    refs = (canon.groupBy("url_norm", "host")
+            .agg(F.countDistinct("src_host").cast("long").alias("n_ref_hosts"),
+                 F.count(F.lit(1)).cast("long").alias("n_links")))
+    hosts = refs.select("host").distinct()
+    k = F.regexp_extract("host", "([0-9]+)", 1).cast("int")
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /c\n"),
+        F.when(k % 5 == 0, F.lit("Disallow: /a\nAllow: /a/1\n"))
+        .otherwise(F.lit("")))
+    robots = hosts.where(k % 7 != 0).select("host", body.alias("body"))
+    verdict = robots_filter(
+        refs.select(F.col("url_norm").alias("id"), "url_norm", "host"),
+        parse_robots(robots))
+    return (verdict.select(F.col("id").alias("url_norm"), "host",
+                           "allowed", "match_len")
+            .join(refs, ["url_norm", "host"])
+            .select("url_norm", "host", "allowed",
+                    F.col("match_len").cast("long").alias("match_len"),
+                    "n_ref_hosts", "n_links"))
+
+
+_CRAWL_FRONTIER_ORACLE = f"""WITH d AS (
+  SELECT {_SRC_HOST_SQL} AS src_host, {_LINKS_BODY_SQL} AS html
+  FROM documents),
+x AS (SELECT src_host,
+             unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS url
+      FROM d),
+n AS (SELECT src_host, {_URL_NORM_SQL} AS url_norm FROM x),
+h AS (SELECT src_host, url_norm, {_URL_HOST_SQL} AS host FROM n),
+refs AS (SELECT url_norm, host,
+         CAST(count(DISTINCT src_host) AS BIGINT) AS n_ref_hosts,
+         CAST(count(*) AS BIGINT) AS n_links
+         FROM h GROUP BY 1, 2),
+hk AS (SELECT DISTINCT host,
+       CAST(regexp_extract(host, '([0-9]+)', 1) AS INT) AS k FROM refs),
+rules AS (
+  SELECT host, 0 AS is_allow, '/c' AS prefix FROM hk WHERE k % 7 <> 0
+  UNION ALL SELECT host, 0, '/a' FROM hk WHERE k % 7 <> 0 AND k % 5 = 0
+  UNION ALL SELECT host, 1, '/a/1' FROM hk WHERE k % 7 <> 0 AND k % 5 = 0),
+p AS (SELECT url_norm, host,
+      regexp_replace(url_norm, '^[a-z]+://[^/]*', '') AS path FROM refs),
+m AS (SELECT p.url_norm, p.host, r.is_allow, r.prefix
+      FROM p LEFT JOIN rules r
+        ON p.host = r.host AND starts_with(p.path, r.prefix)),
+b AS (SELECT *, row_number() OVER (
+        PARTITION BY url_norm, host
+        ORDER BY coalesce(length(prefix), -1) DESC,
+                 coalesce(is_allow, 1) DESC) AS rn FROM m)
+SELECT b.url_norm, b.host, coalesce(b.is_allow, 1) = 1 AS allowed,
+  CAST(coalesce(length(b.prefix), -1) AS BIGINT) AS match_len,
+  refs.n_ref_hosts, refs.n_links
+FROM b JOIN refs ON refs.url_norm = b.url_norm AND refs.host = b.host
+WHERE b.rn = 1"""
+
+
 def q_host_components(spark, sf_dir):
     """Weakly-connected components of the REAL crawl link graph (r6):
     href extraction -> canonicalized host edges -> iterative min-label
@@ -2350,6 +2425,7 @@ SPARK_QUERIES.update({"url_canonical": q_url_canonical,
                       "bigram_lm": q_bigram_lm,
                       "link_graph": q_link_graph,
                       "host_components": q_host_components,
+                      "crawl_frontier": q_crawl_frontier,
                       "bpe_merges": q_bpe_merges,
                       "collocations": q_collocations,
                       "bpe_encode": q_bpe_encode})
@@ -2364,6 +2440,7 @@ ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
                 "bigram_lm": _BIGRAM_LM_ORACLE,
                 "link_graph": _LINK_GRAPH_ORACLE,
                 "host_components": _HOST_COMPONENTS_ORACLE,
+                "crawl_frontier": _CRAWL_FRONTIER_ORACLE,
                 "bpe_merges": _bpe_oracle(),
                 "collocations": _colloc_oracle(),
                 "bpe_encode": _bpe_encode_oracle()})
