@@ -591,6 +591,7 @@ _DEMOTED = [
     "tile_viewshed",     # new r6: running-horizon LOS census, 8 rays
     "funnel_stream",     # new r6: stateful streaming funnel, batch-parity gate
     "crawl_frontier",    # new r6: extract+canonicalize+robots composition
+    "lang_confusion",    # new r6: lang-ID eval confusion matrix
 ]
 
 

@@ -222,6 +222,25 @@ SELECT id, lang_given,
 FROM s"""
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix (r6): predicted language vs the
+    corpus label, per (given, predicted) cell with count and summed
+    detector score — the classifier-quality eval a curation pipeline
+    reads before trusting the lang filter.  One rollup over the gated
+    lang_id projection; oracle reuses the same generated argmax SQL."""
+    pred = text.lang_id(load(spark, sf_dir, "documents"))
+    return (pred.groupBy("lang_given", "lang_pred")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("score").cast("long").alias("score_sum")))
+
+
+def _lang_confusion_oracle() -> str:
+    return f"""WITH p AS ({_langid_oracle()})
+SELECT lang_given, lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(score) AS BIGINT) AS score_sum
+FROM p GROUP BY 1, 2"""
+
+
 def q_top_terms(spark, sf_dir):
     """tf x linear-idf top-3 terms per document (term weighting over the
     inverted-index shape; exact integer micro scores)."""
@@ -623,6 +642,7 @@ SPARK_QUERIES = {
     "text_stats": q_text_stats,
     "token_count": q_token_count,
     "lang_id": q_lang_id,
+    "lang_confusion": q_lang_confusion,
     "fingerprint": q_fingerprint,
     "top_terms": q_top_terms,
     "ann_topk": q_ann_topk,
@@ -650,6 +670,7 @@ ORACLES = {
     "text_stats": _TEXT_STATS_ORACLE,
     "token_count": _TOKEN_COUNT_ORACLE,
     "lang_id": _langid_oracle(),
+    "lang_confusion": _lang_confusion_oracle(),
     "fingerprint": _FINGERPRINT_ORACLE,
     "top_terms": _TOP_TERMS_ORACLE,
     "ann_topk": _ANN_ORACLE,
