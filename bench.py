@@ -292,7 +292,8 @@ def _registry_queries():
              "polygon_stats", "tile_pyramid", "robots_filter",
              "paragraph_dedup", "geohash", "inverted_index",
              # r6 late capabilities (first numbers this window)
-             "bpe_merges", "user_funnel", "tile_flowacc", "collocations"]
+             "bpe_merges", "user_funnel", "tile_flowacc", "collocations",
+             "tile_viewshed", "crawl_frontier", "weighted_sample"]
     return {n: qs[n] for n in names}
 
 
