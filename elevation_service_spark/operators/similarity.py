@@ -90,6 +90,29 @@ def ann_lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
             .select("qid", "rank", "vec_id", "score"))
 
 
+def embedding_centroids(emb: DataFrame, group_col: str = "label",
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Per-group integer centroid signatures — (group, pos, sum_q,
+    n_vecs): the exact quantized per-dimension SUM and the member count,
+    i.e. the centroid as an exact rational sum_q/n_vecs.  The
+    domain-signature artifact for drift monitoring and per-source
+    embedding QA (means drift when a source's content shifts); emitting
+    the (sum, n) pair instead of the float mean keeps the result
+    hash-gateable and mergeable (centroids of unioned corpora = summed
+    rows).
+
+    Scale shape: quantize (pure Column transform) -> ONE posexplode ->
+    ONE map-side-combinable groupBy(group, pos); output is
+    O(groups x dim), corpus-size-independent."""
+    q = _quant(F.col(vec_col))
+    return (emb.select(F.col(group_col).alias("grp"), q.alias("qv"))
+            .select("grp", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("grp", "pos")
+            .agg(F.sum("val").cast("long").alias("sum_q"),
+                 F.count(F.lit(1)).cast("long").alias("n_vecs")))
+
+
 def embedding_near_dup_pairs(emb: DataFrame, min_score: int,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

@@ -592,6 +592,7 @@ _DEMOTED = [
     "funnel_stream",     # new r6: stateful streaming funnel, batch-parity gate
     "crawl_frontier",    # new r6: extract+canonicalize+robots composition
     "lang_confusion",    # new r6: lang-ID eval confusion matrix
+    "embedding_centroids", # new r6: per-label quantized centroid sums
 ]
 
 

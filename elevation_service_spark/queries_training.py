@@ -812,6 +812,27 @@ SELECT track_id, CAST(count(*) AS BIGINT) AS n_points,
 FROM d GROUP BY 1"""
 
 
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroid signatures (r6): exact quantized
+    per-dimension sums + member counts — the mergeable domain-signature
+    artifact for drift monitoring (centroid = sum_q/n_vecs as an exact
+    rational)."""
+    from .operators.similarity import embedding_centroids
+    return embedding_centroids(load(spark, sf_dir, "embeddings"))
+
+
+_EMB_CENTROIDS_ORACLE = f"""WITH e AS (
+  SELECT label AS grp, list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * {similarity.QUANT_SCALE}
+              + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS qv
+  FROM embeddings),
+c AS (SELECT grp, generate_subscripts(qv, 1) - 1 AS pos, unnest(qv) AS val
+      FROM e)
+SELECT grp, CAST(pos AS INT) AS pos, CAST(sum(val) AS BIGINT) AS sum_q,
+  CAST(count(*) AS BIGINT) AS n_vecs
+FROM c GROUP BY 1, 2"""
+
+
 def q_embedding_neardup(spark, sf_dir):
     return similarity.embedding_near_dup_pairs(
         load(spark, sf_dir, "embeddings"), min_score=1)
@@ -2446,6 +2467,7 @@ SPARK_QUERIES.update({"url_canonical": q_url_canonical,
                       "bigram_lm": q_bigram_lm,
                       "link_graph": q_link_graph,
                       "host_components": q_host_components,
+                      "embedding_centroids": q_embedding_centroids,
                       "crawl_frontier": q_crawl_frontier,
                       "bpe_merges": q_bpe_merges,
                       "collocations": q_collocations,
@@ -2461,6 +2483,7 @@ ORACLES.update({"url_canonical": _URL_CANONICAL_ORACLE,
                 "bigram_lm": _BIGRAM_LM_ORACLE,
                 "link_graph": _LINK_GRAPH_ORACLE,
                 "host_components": _HOST_COMPONENTS_ORACLE,
+                "embedding_centroids": _EMB_CENTROIDS_ORACLE,
                 "crawl_frontier": _CRAWL_FRONTIER_ORACLE,
                 "bpe_merges": _bpe_oracle(),
                 "collocations": _colloc_oracle(),
