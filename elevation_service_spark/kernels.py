@@ -33,35 +33,39 @@ VOID = -32768
 # ---------------------------------------------------------------------------
 
 
-def hgt_size_for_bytes(n: int) -> int:
+def hgt_size_for_bytes(n: int, allow_overview: bool = False) -> int:
     """Size sniff from byte length (elevation-service/hgt.js ctor).
 
     3601^2*2 -> 3601 (SRTM1), 1201^2*2 -> 1201 (SRTM3), else ValueError
     (the reference throws ``Unknown tile format``).
+
+    ``allow_overview=True`` additionally accepts any exact 2*s^2 byte
+    count — the overview tiles tile_pyramid/tile_mosaic emit (halved
+    grids are not SRTM-sized).  It is an explicit OPT-IN (ADVICE r6):
+    ingest of external tiles keeps the strict two-size check, so a
+    truncated blob that coincidentally lands on 2*s^2 bytes still raises
+    instead of silently decoding as an s-by-s grid.
     """
     if n == SRTM1_SIZE * SRTM1_SIZE * 2:
         return SRTM1_SIZE
     if n == SRTM3_SIZE * SRTM3_SIZE * 2:
         return SRTM3_SIZE
-    # r6 generalization for overview tiles (tile_pyramid halves the grid):
-    # any exact 2*s^2 byte count decodes; everything else still raises the
-    # reference's error (garbage like the 1000-byte BAD_TILE fixture stays
-    # rejected: 500 is not a perfect square).
-    if n >= 8 and n % 2 == 0:
+    if allow_overview and n >= 8 and n % 2 == 0:
         s = int(np.sqrt(n // 2) + 0.5)
         if 2 * s * s == n:
             return s
     raise ValueError(f"Unknown tile format (file size: {n})")
 
 
-def decode_hgt(data: bytes) -> np.ndarray:
+def decode_hgt(data: bytes, allow_overview: bool = False) -> np.ndarray:
     """HGT bytes -> (size,size) int16 grid with grid[row,col] in SOUTH-origin
     row order (row 0 = southern edge), matching the reference's ``_rowCol``
     flip: the file stores rows north-first; ``_rowCol(row, col)`` reads
     ``(size-row-1)*size + col`` so callers index south-up.  We materialize the
-    flip once per tile instead of per lookup.
+    flip once per tile instead of per lookup.  ``allow_overview`` as in
+    hgt_size_for_bytes (pyramid/mosaic overview sizes, opt-in).
     """
-    size = hgt_size_for_bytes(len(data))
+    size = hgt_size_for_bytes(len(data), allow_overview=allow_overview)
     grid = np.frombuffer(data, dtype=">i2").reshape(size, size)
     return grid[::-1, :]  # north-first file rows -> south-origin index
 

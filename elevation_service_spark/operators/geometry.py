@@ -49,12 +49,17 @@ def polygon_stats(polygons: DataFrame, scale: float = 1.0) -> DataFrame:
         F.size("ring").alias("n_pos"),
         F.transform("ring", lambda p: F.round(p[0] * sc).cast("long")).alias("xs"),
         F.transform("ring", lambda p: F.round(p[1] * sc).cast("long")).alias("ys"))
-    cross = F.aggregate(
+    # guard the index walk: for a malformed 0/1-position ring,
+    # sequence(1, size-1) DESCENDS through index 0 and element_at(xs, 0)
+    # throws under Spark 4 ANSI — the audit pass must surface degenerate
+    # rings as zero-area rows, never abort the job (ADVICE r6)
+    shoelace = F.aggregate(
         F.sequence(F.lit(1), F.size("xs") - F.lit(1)),
         F.lit(0).cast("long"),
         lambda acc, i: acc
         + F.element_at(F.col("xs"), i) * F.element_at(F.col("ys"), i + F.lit(1))
         - F.element_at(F.col("xs"), i + F.lit(1)) * F.element_at(F.col("ys"), i))
+    cross = F.when(F.size("xs") >= 2, shoelace).otherwise(F.lit(0).cast("long"))
     per_ring = staged.select(
         "poly_id", "poly_idx", "ring_idx", "n_pos",
         F.when(F.col("ring_idx") == 0, F.abs(cross))

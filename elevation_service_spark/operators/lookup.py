@@ -65,12 +65,17 @@ def grid_cache_accumulators(spark) -> dict:
     return {k: sc.accumulator(0) for k in ("hits", "misses", "evictions")}
 
 
-def decode_tile_bytes(encoding: str, data: bytes) -> np.ndarray:
-    """tile bytes -> south-origin elevation grid (raises on bad bytes)."""
+def decode_tile_bytes(encoding: str, data: bytes,
+                      allow_overview: bool = False) -> np.ndarray:
+    """tile bytes -> south-origin elevation grid (raises on bad bytes).
+    ``allow_overview=True`` opts in to non-SRTM 2*s^2 HGT sizes — only the
+    pyramid/mosaic operators (which produce and compose such tiles) set
+    it; the ingest/lookup path keeps the reference's strict size sniff."""
     if encoding == "hgt":
-        return kernels.decode_hgt(data)
+        return kernels.decode_hgt(data, allow_overview=allow_overview)
     if encoding == "hgt.gz":
-        return kernels.decode_hgt(gzip.decompress(data))
+        return kernels.decode_hgt(gzip.decompress(data),
+                                  allow_overview=allow_overview)
     if encoding == "terrarium-png":
         return kernels.decode_terrarium_png(data)
     raise ValueError(f"Unknown tile encoding: {encoding}")

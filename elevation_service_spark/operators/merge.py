@@ -127,11 +127,12 @@ def versioned_merge_sink(target_base: str, key_col: str = "doc_id",
     - the merge always reads the latest COMMITTED snapshot, never an
       in-flight one, so a torn write can never poison a later merge.
 
-    Returns ``(apply, read_latest)``: ``apply(batch_df, batch_id)`` is
-    the foreachBatch callable; ``read_latest(spark)`` resolves the
-    highest committed snapshot as a DataFrame (the caller seeds version
-    -1 by writing ``v-1/`` + marker via ``seed()`` below, or starts
-    empty — the first batch then merges into nothing).
+    Returns ``(apply, read_latest, seed)``: ``apply(batch_df, batch_id)``
+    is the foreachBatch callable; ``read_latest(spark)`` resolves the
+    highest committed snapshot as a DataFrame (None before any commit);
+    ``seed(df)`` writes ``df`` as the committed version -1 snapshot
+    (``v-1/`` + marker) so the first streaming batch merges into an
+    existing base instead of nothing.
 
     ``retain`` old snapshots are kept for readers-in-flight; older
     directories are deleted AFTER the new commit lands (crash during GC

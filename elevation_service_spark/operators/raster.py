@@ -37,7 +37,7 @@ def tiles_to_points(tiles: DataFrame, stride: int = 1) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, r in pdf.iterrows():
-                grid = decode_tile_bytes(r["encoding"], bytes(r["data"]))
+                grid = decode_tile_bytes(r["encoding"], bytes(r["data"]), allow_overview=True)
                 size = grid.shape[0]
                 n = size - 1
                 rows = np.arange(0, size, stride)
@@ -205,7 +205,7 @@ def tile_terrain_stats(tiles: DataFrame,
             for pdf in batches:
                 out = {k.name: [] for k in schema.fields}
                 for _, r in pdf.iterrows():
-                    z = decode_tile_bytes(r["encoding"], bytes(r["data"])) \
+                    z = decode_tile_bytes(r["encoding"], bytes(r["data"]), allow_overview=True) \
                         .astype(np.int64)
                     void = z == kernels.VOID
                     stencil_void = (void[1:-1, 1:-1] | void[1:-1, 2:]
@@ -379,7 +379,7 @@ def tile_contour_stats(tiles: DataFrame,
         for pdf in batches:
             out = {k.name: [] for k in _CONTOUR_SCHEMA.fields}
             for _, r in pdf.iterrows():
-                z = decode_tile_bytes(r["encoding"], bytes(r["data"])) \
+                z = decode_tile_bytes(r["encoding"], bytes(r["data"]), allow_overview=True) \
                     .astype(np.int32)
                 vm = z != kernels.VOID
                 hvalid = vm[:, :-1] & vm[:, 1:]
@@ -439,7 +439,7 @@ def tile_viewshed_stats(tiles: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {k.name: [] for k in _VIEW_SCHEMA.fields}
             for _, r in pdf.iterrows():
-                z = decode_tile_bytes(r["encoding"], bytes(r["data"])) \
+                z = decode_tile_bytes(r["encoding"], bytes(r["data"]), allow_overview=True) \
                     .astype(np.int64)
                 size = z.shape[0]
                 r0 = c0 = (size - 1) // 2
@@ -590,7 +590,7 @@ def tile_pyramid_stats(tiles: DataFrame, levels: int = 3) -> DataFrame:
         for pdf in batches:
             out = {k.name: [] for k in _PYR_STATS_SCHEMA.fields}
             for _, r in pdf.iterrows():
-                z = decode_tile_bytes(r["encoding"], bytes(r["data"])) \
+                z = decode_tile_bytes(r["encoding"], bytes(r["data"]), allow_overview=True) \
                     .astype(np.int64)
                 for lvl in range(1, levels + 1):
                     z = _blockmax(z)
@@ -620,7 +620,7 @@ def tile_pyramid(tiles: DataFrame, levels: int = 3) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, r in pdf.iterrows():
-                z = decode_tile_bytes(r["encoding"], bytes(r["data"]))
+                z = decode_tile_bytes(r["encoding"], bytes(r["data"]), allow_overview=True)
                 rows = []
                 for lvl in range(1, levels + 1):
                     z = _blockmax(z)
@@ -690,7 +690,7 @@ def _assemble_parent(pdf: pd.DataFrame):
     s = sizes.pop()
     m = np.full((2 * s - 1, 2 * s - 1), kernels.VOID, dtype=np.int64)
     for _, r in pdf.iterrows():
-        z = decode_tile_bytes(r["encoding"], bytes(r["data"]))
+        z = decode_tile_bytes(r["encoding"], bytes(r["data"]), allow_overview=True)
         o_r, o_c = int(r["dlat"]) * (s - 1), int(r["dlon"]) * (s - 1)
         m[o_r:o_r + s, o_c:o_c + s] = z
     return _blockmax(m), len(pdf)

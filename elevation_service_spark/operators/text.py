@@ -581,10 +581,17 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id",
     """(id, text_redacted, n_email, n_phone, n_ip) — the training-data
     PII scrub: emails, international phone numbers, IPv4 literals
     replaced by type tokens, with per-type match counts (the audit
-    metric a pipeline reports).  Counts are taken BEFORE redaction and
-    rules apply in declaration order, so an email's host is counted once
-    as email, not again as a bare host.  Pure Column regex projection —
-    zero shuffle, whole-stage codegen."""
+    metric a pipeline reports).
+
+    Count semantics (ADVICE r6): each count is the RAW number of matches
+    of that rule against the ORIGINAL text, while replacements apply
+    sequentially in declaration order.  The two can diverge when rules
+    overlap — a phone/IP embedded inside an email (``x+441234567@y.com``)
+    increments n_phone yet emits no <PHONE> token because the email rule
+    consumed it first — so treat the counts as per-rule match audits, not
+    as emitted-token counts.  (The DuckDB oracle replays the identical
+    raw-count + sequential-replace semantics.)  Pure Column regex
+    projection — zero shuffle, whole-stage codegen."""
     text = F.col(text_col)
     counts = [F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
               .cast("long").alias(f"n_{name}") for name, pat, _ in PII_RULES]

@@ -49,6 +49,14 @@ def test_hgt_roundtrip_and_size_sniff():
         np.testing.assert_array_equal(back, grid)
     with pytest.raises(ValueError, match="Unknown tile format"):
         kernels.hgt_size_for_bytes(1000)
+    # ADVICE r6: ingest keeps the reference's strict two-size sniff — a
+    # truncated blob landing on 2*s^2 bytes (800 = 2*20^2) must NOT decode
+    # unless the caller opts in to overview sizes (pyramid/mosaic outputs)
+    with pytest.raises(ValueError, match="Unknown tile format"):
+        kernels.hgt_size_for_bytes(800)
+    assert kernels.hgt_size_for_bytes(800, allow_overview=True) == 20
+    with pytest.raises(ValueError, match="Unknown tile format"):
+        kernels.hgt_size_for_bytes(802, allow_overview=True)
 
 
 def test_hgt_row_flip_north_first_on_disk():

@@ -557,7 +557,7 @@ def test_tile_pyramid_roundtrip_and_voids(spark):
         z = _blockmax(z)
         exp[lvl] = z
     for lvl in (1, 2):
-        dec = kernels.decode_hgt(got[(key, lvl)])
+        dec = kernels.decode_hgt(got[(key, lvl)], allow_overview=True)
         assert dec.shape == exp[lvl].shape
         assert np.array_equal(dec, exp[lvl]), lvl
     # ceil-halving widths for the odd base size
@@ -595,12 +595,12 @@ def test_tile_mosaic_roundtrip_and_errors(spark):
     exp = _blockmax(m)
     full = got["N56E010"]
     assert full["n_children"] == 4 and full["size"] == s
-    dec = kernels.decode_hgt(bytes(full["data"]))
+    dec = kernels.decode_hgt(bytes(full["data"]), allow_overview=True)
     assert np.array_equal(dec, exp)
     # partial group N58E010: SW+NE quadrants only -> voids present
     part = got["N58E010"]
     assert part["n_children"] == 2
-    decp = kernels.decode_hgt(bytes(part["data"]))
+    decp = kernels.decode_hgt(bytes(part["data"]), allow_overview=True)
     assert (decp == kernels.VOID).sum() > 0
     # the NW coarse quadrant interior must be void, its SW interior real
     assert decp[2, (s - 1) // 2 + 2] == kernels.VOID

@@ -685,3 +685,33 @@ def test_polygon_stats_fixture_exact(spark):
     # multi = hot_box + tri, two member polygons
     assert got["multi"] == {"poly_id": "multi", "n_polys": 2, "n_rings": 2,
                             "n_vertices": 9, "area2": 388}
+
+
+def test_polygon_stats_degenerate_rings(spark):
+    """ADVICE r6: 0- and 1-position rings must surface as zero-area rows,
+    not abort the job (sequence(1, size-1) descends through index 0 and
+    element_at(xs, 0) throws under Spark 4 ANSI without the guard)."""
+    import json
+
+    from elevation_service_spark.operators.geometry import polygon_stats
+
+    rows = [
+        ("one_pos", json.dumps({"type": "Polygon",
+                                "coordinates": [[[1.0, 1.0]]]})),
+        ("empty_ring", json.dumps({"type": "Polygon",
+                                   "coordinates": [[]]})),
+        ("mixed", json.dumps({"type": "Polygon",
+                              "coordinates": [[[0.0, 0.0], [1.0, 0.0],
+                                               [1.0, 1.0], [0.0, 0.0]],
+                                              [[5.0, 5.0]]]})),
+    ]
+    df = spark.createDataFrame(rows, ["poly_id", "geojson"])
+    got = {r["poly_id"]: r.asDict() for r in
+           polygon_stats(df, scale=10.0).collect()}
+    assert got["one_pos"] == {"poly_id": "one_pos", "n_polys": 1,
+                              "n_rings": 1, "n_vertices": 1, "area2": 0}
+    assert got["empty_ring"]["area2"] == 0
+    # the well-formed outer ring still contributes; the degenerate hole
+    # contributes exactly zero instead of killing the job
+    assert got["mixed"]["area2"] == 100
+    assert got["mixed"]["n_rings"] == 2
