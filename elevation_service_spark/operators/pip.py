@@ -158,10 +158,22 @@ class _RingCache:
         return multi
 
 
+#: "auto" dial: a chunk carries at least this many points per ring VERTEX
+#: before it is worth paying another ring re-ship + task dispatch (the
+#: interval-stabbing kernel is ~O(pts·log V) per chunk while each extra
+#: chunk re-ships the O(V) ring and re-parses it once per task).
+PIP_AUTO_RING_FACTOR = int(__import__("os").environ.get(
+    "SPARK_GRAFT_PIP_AUTO_RING_FACTOR", "2"))
+#: "auto" dial: never split below this many points per chunk — byte-light
+#: tasks pay 2-4x their kernel time in dispatch overhead (r5 measurement).
+PIP_AUTO_MIN_CHUNK = int(__import__("os").environ.get(
+    "SPARK_GRAFT_PIP_AUTO_MIN_CHUNK", "1024"))
+
+
 def pip_assign_bucketed(points: DataFrame, polygons: DataFrame,
                         id_cols: tuple[str, ...] = ("pid",),
                         cell_deg: float = 1.0,
-                        shards_per_cell: int = 8) -> DataFrame:
+                        shards_per_cell: int | str = "auto") -> DataFrame:
     """Range-join formulation for LARGE polygon sets (SURVEY.md §2.B
     interval/range): polygons explode to the degree-grid cells covering
     their bbox (polygon_cells — a distributed transform), points carry
@@ -178,17 +190,25 @@ def pip_assign_bucketed(points: DataFrame, polygons: DataFrame,
     the point coords), the ring geometry joins onto those GROUP rows, and
     one mapInPandas verifies each group with the exact ray-cast kernel.
 
-    ``shards_per_cell=8`` is the measured default for the r5
-    interval-stabbing kernel (r5 driver window: 16.6 s executor at 8
-    shards vs 41.0 s at 32 on the 10k-vertex x 200k-point shape): each
-    extra shard re-ships the ring for only ~(cell work / shards) of
-    kernel time, so once the kernel got cheap, fewer-but-fuller groups
-    won.  Re-measure the dial after any kernel change — bench rows
-    pip_bucketed_big (default) and pip_bucketed_big_shards32 (dial
-    control) exist for exactly this.
-    Ring bytes now cross the shuffle O(polygons x cells x shards) —
-    independent of candidate count.  ``shards_per_cell`` bounds any one
-    group's point array to ~cell_points/shards (hot-cell OOM guard, same
+    ``shards_per_cell`` (VERDICT r6 task 3 — the static dial flipped
+    twice: r5 measured 8 shards beating 32, the r6 window measured the
+    reverse): the default ``"auto"`` derives the split at RUNTIME from
+    each group's measured candidate count instead of a constant.  The
+    pre-aggregate hash shard stays at 8 (the hot-cell memory guard and
+    the floor parallelism), and after the aggregate each group's point
+    array is sub-split JVM-side into chunks of
+    ``max(PIP_AUTO_MIN_CHUNK, PIP_AUTO_RING_FACTOR·V)`` points (V = the
+    polygon's vertex count, read off the joined ring column), capped at
+    ``defaultParallelism`` chunks per group.  Small groups keep the
+    fuller-groups-win r5 plan unchanged; a group whose measured
+    candidates dwarf its ring cost gains parallelism exactly in
+    proportion, because each extra chunk pays one O(V) ring re-ship +
+    task dispatch for ~chunk·log V of kernel work.  An integer value
+    pins the legacy static behavior — bench rows pip_bucketed_big
+    (auto), _shards8 and _shards32 (static controls) measure all three.
+    Ring bytes cross the shuffle O(polygons x cells x chunks) —
+    independent of candidate count.  The pre-agg shard bounds any one
+    group's point array to ~cell_points/8 (hot-cell OOM guard, same
     idea as knn's sharded top-k); the JVM-side bbox filter runs before
     the aggregation so never-candidates don't even enter the groups.
 
@@ -208,7 +228,9 @@ def pip_assign_bucketed(points: DataFrame, polygons: DataFrame,
     cand = (pts.join(slim, ["cx", "cy"])
             .filter((F.col("lon") >= F.col("minx")) & (F.col("lon") <= F.col("maxx"))
                     & (F.col("lat") >= F.col("miny")) & (F.col("lat") <= F.col("maxy"))))
-    shard = F.pmod(F.hash("lat", "lon"), F.lit(int(shards_per_cell)))
+    auto = shards_per_cell == "auto"
+    shard = F.pmod(F.hash("lat", "lon"),
+                   F.lit(8 if auto else int(shards_per_cell)))
     # the LAST exchange before the kernel must spread on the FULL group
     # key: group rows are tiny in BYTES (point arrays) but heavy in
     # ray-cast COMPUTE, and both AQE's byte-based partition coalescing and
@@ -224,12 +246,46 @@ def pip_assign_bucketed(points: DataFrame, polygons: DataFrame,
     # Ring bytes cross this exchange once per group — still O(groups),
     # never per candidate.
     spark = points.sparkSession
+    cores = spark.sparkContext.defaultParallelism
     grouped = (cand
                .groupBy("poly_id", "cx", "cy", shard.alias("_shard"))
                .agg(F.collect_list(F.struct(*id_cols, "lat", "lon")).alias("_pts"))
-               .join(geom, "poly_id")
-               .repartitionByRange(spark.sparkContext.defaultParallelism,
-                                   "_shard", "cx", "cy", "poly_id"))
+               .join(geom, "poly_id"))
+    if auto:
+        # runtime dial: sub-split each group's MEASURED point array into
+        # chunks worth their ring re-ship.  All-JVM (size/ceil/sequence/
+        # slice/posexplode); each stage lands as a real column via chained
+        # selects (no HOF-in-HOF re-evaluation, per the winnow lesson).
+        n_vert = F.aggregate(
+            F.col("rings"), F.lit(0),
+            lambda acc, poly: acc + F.aggregate(
+                poly, F.lit(0), lambda a, ring: a + F.size(ring)))
+        grouped = (grouped
+                   .withColumn("_chunk_pts", F.greatest(
+                       F.lit(PIP_AUTO_MIN_CHUNK),
+                       n_vert * F.lit(PIP_AUTO_RING_FACTOR)))
+                   .withColumn("_n_chunks", F.greatest(F.lit(1), F.least(
+                       F.ceil(F.size("_pts") / F.col("_chunk_pts")),
+                       F.lit(cores))).cast("int"))
+                   .withColumn("_per", F.ceil(
+                       F.size("_pts") / F.col("_n_chunks")).cast("int")))
+        grouped = (grouped
+                   .select("poly_id", "cx", "cy", "_shard", "rings",
+                           F.posexplode(F.transform(
+                               F.sequence(F.lit(1), F.col("_n_chunks")),
+                               lambda i: F.slice(
+                                   "_pts",
+                                   (i - F.lit(1)) * F.col("_per") + F.lit(1),
+                                   F.col("_per"))))
+                           .alias("_pos", "_pts"))
+                   # ceil arithmetic can leave a trailing empty slice for
+                   # adversarial (n, chunk) combinations — drop, don't kernel
+                   .filter(F.size("_pts") > 0))
+        grouped = grouped.repartitionByRange(
+            cores, "_shard", "cx", "cy", "poly_id", "_pos")
+    else:
+        grouped = grouped.repartitionByRange(
+            cores, "_shard", "cx", "cy", "poly_id")
 
     schema = T.StructType([points.schema[c] for c in id_cols]
                           + [T.StructField("lat", T.DoubleType(), False),

@@ -154,7 +154,8 @@ def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
                    min_score: int = 1,
                    centroids: list[tuple[int, list[int]]] | None = None,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   max_cluster: int | None = None) -> DataFrame:
     """(vec_id, cid, component, is_survivor) — SemDeDup-style semantic
     deduplication: learn k-means clusters over the embeddings (integer
     Lloyd, kmeans_centroids), emit near-duplicate pairs ONLY within a
@@ -168,30 +169,36 @@ def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
     the O(rounds) component joins; the only Python is the (optional)
     >64-centroid Arrow argmax.  Every step is integer-exact, so the
     DuckDB oracle replays training, assignment, pairing, and the
-    transitive closure bit-for-bit."""
+    transitive closure bit-for-bit.
+
+    ``max_cluster`` (VERDICT r6 task 5 — the lsh_candidate_pairs
+    ``max_bucket`` precedent): "k ∝ corpus" is a convention, not a
+    guarantee — one boilerplate-heavy cluster still goes quadratic.  With
+    the cap set, clusters holding more than ``max_cluster`` members are
+    dropped from pair generation BEFORE the self-join, so the worst
+    cluster costs O(max_cluster²), never O(cluster²); their members pass
+    through as singleton components (is_survivor=true).  The dropped mass
+    is observable, never silent — route the flagged clusters through
+    ``semantic_oversize_clusters``, which returns one representative +
+    member count each (at that density the cluster IS one near-dup group;
+    materializing its m²/2 pairs adds nothing).  ``max_cluster=None``
+    keeps the exact uncapped semantics for oracle verification."""
     from .cluster import connected_components
-    if centroids is None:
-        centroids = kmeans_centroids(emb, k, iters=iters,
-                                     id_col=id_col, vec_col=vec_col)
-    cents = sorted((int(c), [int(x) for x in v]) for c, v in centroids)
-    base = emb.select(F.col(id_col).alias("vec_id"),
-                      _quant(F.col(vec_col)).alias("v"))
-    if len(cents) <= EXPR_MAX_CENTROIDS:
-        assigned = base.withColumn(
-            "cid", (-F.array_max(_centroid_structs(cents, F.col("v")))["nc"])
-            .cast("long"))
-    else:
-        spark = emb.sparkSession
-        assign1 = _centroid_probe_udf(spark, cents, 1)
-        assigned = base.withColumn(
-            "cid", F.element_at(assign1(F.col("v")), 1).cast("long"))
     # materialize the argmax assignment once and truncate lineage: it is
     # read by both self-join sides AND the final comps join; likewise the
     # quadratic within-cluster join runs exactly once — CC's label init
     # and its cached sym table each re-evaluate their edges input
     # (r5 code-review)
-    assigned = assigned.localCheckpoint()
-    a, b = assigned.alias("a"), assigned.alias("b")
+    assigned = _assign_clusters(emb, k, iters, centroids,
+                                id_col, vec_col).localCheckpoint()
+    pair_src = assigned
+    if max_cluster is not None:
+        small = (assigned.groupBy("cid")
+                 .agg(F.count(F.lit(1)).alias("_cn"))
+                 .filter(F.col("_cn") <= max_cluster)
+                 .select("cid"))
+        pair_src = assigned.join(small, "cid", "left_semi")
+    a, b = pair_src.alias("a"), pair_src.alias("b")
     pairs = (a.join(b, (F.col("a.cid") == F.col("b.cid"))
                     & (F.col("a.vec_id") < F.col("b.vec_id")))
              .select(F.col("a.vec_id").alias("id1"),
@@ -205,6 +212,50 @@ def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
             .join(comps.withColumnRenamed("id", "vec_id"), "vec_id")
             .select("vec_id", "cid", "component",
                     (F.col("vec_id") == F.col("component")).alias("is_survivor")))
+
+
+def _assign_clusters(emb: DataFrame, k: int, iters: int,
+                     centroids: list[tuple[int, list[int]]] | None,
+                     id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, v, cid) — k-means argmax assignment shared by
+    semantic_dedup and semantic_oversize_clusters (so the capped path and
+    its oversize report can never disagree on cluster membership)."""
+    if centroids is None:
+        centroids = kmeans_centroids(emb, k, iters=iters,
+                                     id_col=id_col, vec_col=vec_col)
+    cents = sorted((int(c), [int(x) for x in v]) for c, v in centroids)
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      _quant(F.col(vec_col)).alias("v"))
+    if len(cents) <= EXPR_MAX_CENTROIDS:
+        return base.withColumn(
+            "cid", (-F.array_max(_centroid_structs(cents, F.col("v")))["nc"])
+            .cast("long"))
+    spark = emb.sparkSession
+    assign1 = _centroid_probe_udf(spark, cents, 1)
+    return base.withColumn(
+        "cid", F.element_at(assign1(F.col("v")), 1).cast("long"))
+
+
+def semantic_oversize_clusters(emb: DataFrame, max_cluster: int,
+                               k: int = 8, iters: int = 2,
+                               centroids: list[tuple[int, list[int]]] | None = None,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """(cid, n_members, representative) — the clusters that
+    semantic_dedup(max_cluster=...) dropped from pair generation (the
+    lsh_oversize_buckets mirror).  Callers log/route these: a cluster
+    that dense is one near-dup neighborhood — keep the min-id
+    representative (the same id the uncapped path would elect if the
+    cluster were fully connected) and review or down-sample the rest,
+    without ever materializing the m²/2 pairs.  Pass the same
+    ``centroids`` given to semantic_dedup (or none, to retrain
+    identically — init is content-hash deterministic) so both sides see
+    the same assignment."""
+    assigned = _assign_clusters(emb, k, iters, centroids, id_col, vec_col)
+    return (assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.min("vec_id").alias("representative"))
+            .filter(F.col("n_members") > max_cluster))
 
 
 def kmeans_centroids(emb: DataFrame, k: int, iters: int = 5,

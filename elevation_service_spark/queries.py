@@ -454,6 +454,11 @@ ORACLES.update(_qsk.ORACLES)
 # evidence. Demoted keys remain fully hash-gated by tests/test_oracle_parity.py,
 # which runs ALL registered queries.
 _DEMOTED = [
+    # r7-NEW capabilities (head full -> FRONT of the tail; lead the r8
+    # rotation per the standing discipline)
+    "semantic_dedup_capped",  # new r7: max_cluster guard engaged (cap
+                              # BITES at both test SFs; oracle replays it)
+    "semantic_oversize",      # new r7: the observable dropped-mass report
     "lsh_pairs_capped",  # identical oracle to lsh_pairs (cap no-op at gate SF)
     "orders_cube",       # near-dup of orders_rollup
     "ann_ivf_probe2",    # near-dup of ann_ivf (nprobe dial)
@@ -551,48 +556,78 @@ _DEMOTED = [
                             # held by that r5 driver row
     "train_split",          # r4-r5-driver-proven; sampling family covered
                             # by the incoming stratified_sample
-    # r6-NEW parity-tail queries (hash-verified by tests/test_oracle_parity;
-    # lead the r7 rotation — the head is full, per the standing discipline
-    # that new capabilities queue at the FRONT of the tail)
-    "tile_terrain",      # new r6: fused slope+aspect, ONE decode pass
+    # r6-NEW parity-tail queries (hash-verified by tests/test_oracle_parity).
+    # r7 rotation (VERDICT r6 task 2) promoted the 14 with zero driver
+    # evidence for their family — model training (bpe_merges, bpe_encode,
+    # perceptron_quality), the webtext graph (link_graph, host_components,
+    # crawl_frontier, robots_filter), sketch-HLL (hll_registers), graph
+    # census (triangle_count), the fused-raster pair (tile_terrain,
+    # tile_flowacc), stateful streaming funnel (funnel_stream), and
+    # retrieval/PII (bm25_topk, pii_redact) — into the 50-row head; the
+    # remaining r6-new queries below stay at the FRONT of the tail and
+    # lead the r8 rotation.
     "tile_tri",          # new r6: terrain-ruggedness family, same decode
     "polygon_stats",     # new r6: integer-shoelace geometry audit
     "tile_pyramid",      # new r6: block-max overview pyramid, one decode
-    "robots_filter",     # new r6: REP longest-match crawl filtering
     "paragraph_dedup",   # new r6: corpus-first paragraph dedup
     "upsert_stream_resumable",  # new r6: commit-log streaming MERGE
     "geohash",           # new r6: base32 geohash cell keys
     "inverted_index",    # new r6: sharded positional inverted index
     "geo_tag",           # new r6: extract -> PIP -> rollup composition
-    "bm25_topk",         # new r6: rational-BM25 top-k retrieval
     "tile_mosaic",       # new r6: cross-tile 2x2 parent pyramid level
-    "pii_redact",        # new r6: email/phone/IP scrub with audit counts
     "snapshot_diff",     # new r6: CDC between corpus snapshots, union+agg
-    "hll_registers",     # new r6: gateable HLL register table, <=2^p rows
-    "perceptron_quality",  # new r6: exact-integer batch-perceptron training
-    "triangle_count",    # new r6: degree-ordered exact triangle census
     "events_pivot",      # new r6: explicit-values PIVOT, one exchange
     "source_outliers",   # new r6: median/MAD robust curation fence
-    "link_graph",        # new r6: href extraction -> host edge list
     "tile_flowdir",      # new r6: D8 steepest-descent histogram, fused decode
-    "bpe_merges",        # new r6: distributed BPE tokenizer training
     "user_funnel",       # new r6: ordered 3-step funnel, one-exchange fold
-    "tile_flowacc",      # new r6: k-round D8 flow accumulation, fused decode
     "collocations",      # new r6: Dice-scored phrase mining top-k
     "weighted_sample",   # new r6: systematic weighted sample, no global window
-    "bpe_encode",        # new r6: learned-vocab apply, per-doc piece counts
     "elevation_profile", # new r6: per-track gain/loss over the real enrich
     "ann_recall",        # new r6: recall@k eval of LSH vs brute truth
     "containment_pairs", # new r6: asymmetric inclusion verify for candidates
-    "host_components",   # new r6: CC over the real crawl link graph
     "shard_plan",        # new r6: token-budget shard packing manifest
     "tile_contour",      # new r6: marching-squares crossing census
     "resample_locf",     # new r6: fixed-grid LOCF resampling via as-of
     "tile_viewshed",     # new r6: running-horizon LOS census, 8 rays
-    "funnel_stream",     # new r6: stateful streaming funnel, batch-parity gate
-    "crawl_frontier",    # new r6: extract+canonicalize+robots composition
     "lang_confusion",    # new r6: lang-ID eval confusion matrix
     "embedding_centroids", # new r6: per-label quantized centroid sums
+    # r7 rotation (VERDICT r6 task 2): the 14 r6-rotation queries below all
+    # earned full hash-match driver rows in CORRECTNESS_r06; they take the
+    # tail slots of the 14 promotions above.  Family coverage stays in the
+    # head: webtext-URL by crawl_frontier (canonicalize+robots composition)
+    # + link_graph + host_components + robots_filter, LM/text by text_stats
+    # + top_trigrams_lang + contamination_check + bm25_topk + pii_redact +
+    # the BPE pair, PNG codec by the tile_terrain fused decode over
+    # terrarium tiles + image_features, rollup/quantiles by tile_stats +
+    # pricing_summary + top_customers, graph by triangle_count +
+    # host_components + link_graph, sketches by hll_registers, streaming
+    # merge semantics by funnel_stream + the four r1-proven stream rows,
+    # raster derivatives by tile_terrain + tile_flowacc.
+    "url_canonical",     # r6-driver-proven; re-gated inside crawl_frontier
+    "url_dedup",         # r6-driver-proven; canonical-key dedup twin
+    "domain_rollup",     # r6-driver-proven; PSL domains re-gated in
+                         # crawl_frontier's host handling
+    "bigram_lm",         # r6-driver-proven; LM family head-covered by the
+                         # BPE pair + collocation-free text anchors
+    "png_features",      # r6-driver-proven; PNG decode family covered by
+                         # image_features (plan) + terrarium decode paths
+    "props_rollup",      # r6-driver-proven; rollup covered by tile_stats +
+                         # pricing_summary
+    "value_quantiles",   # r6-driver-proven; selection-quantile family
+                         # covered by pricing_summary aggregates
+    "pagerank",          # r6-driver-proven; graph family covered by
+                         # triangle_count + host_components + link_graph
+    "cms_counts",        # r6-driver-proven; sketch family covered by
+                         # hll_registers
+    "bloom_filter",      # r6-driver-proven; sketch family covered by
+                         # hll_registers
+    "kmv_distinct",      # r6-driver-proven; sketch family covered by
+                         # hll_registers
+    "upsert_stream",     # r6-driver-proven; streaming-merge semantics
+                         # head-covered by funnel_stream + 4 stream rows
+    "tile_slope",        # r5-r6-driver-proven; superseded by tile_terrain
+                         # (the same fused kernel emits slope + aspect)
+    "tile_aspect",       # r6-driver-proven; superseded by tile_terrain
 ]
 
 

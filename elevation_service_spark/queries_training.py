@@ -2886,14 +2886,79 @@ SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid, c.component,
 FROM assign a JOIN comps c ON c.id = a.vec_id"""
 
 
+SEMDEDUP_MAX_CLUSTER = 62  # bites at BOTH test SFs (cluster sizes run
+# 58-70 at sf0.001 and 58-65 at sf0.01), so the capped twin provably
+# exercises the drop path, not a no-op cap
+
+
+def q_semantic_dedup_capped(spark, sf_dir):
+    """semantic_dedup with the max_cluster guard engaged (VERDICT r6
+    task 5 — the lsh_pairs/lsh_pairs_capped precedent): clusters holding
+    more than SEMDEDUP_MAX_CLUSTER members are excluded from pair
+    generation BEFORE the within-cluster self-join, bounding the
+    quadratic term at max_cluster² per cluster; their members surface as
+    singleton components.  The dropped mass is observable via
+    semantic_oversize_clusters (pytest-pinned against this cap)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, KMEANS_K, iters=KMEANS_ITERS,
+                                     min_score=SEMDEDUP_MIN_SCORE,
+                                     max_cluster=SEMDEDUP_MAX_CLUSTER)
+
+
+def _semantic_dedup_capped_oracle():
+    return f"""WITH RECURSIVE {_kmeans_assign_ctes()},
+small AS (
+  SELECT cid FROM assign GROUP BY cid
+  HAVING count(*) <= {SEMDEDUP_MAX_CLUSTER}),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM assign a JOIN small sm ON sm.cid = a.cid
+  JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE CAST(list_dot_product(ea.v, eb.v) AS BIGINT) >= {SEMDEDUP_MIN_SCORE}),
+sym AS (SELECT id1 AS id, id2 AS nbr FROM pairs
+        UNION ALL SELECT id2 AS id, id1 AS nbr FROM pairs),
+verts AS (SELECT vec_id AS id FROM e),
+reach(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT s.id, r.comp FROM sym s JOIN reach r ON r.id = s.nbr),
+comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid, c.component,
+       a.vec_id = c.component AS is_survivor
+FROM assign a JOIN comps c ON c.id = a.vec_id"""
+
+
+def q_semantic_oversize(spark, sf_dir):
+    """The observable dropped-mass report for q_semantic_dedup_capped
+    (the lsh_oversize mirror): one (cid, n_members, representative) row
+    per cluster the cap excluded from pair generation."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_oversize_clusters(
+        emb, SEMDEDUP_MAX_CLUSTER, KMEANS_K, iters=KMEANS_ITERS)
+
+
+def _semantic_oversize_oracle():
+    return f"""WITH {_kmeans_assign_ctes()}
+SELECT CAST(cid AS BIGINT) AS cid,
+       CAST(count(*) AS BIGINT) AS n_members,
+       min(vec_id) AS representative
+FROM assign GROUP BY cid
+HAVING count(*) > {SEMDEDUP_MAX_CLUSTER}"""
+
+
 SPARK_QUERIES.update({"ann_ivf": q_ann_ivf, "ann_ivf_probe2": q_ann_ivf_probe2,
                       "ann_ivf_kmeans": q_ann_ivf_kmeans,
                       "ann_pq": q_ann_pq,
                       "semantic_dedup": q_semantic_dedup,
+                      "semantic_dedup_capped": q_semantic_dedup_capped,
+                      "semantic_oversize": q_semantic_oversize,
                       "cell_rollup": q_cell_rollup})
 ORACLES.update({"ann_ivf": _ann_ivf_oracle(),
                 "ann_ivf_probe2": _ann_ivf_probe2_oracle(),
                 "ann_ivf_kmeans": _ann_ivf_kmeans_oracle(),
                 "ann_pq": _ann_pq_oracle(),
                 "semantic_dedup": _semantic_dedup_oracle(),
+                "semantic_dedup_capped": _semantic_dedup_capped_oracle(),
+                "semantic_oversize": _semantic_oversize_oracle(),
                 "cell_rollup": _cell_rollup_oracle()})

@@ -72,15 +72,19 @@ def test_gate_order_covers_all_component_families():
         "contamination_check", "top_trigrams_lang",
         # text-signal family head anchor after quality_filter's demotion
         "text_stats",
-        # r5 NEW capabilities: SemDeDup + raster slope derivative
-        "semantic_dedup", "tile_slope",
-        # r6 rotation (VERDICT r5 task 1): all 14 r5-new parity-tail
+        # r5 NEW capability anchor (tile_slope rotated out r7 — superseded
+        # by the fused tile_terrain)
+        "semantic_dedup",
+        # sampling family anchor (the only head row of its family)
+        "stratified_sample",
+        # r7 rotation (VERDICT r6 task 2): the 14 zero-driver-evidence
         # queries earn their current-round driver rows; the 14 demoted
-        # r5-driver-proven twins hold r5 rows in the tail.
-        "url_canonical", "url_dedup", "domain_rollup", "bigram_lm",
-        "png_features", "props_rollup", "value_quantiles", "pagerank",
-        "cms_counts", "bloom_filter", "stratified_sample", "upsert_stream",
-        "kmv_distinct", "tile_aspect",
+        # r6-driver-proven twins hold r6 rows in the tail.
+        "bpe_merges", "bpe_encode", "perceptron_quality",
+        "link_graph", "host_components", "crawl_frontier", "robots_filter",
+        "hll_registers", "triangle_count",
+        "tile_terrain", "tile_flowacc",
+        "funnel_stream", "bm25_topk", "pii_redact",
     ]
     for name in must_gate:
         assert order.index(name) < 50, f"{name} at {order.index(name)} >= 50"

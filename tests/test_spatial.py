@@ -618,6 +618,65 @@ def test_semantic_dedup_matches_python_reference(spark):
     assert 4 <= n_surv < 120
 
 
+def test_semantic_dedup_max_cluster_guard_on_skewed_clusters(spark):
+    """VERDICT r6 task 5: one boilerplate-heavy cluster must not go
+    quadratic — with max_cluster set, the hot cluster is excluded from
+    pair generation (members surface as singleton survivors), small
+    clusters keep the exact uncapped merge result, and the dropped mass
+    is observable via semantic_oversize_clusters."""
+    import numpy as np
+
+    from elevation_service_spark.operators.similarity import (
+        kmeans_centroids, semantic_dedup, semantic_oversize_clusters)
+
+    rng = np.random.default_rng(41)
+    centers = rng.normal(0, 1, (3, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    # hot boilerplate cluster: 80 near-identical vectors around center 0
+    for i in range(80):
+        v = centers[0] + rng.normal(0, 0.02, 16)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    # two small clusters of 15 around centers 1 and 2
+    for i in range(80, 110):
+        v = centers[1 + (i % 2)] + rng.normal(0, 0.1, 16)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+    cents = kmeans_centroids(emb, 3, iters=2)
+    min_score = 700_000
+    uncapped = {r["vec_id"]: r for r in semantic_dedup(
+        emb, min_score=min_score, centroids=cents).collect()}
+    capped = {r["vec_id"]: r for r in semantic_dedup(
+        emb, min_score=min_score, centroids=cents,
+        max_cluster=40).collect()}
+    assert set(capped) == set(uncapped)  # every vector still present
+    sizes = {}
+    for r in uncapped.values():
+        sizes[r["cid"]] = sizes.get(r["cid"], 0) + 1
+    hot = {cid for cid, n in sizes.items() if n > 40}
+    assert hot, "fixture must produce an oversize cluster"
+    changed = 0
+    for i, r in capped.items():
+        assert r["cid"] == uncapped[i]["cid"]  # assignment unaffected
+        if r["cid"] in hot:
+            # no pairs generated -> everyone is their own component
+            assert r["component"] == i and r["is_survivor"]
+            changed += int(not uncapped[i]["is_survivor"])
+        else:
+            # small clusters: bit-identical to the uncapped semantics
+            assert r["component"] == uncapped[i]["component"]
+            assert r["is_survivor"] == uncapped[i]["is_survivor"]
+    assert changed > 0  # the cap provably bit (hot cluster HAD merges)
+    report = semantic_oversize_clusters(
+        emb, 40, centroids=cents).collect()
+    assert {r["cid"] for r in report} == hot
+    for r in report:
+        assert r["n_members"] == sizes[r["cid"]]
+        members = [i for i in uncapped if uncapped[i]["cid"] == r["cid"]]
+        assert r["representative"] == min(members)
+    emb.unpersist()
+
+
 def test_semantic_dedup_arrow_assignment_path(spark):
     """>64 centroids must route assignment through the broadcast-matrix
     Arrow argmax and still match the expression path's integer semantics
