@@ -162,8 +162,14 @@ class _RingCache:
 #: before it is worth paying another ring re-ship + task dispatch (the
 #: interval-stabbing kernel is ~O(pts·log V) per chunk while each extra
 #: chunk re-ships the O(V) ring and re-parses it once per task).
+#: 4 measured r7 (alternating quiet A/B, exec-s): on the adversarial
+#: 10k-vertex x 200k-candidate shape, factor 2 split 8->16 chunks and
+#: paid 27.1 s vs static-8's 24.5; factor 4 leaves that shape unsplit
+#: (20.5 vs 20.7 — identical), engaging the split only when a group's
+#: candidates exceed 4x its ring size (where static-32's regime begins:
+#: measured 34-42 s for over-split vs 24.5 at the same load).
 PIP_AUTO_RING_FACTOR = int(__import__("os").environ.get(
-    "SPARK_GRAFT_PIP_AUTO_RING_FACTOR", "2"))
+    "SPARK_GRAFT_PIP_AUTO_RING_FACTOR", "4"))
 #: "auto" dial: never split below this many points per chunk — byte-light
 #: tasks pay 2-4x their kernel time in dispatch overhead (r5 measurement).
 PIP_AUTO_MIN_CHUNK = int(__import__("os").environ.get(
@@ -247,6 +253,12 @@ def pip_assign_bucketed(points: DataFrame, polygons: DataFrame,
     # never per candidate.
     spark = points.sparkSession
     cores = spark.sparkContext.defaultParallelism
+    # NOTE (r7, measured): do NOT localCheckpoint here to save
+    # repartitionByRange's sampling re-execution of the upstream — the
+    # eager materialization of the grouped rows (rings per row) measured
+    # STRICTLY worse on every dial (static-8: 34 vs 17-21 exec-s;
+    # static-32: 61 vs 24-30) because the checkpoint job serializes what
+    # the sampler overlaps.
     grouped = (cand
                .groupBy("poly_id", "cx", "cy", shard.alias("_shard"))
                .agg(F.collect_list(F.struct(*id_cols, "lat", "lon")).alias("_pts"))
