@@ -179,3 +179,52 @@ def kmv_distinct(df: DataFrame, key_col: str, k: int = KMV_K) -> DataFrame:
     return (mins.agg(F.count(F.lit(1)).cast("long").alias("n_mins"),
                      F.max("h").alias("kth_hash"))
             .select("n_mins", "kth_hash", est.cast("long").alias("est_distinct")))
+
+
+QSK_K = 256
+QSK_QS_MILLI = (10, 100, 250, 500, 750, 900, 990)
+
+
+def quantile_sketch(df: DataFrame, value_col: str, id_col: str,
+                    k: int = QSK_K,
+                    qs_milli: tuple[int, ...] = QSK_QS_MILLI) -> DataFrame:
+    """(q_milli, sample_n, est_value) — mergeable rank/quantile sketch
+    from a deterministic bottom-k hash sample: the k rows with the
+    smallest 52-bit md5(id) hashes are a uniform row sample, and each
+    requested quantile is the type-1 SELECTION statistic of the sample
+    (value at 1-indexed rank ceil(q·m), m = sample size — both engines
+    pick the identical element, the oracle-exactness rule for order
+    statistics).
+
+    Why not KLL/GK: their compactor state depends on the ORDER buffers
+    merge in, so two partitionings of the same data yield different
+    sketches — unreplayable by a SQL oracle and rerun-unstable.  The
+    bottom-k sample is partition-independent (a global TakeOrdered over
+    content hashes), deterministic, and mergeable exactly like KMV:
+    union samples, re-take the k smallest hashes, re-select.  Estimate
+    error is the classic sampling bound (~1/sqrt(k) rank error at 95%);
+    fewer than k rows degrade to the EXACT type-1 quantiles.
+
+    Scale shape: one narrow (hash, value) projection + TakeOrdered(k) —
+    one shuffle of k-row partial tops, never the corpus; the quantile
+    selection runs on ONE k-element array row.  Ranks clamp to >= 1;
+    hash ties break by value so both engines stay total."""
+    h = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13),
+                16, 10).cast("long"))
+    samp = (df.select(h.alias("_h"),
+                      F.col(value_col).cast("long").alias("v"))
+            .orderBy("_h", "v").limit(int(k)))
+    one = samp.agg(F.sort_array(F.collect_list("v")).alias("vs"))
+    m = F.size("vs")
+    ests = F.array(*[
+        F.struct(F.lit(int(q)).alias("q_milli"),
+                 F.try_element_at(
+                     F.col("vs"),
+                     F.greatest(F.lit(1), ((m * F.lit(int(q)) + F.lit(999))
+                                           / F.lit(1000)).cast("int")))
+                 .alias("est_value"))
+        for q in qs_milli])
+    return (one.select(m.cast("long").alias("sample_n"),
+                       F.explode(ests).alias("e"))
+            .select(F.col("e.q_milli").alias("q_milli"), "sample_n",
+                    F.col("e.est_value").alias("est_value")))

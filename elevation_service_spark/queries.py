@@ -459,6 +459,10 @@ _DEMOTED = [
     "semantic_dedup_capped",  # new r7: max_cluster guard engaged (cap
                               # BITES at both test SFs; oracle replays it)
     "semantic_oversize",      # new r7: the observable dropped-mass report
+    "quantile_sketch",        # new r7: mergeable bottom-k rank sketch —
+                              # the oracle-replayable KLL alternative
+    "hll_stream",             # new r7: streaming windowed HLL registers
+                              # (sketches x streaming composition)
     "lsh_pairs_capped",  # identical oracle to lsh_pairs (cap no-op at gate SF)
     "orders_cube",       # near-dup of orders_rollup
     "ann_ivf_probe2",    # near-dup of ann_ivf (nprobe dial)

@@ -521,6 +521,66 @@ def q_upsert_stream_resumable(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "lang", "source"))
 
 
+def q_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed HLL (r7 — the sketches x streaming
+    composition): per 1-hour event-time window, the distinct-user
+    register table (bucket, max_rank) under a watermark — the
+    unique-visitors-per-window sketch a crawl/traffic pipeline keeps
+    when exact per-window distinct state is too big.  State is bounded
+    by sketch geometry x open windows (<= 2^p rows each), NOT by user
+    count; windows seal and emit in append mode as the watermark
+    passes.  A far-future sentinel (the tile_stats_stream pattern)
+    advances the watermark past every real window; the sentinel's own
+    window stays open and unemitted.  Oracle: DuckDB replays buckets,
+    the shared rank CASE ladder, and the per-hour grouping closed-form
+    — hll_rank_case_sql is the ONE definition both engines compile."""
+    from .operators.sketch import HLL_HASH_BITS, HLL_P, hll_rank_case_sql
+    base = tempfile.mkdtemp(prefix="sparkgraft_hllstream_")
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("user_id").cast("string").alias("uid"))
+    gmax = events.agg(F.max(F.unix_micros("ts")).alias("mx"))
+    sentinel = (events.limit(1).crossJoin(F.broadcast(gmax))
+                .select(F.timestamp_micros(
+                            F.col("mx") + F.lit(10 * 86400 * 1_000_000))
+                        .alias("ts"), "uid"))
+    events.unionByName(sentinel).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    m = 1 << HLL_P
+    h = F.conv(F.substring(F.md5(F.col("uid")), 1, 13), 16, 10).cast("long")
+    staged = (stream.withWatermark("ts", "10 minutes")
+              .select("ts", h.alias("_h"))
+              .select("ts", (F.col("_h") % m).cast("long").alias("bucket"),
+                      F.expr(f"_h div {m}").alias("_w"))
+              .select("ts", "bucket",
+                      F.expr(hll_rank_case_sql("_w", HLL_HASH_BITS - HLL_P))
+                      .cast("long").alias("rank")))
+    regs = (staged.groupBy(F.window("ts", "1 hour").alias("w"), "bucket")
+            .agg(F.max("rank").alias("max_rank")))
+    _drain(regs.select(F.unix_micros("w.start").alias("window_start_us"),
+                       "bucket", "max_rank"), out, ckpt)
+    return spark.read.parquet(out)
+
+
+def _hll_stream_oracle() -> str:
+    from .operators.sketch import HLL_HASH_BITS, HLL_P, hll_rank_case_sql
+    m = 1 << HLL_P
+    return f"""WITH b AS (
+  SELECT (epoch_us(ts) // 3600000000) * CAST(3600000000 AS BIGINT)
+           AS window_start_us,
+         h % {m} AS bucket, h // {m} AS w
+  FROM (SELECT ts,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                    AS BIGINT) AS h
+        FROM events))
+SELECT window_start_us, CAST(bucket AS BIGINT) AS bucket,
+       CAST(max({hll_rank_case_sql('w', HLL_HASH_BITS - HLL_P)}) AS BIGINT)
+         AS max_rank
+FROM b GROUP BY window_start_us, bucket"""
+
+
 SPARK_QUERIES = {
     "elevation_stream": q_elevation_stream,
     "sessionize_stream": q_sessionize_stream,
@@ -531,6 +591,7 @@ SPARK_QUERIES = {
     "upsert_stream": q_upsert_stream,
     "upsert_stream_resumable": q_upsert_stream_resumable,
     "funnel_stream": q_funnel_stream,
+    "hll_stream": q_hll_stream,
 }
 ORACLES = {
     "elevation_stream": _BILINEAR_ORACLE,
@@ -543,4 +604,5 @@ ORACLES = {
     # identical oracle BY DESIGN: the crash machinery must be invisible
     "upsert_stream_resumable": _UPSERT_STREAM_ORACLE,
     "funnel_stream": _FUNNEL_ORACLE_REF,
+    "hll_stream": _hll_stream_oracle(),
 }

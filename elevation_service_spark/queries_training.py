@@ -2709,6 +2709,39 @@ SELECT n_mins, kth_hash,
 FROM agg, ex"""
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Bottom-k rank sketch over document lengths (r7): the mergeable
+    quantile estimator that IS oracle-replayable — KLL/GK compactor state
+    depends on merge order (partition-unstable, sketch bytes opaque), the
+    deterministic bottom-k hash sample is a global TakeOrdered both
+    engines replay element-for-element.  At the gate SF the corpus (5000
+    docs) genuinely exceeds k=256, so the row exercises real sampling,
+    not the exact-degenerate path."""
+    from .operators.sketch import quantile_sketch
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("doc_len"))
+    return quantile_sketch(docs, "doc_len", "doc_id")
+
+
+def _quantile_sketch_oracle():
+    from .operators.sketch import QSK_K, QSK_QS_MILLI
+    qvals = ", ".join(f"({q})" for q in QSK_QS_MILLI)
+    return f"""WITH s AS (
+  SELECT CAST(length(text) AS BIGINT) AS v,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+              AS BIGINT) AS h
+  FROM documents
+  ORDER BY h, v LIMIT {QSK_K}),
+ord AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+               count(*) OVER () AS m FROM s),
+qs(q) AS (VALUES {qvals})
+SELECT CAST(qs.q AS INT) AS q_milli,
+       CAST(ord.m AS BIGINT) AS sample_n,
+       ord.v AS est_value
+FROM qs JOIN ord
+  ON ord.rn = greatest(1, (ord.m * qs.q + 999) // 1000)"""
+
+
 def q_hll_registers(spark, sf_dir):
     """HyperLogLog register table over lineitem part keys (r6): the
     classically-opaque sketch made hash-gateable — bucket = low 6 hash
@@ -2737,11 +2770,13 @@ FROM b GROUP BY bucket"""
 SPARK_QUERIES.update({"cms_counts": q_cms_counts,
                       "bloom_filter": q_bloom_filter,
                       "kmv_distinct": q_kmv_distinct,
-                      "hll_registers": q_hll_registers})
+                      "hll_registers": q_hll_registers,
+                      "quantile_sketch": q_quantile_sketch})
 ORACLES.update({"cms_counts": _cms_oracle(),
                 "bloom_filter": _bloom_oracle(),
                 "kmv_distinct": _kmv_oracle(),
-                "hll_registers": _hll_oracle()})
+                "hll_registers": _hll_oracle(),
+                "quantile_sketch": _quantile_sketch_oracle()})
 
 
 # --- integer PageRank over a derived link graph (r5) -------------------------

@@ -856,6 +856,53 @@ def test_kmv_distinct_accuracy_and_exact_degradation(spark):
     assert merged_kth == r["kth_hash"]
 
 
+def test_quantile_sketch_exact_degradation_accuracy_merge(spark):
+    """r7 bottom-k rank sketch: (a) n < k -> EXACT type-1 quantiles;
+    (b) at n >> k the rank error stays within the sampling bound;
+    (c) merging two shards' bottom-k samples re-selects identically to
+    the whole-corpus sketch (the KMV mergeability contract)."""
+    import numpy as np
+    import pyspark.sql.functions as SF
+
+    from elevation_service_spark.operators.sketch import (QSK_K,
+                                                          quantile_sketch)
+
+    # (a) exact-degenerate: 100 rows < k=256 — type-1 selection over ALL
+    small = spark.range(0, 100).selectExpr("id", "(id + 1) * 10 AS v")
+    got = {r["q_milli"]: r for r in
+           quantile_sketch(small, "v", "id").collect()}
+    vals = np.arange(1, 101) * 10
+    for q, r in got.items():
+        assert r["sample_n"] == 100
+        exact = int(vals[max(1, -(-100 * q // 1000)) - 1])
+        assert r["est_value"] == exact, q
+
+    # (b) accuracy at n >> k: uniform values 1..n — quantile q should
+    # land within ~4/sqrt(k) rank error (binomial bound, generous)
+    n = 50_000
+    big = spark.range(0, n).selectExpr("id", "id + 1 AS v")
+    est = {r["q_milli"]: r["est_value"] for r in
+           quantile_sketch(big, "v", "id").collect()}
+    for q, v in est.items():
+        assert abs(v / n - q / 1000) < 4 / (QSK_K ** 0.5), (q, v)
+
+    # (c) mergeability: bottom-k of the union of shard bottom-ks == whole
+    h = (SF.conv(SF.substring(SF.md5(SF.col("id").cast("string")), 1, 13),
+                 16, 10).cast("long"))
+
+    def bottomk(df):
+        return (df.select(h.alias("_h"), SF.col("v").cast("long").alias("v"))
+                .orderBy("_h", "v").limit(QSK_K))
+
+    a, b = big.filter("id < 25000"), big.filter("id >= 25000")
+    merged = (bottomk(a).unionByName(bottomk(b)).orderBy("_h", "v")
+              .limit(QSK_K).agg(SF.sort_array(SF.collect_list("v")))
+              .collect()[0][0])
+    whole = (bottomk(big).agg(SF.sort_array(SF.collect_list("v")))
+             .collect()[0][0])
+    assert merged == whole
+
+
 def test_robots_filter_rep_semantics(spark):
     """REP verdict edges hand-pinned: longest match wins, Allow beats
     Disallow at EQUAL length, empty-value lines are no-ops (dropped, not
