@@ -486,6 +486,104 @@ def tile_flowdir_stats(tiles: DataFrame) -> DataFrame:
     return tile_terrain_stats(tiles, aspect=False, flow=True)
 
 
+WATERSHED_ROUNDS = 8  # pointer-doubling rounds: labels follow <= 2^8 = 256
+# D8 steps — the bounded-depth contract (the ACC_ROUNDS precedent): the
+# census is DEFINED on the 2^R-step ancestor labels, so both engines
+# replay it exactly whether or not every path has terminated; roots that
+# are still mid-path surface as n_open_basins instead of being dropped.
+
+_WATERSHED_SCHEMA = T.StructType(
+    [T.StructField("tile_key", T.StringType(), False)]
+    + [T.StructField(f, T.LongType(), False)
+       for f in ("n_nodes", "n_basins", "n_pit_basins",
+                 "n_outlet_basins", "n_open_basins", "largest_basin")])
+
+
+def tile_watershed_stats(tiles: DataFrame,
+                         rounds: int = WATERSHED_ROUNDS) -> DataFrame:
+    """(tile_key, n_nodes, n_basins, n_pit_basins, n_outlet_basins,
+    n_open_basins, largest_basin) — D8 drainage-basin (watershed)
+    delineation census: every valid interior node follows its
+    steepest-descent pointer (same drops / first-clockwise-from-East tie
+    rule as the flow kernel) to its 2^rounds-step ancestor via pointer
+    doubling; nodes sharing an ancestor form one basin.  Terminals are
+    pits (best drop <= 0) or outlets (target off the valid interior) —
+    both point to themselves; basins rooted at a non-terminal after
+    2^rounds steps are counted as n_open_basins (zero when every path
+    terminates, as on the gate tile where strict integer descent bounds
+    paths well under 256 steps).
+
+    Scale shape: map-only (one decode, O(size²·rounds) numpy pointer
+    gathers per tile, zero shuffle, O(tiles) output) — the per-tile
+    mirror of the distributed connected-components contract, with the
+    doubling rounds replacing per-round Spark jobs because a tile's
+    graph fits one task.  The DuckDB oracle replays the drops, the tie
+    CASE chain, and every doubling round as self-joins."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in _WATERSHED_SCHEMA.fields}
+            for _, row in pdf.iterrows():
+                z = decode_tile_bytes(row["encoding"], bytes(row["data"]),
+                                      allow_overview=True).astype(np.int32)
+                size = z.shape[0]
+                h = w_ = size - 2
+                void = z == kernels.VOID
+                void8 = np.zeros((h, w_), dtype=bool)
+                for dr in (0, 1, 2):
+                    for dc in (0, 1, 2):
+                        void8 |= void[dr:dr + h, dc:dc + w_]
+                valid8 = ~void8
+                zin = z[1:-1, 1:-1]
+                best = code = None
+                for k, (_, dr, dc) in enumerate(_FLOW_DIRS):
+                    d = zin - z[1 + dr:1 + dr + h, 1 + dc:1 + dc + w_]
+                    if best is None:
+                        best = d.copy()
+                        code = np.zeros(d.shape, dtype=np.int8)
+                    else:
+                        m = d > best
+                        best[m] = d[m]
+                        code[m] = k
+                pit = best <= 0
+                rr, cc = np.meshgrid(np.arange(1, size - 1),
+                                     np.arange(1, size - 1), indexing="ij")
+                flat = rr * size + cc
+                node_mask = np.zeros(size * size, dtype=bool)
+                node_mask[flat[valid8]] = True
+                ptr = np.arange(size * size, dtype=np.int64)
+                live = valid8 & ~pit
+                for k, (_, dr, dc) in enumerate(_FLOW_DIRS):
+                    sel = live & (code == k)
+                    if not sel.any():
+                        continue
+                    tf = (rr + dr) * size + (cc + dc)
+                    ok = sel & node_mask[tf]  # drains point to themselves
+                    ptr[flat[ok]] = tf[ok]
+                ptr1 = ptr.copy()  # one-step pointers, for root classes
+                for _r in range(int(rounds)):
+                    ptr = ptr[ptr]
+                labels = ptr[flat[valid8]]
+                roots, counts = np.unique(labels, return_counts=True)
+                pit_flat = np.zeros(size * size, dtype=bool)
+                pit_flat[flat[valid8 & pit]] = True
+                self_flat = ptr1 == np.arange(size * size, dtype=np.int64)
+                r_pit = pit_flat[roots]
+                r_drain = self_flat[roots] & ~r_pit
+                r_open = ~self_flat[roots]
+                out["tile_key"].append(row["tile_key"])
+                out["n_nodes"].append(int(labels.size))
+                out["n_basins"].append(int(roots.size))
+                out["n_pit_basins"].append(int(r_pit.sum()))
+                out["n_outlet_basins"].append(int(r_drain.sum()))
+                out["n_open_basins"].append(int(r_open.sum()))
+                out["largest_basin"].append(
+                    int(counts.max()) if counts.size else 0)
+            yield pd.DataFrame(out)
+
+    return (tiles.select("tile_key", "encoding", "data")
+            .mapInPandas(gen, _WATERSHED_SCHEMA))
+
+
 def tile_aspect_hist(tiles: DataFrame) -> DataFrame:
     """Aspect-only view of tile_terrain_stats (schema unchanged from r5);
     see tile_slope_stats for the fusion contract.  The slope stats it

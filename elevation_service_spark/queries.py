@@ -463,6 +463,8 @@ _DEMOTED = [
                               # the oracle-replayable KLL alternative
     "hll_stream",             # new r7: streaming windowed HLL registers
                               # (sketches x streaming composition)
+    "tile_watershed",         # new r7: D8 watershed delineation census
+                              # (pointer-doubling basin labels)
     "lsh_pairs_capped",  # identical oracle to lsh_pairs (cap no-op at gate SF)
     "orders_cube",       # near-dup of orders_rollup
     "ann_ivf_probe2",    # near-dup of ann_ivf (nprobe dial)

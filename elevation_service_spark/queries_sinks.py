@@ -586,6 +586,88 @@ def q_resumable_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("pid", "tile_key", "lat", "lon", "elevation", "status"))
 
 
+WATERSHED_SIZE = 241  # derived analysis tile: big enough for ~12k-node
+# basin structure, small enough that the oracle's 8 doubling-round
+# self-joins replay in seconds (the full 1201 fixture measured ~3 min)
+WATERSHED_KEY = "N57E011"
+WATERSHED_SW = (57, 11)
+
+
+def q_tile_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 watershed delineation census (r7): pointer-doubling basin
+    labels over a derived 241² analysis tile of the closed-form lattice
+    DEM (clean grid — void exclusion is pinned by the other raster rows
+    and the operator's pytest).  The oracle rebuilds drops, the
+    clockwise tie CASE, terminal/outlet pointers, and EVERY doubling
+    round as self-joins — the full 256-step closure trajectory sits
+    under the hash."""
+    import numpy as np
+
+    from . import kernels
+    from .operators.raster import tile_watershed_stats
+    sw_lat, sw_lon = WATERSHED_SW
+    grid = fixtures.tile_grid(sw_lat, sw_lon, WATERSHED_SIZE,
+                              plant_void=False)
+    data = kernels.encode_hgt(grid.astype(np.int16))
+    tiles = spark.createDataFrame(
+        [(WATERSHED_KEY, "hgt", bytearray(data))],
+        "tile_key string, encoding string, data binary")
+    return tile_watershed_stats(tiles)
+
+
+def _tile_watershed_oracle() -> str:
+    from .operators.raster import WATERSHED_ROUNDS, _FLOW_DIRS
+    size = WATERSHED_SIZE
+    sw_lat, sw_lon = WATERSHED_SW
+    drops = ",\n  ".join(
+        f"zc - (((gr0 + r + {dr}) * 31 + (gc0 + c + {dc}) * 17) % 2000)"
+        f" AS d_{n[2:]}" for n, dr, dc in _FLOW_DIRS)
+    mx = "greatest(" + ", ".join(f"d_{n[2:]}" for n, _, _ in _FLOW_DIRS) + ")"
+    tr_case = ("CASE WHEN mx <= 0 THEN NULL " + " ".join(
+        f"WHEN d_{n[2:]} = mx THEN r + ({dr})"
+        for n, dr, _ in _FLOW_DIRS) + " END")
+    tc_case = ("CASE WHEN mx <= 0 THEN NULL " + " ".join(
+        f"WHEN d_{n[2:]} = mx THEN c + ({dc})"
+        for n, _, dc in _FLOW_DIRS) + " END")
+    rounds = []
+    for k in range(1, int(WATERSHED_ROUNDS) + 1):
+        prev = "e0" if k == 1 else f"t{k - 1}"
+        rounds.append(f"t{k} AS (SELECT a.id, b.ptr FROM {prev} a "
+                      f"JOIN {prev} b ON b.id = a.ptr)")
+    last = f"t{int(WATERSHED_ROUNDS)}"
+    return f"""WITH t(tile_key, sw_lat, sw_lon, size) AS
+  (VALUES ('{WATERSHED_KEY}', {sw_lat}, {sw_lon}, {size})),
+rr AS (SELECT *, unnest(range(1, size - 1)) AS r FROM t),
+rc AS (SELECT *, unnest(range(1, size - 1)) AS c FROM rr),
+zz AS (SELECT tile_key, size, r, c,
+  (sw_lat + 90) * (size - 1) AS gr0, (sw_lon + 180) * (size - 1) AS gc0,
+  (((sw_lat + 90) * (size - 1) + r) * 31
+   + ((sw_lon + 180) * (size - 1) + c) * 17) % 2000 AS zc
+  FROM rc),
+g AS (SELECT tile_key, size, r, c, {drops} FROM zz),
+m AS (SELECT *, {mx} AS mx FROM g),
+d AS (SELECT tile_key, size, r, c, r * size + c AS id, mx,
+      {tr_case} AS tr, {tc_case} AS tc FROM m),
+e0 AS (SELECT d.id,
+       CASE WHEN nt.id IS NULL THEN d.id ELSE nt.id END AS ptr, d.mx
+       FROM d LEFT JOIN d nt ON nt.r = d.tr AND nt.c = d.tc),
+{','.join(rounds)},
+basins AS (SELECT ptr AS root, count(*) AS bn FROM {last} GROUP BY ptr),
+cls AS (SELECT e0.id AS root,
+        CASE WHEN e0.mx <= 0 THEN 'pit'
+             WHEN e0.ptr = e0.id THEN 'drain' ELSE 'open' END AS klass
+        FROM e0)
+SELECT '{WATERSHED_KEY}' AS tile_key,
+  CAST(sum(bn) AS BIGINT) AS n_nodes,
+  CAST(count(*) AS BIGINT) AS n_basins,
+  CAST(count(*) FILTER (WHERE klass = 'pit') AS BIGINT) AS n_pit_basins,
+  CAST(count(*) FILTER (WHERE klass = 'drain') AS BIGINT)
+    AS n_outlet_basins,
+  CAST(count(*) FILTER (WHERE klass = 'open') AS BIGINT) AS n_open_basins,
+  CAST(max(bn) AS BIGINT) AS largest_basin
+FROM basins JOIN cls USING (root)"""
+
+
 SPARK_QUERIES = {
     "raster_points": q_raster_points,
     "tile_slope": q_tile_slope,
@@ -598,6 +680,7 @@ SPARK_QUERIES = {
     "tile_viewshed": q_tile_viewshed,
     "tile_pyramid": q_tile_pyramid,
     "tile_mosaic": q_tile_mosaic,
+    "tile_watershed": q_tile_watershed,
     "resumable_enrich": q_resumable_enrich,
 }
 ORACLES = {
@@ -612,5 +695,6 @@ ORACLES = {
     "tile_viewshed": _tile_viewshed_oracle(),
     "tile_pyramid": _tile_pyramid_oracle(),
     "tile_mosaic": _tile_mosaic_oracle(),
+    "tile_watershed": _tile_watershed_oracle(),
     "resumable_enrich": _BILINEAR_ORACLE,
 }

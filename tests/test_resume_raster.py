@@ -767,3 +767,86 @@ def test_tile_viewshed_stats_semantics(spark):
     r = run(g)["e"]
     # nodes: d=1 (0), d=3 (9 -> ms 3e6), d=4 (0) -> visible d=1, d=3
     assert (r["n_nodes"], r["n_visible"], r["max_ms"]) == (3, 2, 3_000_000)
+
+
+def test_tile_watershed_stats_semantics(spark):
+    """r7 watershed delineation: independent brute-force follow-the-arrows
+    reference on crafted grids — ramp basins, flat all-pits, a planted
+    void, interior-edge drains, and (rounds=1) the bounded-depth
+    n_open_basins contract for paths longer than 2^rounds."""
+    import numpy as np
+
+    from elevation_service_spark import kernels
+    from elevation_service_spark.operators.raster import (_FLOW_DIRS,
+                                                          tile_watershed_stats)
+
+    def brute(grid, rounds):
+        z = grid.astype(np.int64)
+        size = z.shape[0]
+        void = z == kernels.VOID
+        n = size - 2
+        nodes = set()
+        for i in range(n):
+            for j in range(n):
+                if not void[i:i + 3, j:j + 3].any():
+                    nodes.add((i, j))
+        ptr, pit = {}, {}
+        for (i, j) in nodes:
+            zc = z[i + 1, j + 1]
+            best, code = None, None
+            for k, (_, dr, dc) in enumerate(_FLOW_DIRS):
+                d = zc - z[i + 1 + dr, j + 1 + dc]
+                if best is None or d > best:  # first-max tie rule
+                    best, code = d, k
+            pit[(i, j)] = best <= 0
+            _, dr, dc = _FLOW_DIRS[code]
+            t = (i + dr, j + dc)
+            ptr[(i, j)] = t if (best > 0 and t in nodes) else (i, j)
+        lab = dict(ptr)
+        for _ in range(rounds):
+            lab = {v: lab[lab[v]] for v in nodes}  # pointer doubling
+        from collections import Counter
+        basins = Counter(lab.values())
+        n_pit = sum(1 for r in basins if pit[r])
+        n_out = sum(1 for r in basins if not pit[r] and ptr[r] == r)
+        n_open = sum(1 for r in basins if ptr[r] != r)
+        return (len(nodes), len(basins), n_pit, n_out, n_open,
+                max(basins.values()) if basins else 0)
+
+    def run(grid, rounds):
+        tiles = spark.createDataFrame(
+            [("T", "terrarium-png",
+              bytearray(kernels.encode_terrarium_png(
+                  grid.astype(np.int16))))],
+            "tile_key string, encoding string, data binary")
+        r = tile_watershed_stats(tiles, rounds=rounds).collect()[0]
+        return (r["n_nodes"], r["n_basins"], r["n_pit_basins"],
+                r["n_outlet_basins"], r["n_open_basins"],
+                r["largest_basin"])
+
+    size = 12
+    # diagonal ramp: everything drains toward the SW interior edge
+    g = (3 * np.arange(size)[:, None] + 5 * np.arange(size)[None, :]
+         + np.zeros((size, size)))
+    got, exp = run(g, 8), brute(g, 8)
+    assert got == exp
+    assert got[4] == 0  # converged: no open basins
+    # flat: every node its own pit basin
+    g = np.full((size, size), 9.0)
+    n = (size - 2) ** 2
+    assert run(g, 8) == brute(g, 8) == (n, n, n, 0, 0, 1)
+    # planted void: 3x3 exclusion changes the node set and basin shapes
+    g = (3 * np.arange(size)[:, None] + 5 * np.arange(size)[None, :]
+         + np.zeros((size, size)))
+    g[5, 6] = kernels.VOID
+    assert run(g, 8) == brute(g, 8)
+    # rough terrain: many pits and drains
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 50, (size, size)).astype(np.int16)
+    assert run(g, 8) == brute(g, 8)
+    # bounded-depth contract: a long monotone chain with rounds=1 leaves
+    # mid-path ancestors as open-basin roots; both sides must agree
+    g = (10 * np.arange(size)[:, None] + np.zeros((size, size)))
+    got1, exp1 = run(g, 1), brute(g, 1)
+    assert got1 == exp1
+    assert got1[4] > 0  # the open-basin path is genuinely exercised
