@@ -463,6 +463,20 @@ def _host_cpu_score(work: int = 3_000_000) -> float:
     return round(work / (time.time() - t0) / 1e6, 1)
 
 
+def _parallel_cpu_score_best(reps: int = 3) -> float:
+    """Best of ``reps`` parallel probes, ~2 s apart: one momentary burst
+    (observed: 79.6 Mops pre-probe on a window whose suite then ran the
+    build's best flagship number) must not doom an otherwise-quiet
+    window; SUSTAINED contention still fails all reps.  Best-of matches
+    the ratchet's capacity semantics."""
+    best = 0.0
+    for i in range(reps):
+        if i:
+            time.sleep(2)
+        best = max(best, _parallel_cpu_score())
+    return best
+
+
 def _parallel_cpu_score(procs: int | None = None,
                         work: int = 2_000_000) -> float:
     """ALL-core aggregate integer-loop throughput (M ops/s).  The
@@ -514,7 +528,7 @@ def _window_check() -> dict:
         waited += 10
         load = os.getloadavg()[0]
     single = _host_cpu_score()
-    par = _parallel_cpu_score()
+    par = _parallel_cpu_score_best()
     ref = None
     try:
         with open(_WINDOW_REF) as f:
@@ -569,20 +583,6 @@ def main():
     times, plan_metrics = run_suite(spark, SF_DIR)
     total = round(time.time() - t_total0, 3)
     cpu_after = _host_cpu_score()
-    # re-probe after the suite: weather that moved in MID-run (the r6
-    # failure mode) degrades the trailing parallel score even when the
-    # leading probe was clean
-    par_after = _parallel_cpu_score()
-    floor = 0.8 * max(window["parallel_mops"],
-                      window["ref_parallel_mops"] or 0.0)
-    if par_after < floor:
-        window["ok"] = False
-        sep = "" if window["reason"] == "quiet" else window["reason"] + "; "
-        window["reason"] = (sep + f"post-suite parallel probe {par_after} "
-                            f"Mops < 0.8x window best {round(floor / 0.8, 1)}")
-        print(f"WARN: bench window degraded mid-run: {window['reason']}",
-              file=sys.stderr)
-    window["parallel_mops_after"] = par_after
     flag = times.get("flagship_enrich") or 1e-9
     # measured (not asserted) per-worker grid-cache locality: one more
     # flagship pass with accumulators, forced via an aggregate over the
@@ -651,6 +651,27 @@ def main():
         "window_ok": window["ok"],
         "full_metrics": "BENCH/last_run.json",
     }
+    # post-suite re-probe AFTER spark.stop(): weather that moved in
+    # MID-run (the r6 failure mode) degrades the trailing score even when
+    # the leading probe was clean.  Probing with the Spark JVM still up
+    # measured consistently ~0.55-0.8x the pre-probe on CLEAN windows
+    # (idle executor threads + GC compete with the burns), so the host is
+    # probed, not host+JVM.
+    spark.stop()
+    par_after = _parallel_cpu_score_best()
+    floor = 0.8 * max(window["parallel_mops"],
+                      window["ref_parallel_mops"] or 0.0)
+    if par_after < floor:
+        window["ok"] = False
+        sep = "" if window["reason"] == "quiet" else window["reason"] + "; "
+        window["reason"] = (sep + f"post-suite parallel probe {par_after} "
+                            f"Mops < 0.8x window best {round(floor / 0.8, 1)}")
+        print(f"WARN: bench window degraded mid-run: {window['reason']}",
+              file=sys.stderr)
+    window["parallel_mops_after"] = par_after
+    compact["window_ok"] = full["window"]["ok"]
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
     line = json.dumps(compact)
     if len(line) > 1800:  # belt-and-braces: never outgrow the capture again
         compact["queries"] = {k: round(v, 2) for k, v in times.items()}
@@ -661,7 +682,6 @@ def main():
             compact.pop(drop, None)
         line = json.dumps(compact)
     print(line)
-    spark.stop()
 
 
 if __name__ == "__main__":
