@@ -465,6 +465,8 @@ _DEMOTED = [
                               # (sketches x streaming composition)
     "tile_watershed",         # new r7: D8 watershed delineation census
                               # (pointer-doubling basin labels)
+    "table_profile",          # new r7: ANALYZE-style per-column profile
+                              # (maintenance family depth)
     "lsh_pairs_capped",  # identical oracle to lsh_pairs (cap no-op at gate SF)
     "orders_cube",       # near-dup of orders_rollup
     "ann_ivf_probe2",    # near-dup of ann_ivf (nprobe dial)

@@ -2709,6 +2709,35 @@ SELECT n_mins, kth_hash,
 FROM agg, ex"""
 
 
+PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+                "o_orderpriority")
+
+
+def q_table_profile(spark, sf_dir):
+    """ANALYZE-style per-column profile over orders (r7): row/null/exact
+    distinct counts + min/max per column in ONE aggregation pass — the
+    data-quality gate a pipeline runs on a new corpus drop.  Profiled
+    columns restricted to int/string types whose string casts are
+    byte-identical across engines (the exactness policy; o_totalprice
+    is double and o_orderdate timestamp — both excluded, formatting is
+    engine-specific)."""
+    from .operators.profile import table_profile
+    return table_profile(load(spark, sf_dir, "orders"), list(PROFILE_COLS))
+
+
+def _table_profile_oracle():
+    parts = []
+    for c in PROFILE_COLS:
+        parts.append(f"""SELECT '{c}' AS col_name,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+  CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  CAST(min({c}) AS VARCHAR) AS min_str,
+  CAST(max({c}) AS VARCHAR) AS max_str
+FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_quantile_sketch(spark, sf_dir):
     """Bottom-k rank sketch over document lengths (r7): the mergeable
     quantile estimator that IS oracle-replayable — KLL/GK compactor state
@@ -2771,12 +2800,14 @@ SPARK_QUERIES.update({"cms_counts": q_cms_counts,
                       "bloom_filter": q_bloom_filter,
                       "kmv_distinct": q_kmv_distinct,
                       "hll_registers": q_hll_registers,
-                      "quantile_sketch": q_quantile_sketch})
+                      "quantile_sketch": q_quantile_sketch,
+                      "table_profile": q_table_profile})
 ORACLES.update({"cms_counts": _cms_oracle(),
                 "bloom_filter": _bloom_oracle(),
                 "kmv_distinct": _kmv_oracle(),
                 "hll_registers": _hll_oracle(),
-                "quantile_sketch": _quantile_sketch_oracle()})
+                "quantile_sketch": _quantile_sketch_oracle(),
+                "table_profile": _table_profile_oracle()})
 
 
 # --- integer PageRank over a derived link graph (r5) -------------------------

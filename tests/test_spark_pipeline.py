@@ -1353,3 +1353,24 @@ def test_shard_plan_packing_invariants(spark):
         s += w
     assert got == exp
     assert sum(v[1] for v in got.values()) == sum(w for _, w in live)
+
+
+def test_table_profile_semantics_and_type_guard(spark):
+    """r7 table_profile: exact null/distinct counts per column in one
+    pass; engine-unsafe column types (double) refuse loudly instead of
+    risking formatting drift under the hash gate."""
+    import pytest as _pytest
+
+    from elevation_service_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", 2.5), (3, None, 3.5), (None, "b", 4.5)],
+        "k int, s string, d double")
+    got = {r["col_name"]: r.asDict() for r in
+           table_profile(df, ["k", "s"]).collect()}
+    assert got["k"] == {"col_name": "k", "n_rows": 4, "n_null": 1,
+                        "n_distinct": 3, "min_str": "1", "max_str": "3"}
+    assert got["s"] == {"col_name": "s", "n_rows": 4, "n_null": 1,
+                        "n_distinct": 2, "min_str": "a", "max_str": "b"}
+    with _pytest.raises(ValueError, match="double"):
+        table_profile(df, ["d"])
