@@ -181,6 +181,28 @@ def q_knn_hotcell(spark, sf_dir):
     return knn_join(queries, samples, k=5)
 
 
+def q_knn_hotcell_chained(spark, sf_dir):
+    """The same degenerate-cell shape through topk="chained" (r7): k
+    chained min(struct) rounds — TRUE map-side partial aggregation, so
+    the 10M candidate structs never shuffle (the collect_list form
+    moves ~136-143 MB here).  Measured at integration (alternating
+    reps): 36-54 exec-s / 0 shuffle vs 63-75 / 136 MB, identical rows.
+    This row keeps the crossover measured round-over-round; the
+    headline knn_hotcell row stays on the default so the guard path a
+    naive caller gets is still what's tracked."""
+    from elevation_service_spark.operators.knn import knn_join
+    n = 1_000_000
+    samples = spark.range(0, n, 1, CPUS * 2).select(
+        F.col("id").alias("sid"),
+        (F.lit(57.0) + (F.col("id") % 1000) / 10000.0).alias("lat"),
+        (F.lit(11.0) + ((F.col("id") * 7919) % 1000) / 10000.0).alias("lon"))
+    queries = spark.range(0, 10).select(
+        F.col("id").alias("qid"),
+        (F.lit(57.0) + F.col("id") / 1000.0).alias("lat"),
+        (F.lit(11.0) + F.col("id") / 1000.0).alias("lon"))
+    return knn_join(queries, samples, k=5, topk="chained")
+
+
 def q_dedup_pipeline_capped(spark, sf_dir):
     """The production near-dup shape end-to-end in ONE tokenize pass:
     fused minhash+simhash aggregate -> banded LSH with the oversize-bucket
@@ -307,6 +329,7 @@ BENCH_QUERIES = {
     "extract_coords_bulk": q_bench_extract,
     "lsh_capped_pathological": q_lsh_capped_pathological,
     "knn_hotcell": q_knn_hotcell,
+    "knn_hotcell_chained": q_knn_hotcell_chained,
     "dedup_pipeline_capped": q_dedup_pipeline_capped,
     "pip_bucketed_big": q_pip_bucketed_big,
     "pip_bucketed_big_shards8": q_pip_bucketed_big_shards8,

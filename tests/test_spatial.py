@@ -54,6 +54,38 @@ def test_knn_forces_ring_expansion_and_fallback(spark):
     assert [(sid, d2) for _, sid, d2 in rows] == exp[0]
 
 
+def test_knn_chained_topk_matches_shard_strategy(spark):
+    """r7 topk="chained" (k chained min(struct) rounds — true map-side
+    partial aggregation, zero candidate shuffle) must be bit-identical
+    to the default sharded collect_list aggregate on every path: dense
+    one-ring, ring expansion, brute fallback, k > samples, and
+    metric=True distances."""
+    rng = np.random.default_rng(17)
+    samples = [(i, float(57 + rng.uniform(0, 1)), float(11 + rng.uniform(0, 1)))
+               for i in range(300)]
+    queries = [(i, float(57 + rng.uniform(0, 1)), float(11 + rng.uniform(0, 1)))
+               for i in range(25)]
+    sdf = spark.createDataFrame(samples, ["sid", "lat", "lon"])
+    qdf = spark.createDataFrame(queries, ["qid", "lat", "lon"])
+    for metric in (False, True):
+        a = sorted(tuple(r) for r in
+                   knn_join(qdf, sdf, k=5, metric=metric).collect())
+        b = sorted(tuple(r) for r in
+                   knn_join(qdf, sdf, k=5, metric=metric,
+                            topk="chained").collect())
+        assert a == b, f"metric={metric}"
+    # ring expansion + sparse fallback + k > in-ring candidates
+    samples2 = [(1, 57.10, 11.10), (2, 57.101, 11.101), (3, 57.102, 11.102),
+                (4, 59.9, 13.9), (5, 50.0, 5.0)]
+    queries2 = [(0, 57.1005, 11.1005)]
+    s2 = spark.createDataFrame(samples2, ["sid", "lat", "lon"])
+    q2 = spark.createDataFrame(queries2, ["qid", "lat", "lon"])
+    a = sorted(tuple(r) for r in knn_join(q2, s2, k=4, max_ring=4).collect())
+    b = sorted(tuple(r) for r in
+               knn_join(q2, s2, k=4, max_ring=4, topk="chained").collect())
+    assert a == b
+
+
 def test_knn_k_larger_than_samples(spark):
     samples = [(1, 57.1, 11.1), (2, 57.2, 11.2)]
     queries = [(0, 57.15, 11.15)]
