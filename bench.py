@@ -319,7 +319,11 @@ def _registry_queries():
              "paragraph_dedup", "geohash", "inverted_index",
              # r6 late capabilities (first numbers this window)
              "bpe_merges", "user_funnel", "tile_flowacc", "collocations",
-             "tile_viewshed", "crawl_frontier", "weighted_sample"]
+             "tile_viewshed", "crawl_frontier", "weighted_sample",
+             # r7 capabilities (semantic_dedup_capped shares semantic_dedup's
+             # tracked cost; hll_stream is a streaming drain, tracked via
+             # elevation_stream)
+             "tile_watershed", "quantile_sketch", "table_profile"]
     return {n: qs[n] for n in names}
 
 
