@@ -326,12 +326,32 @@ def _adaptive_salt_map(points: DataFrame, target_points_per_group: int,
             for r in counts}
 
 
+#: column types that cross the Arrow boundary at fixed width — carrying
+#: them through the cogroup kernel is cheaper than the join-back below
+_ARROW_CHEAP_TYPES = ("tinyint", "smallint", "int", "bigint", "float",
+                      "double", "boolean", "date", "timestamp",
+                      "timestamp_ntz")
+_CARRY_MAX_COLS = 8
+
+
 def _enrich_cogroup(points: DataFrame, tiles: DataFrame,
                     interpolation: str, salt_factor: int | None,
                     target_points_per_group: int = 200_000,
                     max_salt: int = 64) -> DataFrame:
-    """Shuffle strategy, Arrow-slim (VERDICT r4 #6): only (tile_key, lat,
-    lon) crosses the Python boundary — the kernel's entire input — and one
+    """Shuffle strategy, two Arrow-width modes (r7):
+
+    CARRY mode — when every extra point column is a fixed-width primitive
+    (_ARROW_CHEAP_TYPES) and there are at most _CARRY_MAX_COLS of them,
+    ALL columns ride through the cogroup kernel and the result is final:
+    no join-back.  Measured on the salted bench shape (one bigint extra):
+    7.6-8.9 exec-s vs 29-44 for the join-back form, identical rows — the
+    join-back's sort-merge of the full point set on (tile_key, lat, lon)
+    plus the in-group dedup dominated, while a few fixed-width columns
+    through Arrow are nearly free.
+
+    JOIN-BACK mode — wide/string/nested point schemas keep the r4
+    Arrow-slim plan: only (tile_key, lat, lon) crosses the Python
+    boundary — the kernel's entire input — and one
     (elevation, code) pair per DISTINCT coordinate comes back; every other
     point column stays JVM-side and is joined back on (tile_key, lat, lon)
     after the kernel (the same columns-don't-cross discipline as the
@@ -343,8 +363,13 @@ def _enrich_cogroup(points: DataFrame, tiles: DataFrame,
     can't equi-join; they are exactly the OUT_OF_BOUNDS rows, restored by
     the coalesce below — pinned in
     test_null_coords_are_out_of_bounds_both_strategies."""
+    dtypes = dict(points.dtypes)
+    extras = [c for c in points.columns if c not in ("tile_key", "lat", "lon")]
+    carry = (len(extras) <= _CARRY_MAX_COLS
+             and all(dtypes[c] in _ARROW_CHEAP_TYPES for c in extras))
     keys = ["tile_key"]
-    slim = points.select("tile_key", "lat", "lon")
+    slim = (points.select("tile_key", "lat", "lon", *extras) if carry
+            else points.select("tile_key", "lat", "lon"))
     tls = (tiles.join(points.select("tile_key").distinct(), "tile_key", "left_semi")
            .select("tile_key", "sw_lat", "sw_lon", "encoding", "data"))
     if salt_factor is None:
@@ -364,6 +389,47 @@ def _enrich_cogroup(points: DataFrame, tiles: DataFrame,
         slim = slim.withColumn("_salt", F.pmod(F.hash("lat", "lon"), F.lit(salt_factor)))
         tls = tls.withColumn("_salt", F.explode(F.array([F.lit(i) for i in range(salt_factor)])))
         keys = ["tile_key", "_salt"]
+
+    if carry:
+        out_cols = ["tile_key", "lat", "lon"] + extras
+        carry_schema = (", ".join(f"`{c}` {dtypes[c]}" for c in out_cols)
+                        + ", elevation double, code tinyint")
+
+        def fn_carry(pts_pdf: pd.DataFrame, tls_pdf: pd.DataFrame) -> pd.DataFrame:
+            base = pts_pdf[out_cols]
+            n = len(base)
+            if n == 0:
+                elev = np.empty(0, dtype=np.float64)
+                code = np.empty(0, dtype=np.int8)
+            elif pd.isna(pts_pdf["tile_key"].iloc[0]):
+                # null coords -> null tile_key (one all-null group): op-14
+                # says OUT_OF_BOUNDS, never TILE_MISSING — mirrors the
+                # join-back path's coalesce and the broadcast preset
+                elev = np.full(n, np.nan)
+                code = np.full(n, CODE_OUT_OF_BOUNDS, dtype=np.int8)
+            else:
+                tile = None
+                if len(tls_pdf) > 0:
+                    r = tls_pdf.iloc[0]
+                    tile = (int(r["sw_lat"]), int(r["sw_lon"]),
+                            r["encoding"], bytes(r["data"]))
+                elev, code = _enrich_one_tile_codes(
+                    base["lat"].to_numpy(dtype=np.float64),
+                    base["lon"].to_numpy(dtype=np.float64),
+                    tile, interpolation)
+            out = base.copy()
+            out["elevation"] = elev
+            out["code"] = code
+            return out
+
+        res = (slim.groupBy(*keys).cogroup(tls.groupBy(*keys))
+               .applyInPandas(fn_carry, carry_schema))
+        status_col = F.element_at(
+            F.array(*[F.lit(s) for s in STATUS_BY_CODE]),
+            F.col("code").cast("int") + 1)
+        return res.select(*points.columns, F.col("elevation"),
+                          status_col.alias("status"))
+
     result_schema = ("tile_key string, lat double, lon double, "
                      "elevation double, code tinyint")
 
