@@ -86,6 +86,50 @@ def test_knn_chained_topk_matches_shard_strategy(spark):
     assert a == b
 
 
+def test_knn_auto_topk_routes_on_density_and_matches_both(spark):
+    """r8 topk="auto" (the default): the up-front density probe must
+    route the degenerate one-cell shape to the chained aggregate and a
+    normal-density shape to the sharded one, with results bit-identical
+    to BOTH explicit strategies on each shape."""
+    from elevation_service_spark.operators import knn as knn_mod
+
+    # degenerate: every sample in ONE 0.25-degree cell -> est ring-1
+    # candidates/query = 9 * n_samples >> threshold (with the test-scale
+    # threshold override; the shipped default keeps the same ordering at
+    # bench scale: 9e6 vs 100k vs ~2.7k)
+    rng = np.random.default_rng(23)
+    hot = [(i, float(57.0 + rng.uniform(0, 0.09)),
+            float(11.0 + rng.uniform(0, 0.09))) for i in range(400)]
+    sparse = [(i, float(-50 + (i % 20) * 3.0), float(10 + (i // 20) * 3.0))
+              for i in range(60)]
+    queries = [(i, float(57.0 + i / 1000.0), float(11.0 + i / 1000.0))
+               for i in range(8)]
+    qdf = spark.createDataFrame(queries, ["qid", "lat", "lon"])
+    old = knn_mod.CHAINED_MIN_CAND_PER_QUERY
+    knn_mod.CHAINED_MIN_CAND_PER_QUERY = 1000.0
+    try:
+        for samples in (hot, sparse):
+            sdf = spark.createDataFrame(samples, ["sid", "lat", "lon"])
+            auto = sorted(tuple(r) for r in
+                          knn_join(qdf, sdf, k=4).collect())
+            shard = sorted(tuple(r) for r in
+                           knn_join(qdf, sdf, k=4, topk="shard").collect())
+            chained = sorted(tuple(r) for r in
+                             knn_join(qdf, sdf, k=4, topk="chained").collect())
+            assert auto == shard == chained
+        # routing itself: hot density 400/1 cell -> est 3600 >= 1000 ->
+        # chained; sparse density ~1/cell -> est 9 < 1000 -> shard.  Pin
+        # via the probe the router consumes.
+        hot_d = knn_mod._sample_density(
+            with_cells(spark.createDataFrame(hot, ["sid", "lat", "lon"])))
+        sparse_d = knn_mod._sample_density(
+            with_cells(spark.createDataFrame(sparse, ["sid", "lat", "lon"])))
+        assert hot_d * 9 >= 1000.0
+        assert sparse_d * 9 < 1000.0
+    finally:
+        knn_mod.CHAINED_MIN_CAND_PER_QUERY = old
+
+
 def test_knn_k_larger_than_samples(spark):
     samples = [(1, 57.1, 11.1), (2, 57.2, 11.2)]
     queries = [(0, 57.15, 11.15)]
