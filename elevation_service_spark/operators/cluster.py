@@ -57,14 +57,19 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
         nbr_min = (sym.join(labels.select(F.col("id").alias("nbr"),
                                           F.col("comp").alias("nbr_comp")), "nbr")
                    .groupBy("id").agg(F.min("nbr_comp").alias("nbr_comp")))
+        # carry the OLD label through the checkpointed frame so the
+        # changed-count is a map-only filter over the checkpoint blocks —
+        # the r1-r7 form re-joined new labels against old labels, paying
+        # a full extra shuffle join per round just for the convergence
+        # counter (r8, guide §2.4: remove shuffles outright)
         new_labels = (labels.join(nbr_min, "id", "left")
                       .select("id", F.least(F.col("comp"),
                                             F.coalesce(F.col("nbr_comp"),
-                                                       F.col("comp"))).alias("comp"))
+                                                       F.col("comp"))).alias("comp"),
+                              F.col("comp").alias("_old"))
                       .localCheckpoint())
-        changed = (new_labels.join(labels.withColumnRenamed("comp", "old"), "id")
-                   .filter(F.col("comp") != F.col("old")).count())
-        labels = new_labels
+        changed = new_labels.filter(F.col("comp") != F.col("_old")).count()
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     sym.unpersist()

@@ -54,18 +54,24 @@ def plane_sign(plane: int, pos: int) -> int:
     return 1 if ((plane * 31 + pos * 17) % 2) == 0 else -1
 
 
-def _bucket(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
-    """Sign-LSH bucket id: bit j = (sum_i sign(j,i)·v_i) > 0."""
-    bucket = None
+def _bucket(vec: str, dim: int, n_planes: int = N_PLANES) -> Column:
+    """Sign-LSH bucket id: bit j = (sum_i sign(j,i)·v_i) > 0.
+
+    ``vec`` is a COLUMN NAME: the n_planes x dim term expression is built
+    as ONE SQL text parsed JVM-side — the r1-r7 Column-API form made a
+    py4j round trip per term (~2·n_planes·dim driver calls, measured
+    ~1.5-2 s of pure driver build time per use at 8x64); the parsed tree
+    and types are identical (int literals, left-assoc sums), so results
+    are unchanged (oracle-pinned)."""
+    planes = []
     for j in range(n_planes):
-        proj = None
-        for i in range(dim):
-            term = F.element_at(vec, i + 1) * F.lit(plane_sign(j, i))
-            proj = term if proj is None else proj + term
-        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j)
-        bucket = term if bucket is None else bucket + term
-    return bucket
+        proj = " + ".join(
+            f"(element_at(`{vec}`, {i + 1}) * {plane_sign(j, i)})"
+            for i in range(dim))
+        planes.append(
+            f"shiftleft(CASE WHEN ({proj}) > 0 THEN CAST(1 AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END, {j})")
+    return F.expr(" + ".join(planes))
 
 
 def ann_lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
@@ -77,7 +83,7 @@ def ann_lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     trade-off; recall is measured against ann_brute_topk in tests."""
     base = emb.select(F.col(id_col).alias("vec_id"),
                       _quant(F.col(vec_col)).alias("ev"))
-    base = base.withColumn("bucket", _bucket(F.col("ev"), dim, n_planes))
+    base = base.withColumn("bucket", _bucket("ev", dim, n_planes))
     q = (base.filter(F.col("vec_id").isin(query_ids))
          .select(F.col("vec_id").alias("qid"), F.col("ev").alias("qv"),
                  F.col("bucket").alias("qbucket")))
@@ -121,7 +127,7 @@ def embedding_near_dup_pairs(emb: DataFrame, min_score: int,
     self-join + exact integer-dot threshold (cosine-style near-dup dedup
     at scale; never all-pairs)."""
     base = (emb.select(F.col(id_col).alias("id"), _quant(F.col(vec_col)).alias("v"))
-            .withColumn("bucket", _bucket(F.col("v"), dim)))
+            .withColumn("bucket", _bucket("v", dim)))
     a, b = base.alias("a"), base.alias("b")
     return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.id") < F.col("b.id")))
@@ -133,21 +139,26 @@ def embedding_near_dup_pairs(emb: DataFrame, min_score: int,
 EXPR_MAX_CENTROIDS = 64
 
 
-def _centroid_structs(cents: list[tuple[int, list[int]]], vec_c: Column) -> Column:
+def _centroid_structs(cents: list[tuple[int, list[int]]], vec: str) -> Column:
     """(score, -cid) structs — linear-size expression tree (a when-chain
     fold would duplicate subtrees exponentially and send Catalyst analysis
     into minutes); struct ordering is lexicographic, so max picks the
     highest score and, on ties, the LOWEST cid via the negated field.
     Shared by ann_ivf_topk and semantic_dedup so the two assignment rules
-    (and their oracles) cannot drift."""
+    (and their oracles) cannot drift.
+
+    ``vec`` is a COLUMN NAME: the k x dim term expression is built as ONE
+    SQL text parsed JVM-side — the r1-r7 Column-API form paid a py4j
+    round trip per term (~2·k·dim driver calls: measured 1.7-2.2 s of
+    pure driver build time at k=8, dim=64, r8 phase breakdown); the
+    parsed tree and types are identical (int literals, left-assoc sums),
+    so results are unchanged (oracle-pinned)."""
     cands = []
     for cid, cv in cents:
-        score = None
-        for i, c in enumerate(cv):
-            term = F.element_at(vec_c, i + 1) * F.lit(int(c))
-            score = term if score is None else score + term
-        cands.append(F.struct(score.alias("s"), F.lit(-cid).alias("nc")))
-    return F.array(*cands)
+        score = " + ".join(f"(element_at(`{vec}`, {i + 1}) * {int(c)})"
+                           for i, c in enumerate(cv))
+        cands.append(f"struct(({score}) AS s, {-cid} AS nc)")
+    return F.expr("array(" + ", ".join(cands) + ")")
 
 
 def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
@@ -198,15 +209,38 @@ def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
                  .filter(F.col("_cn") <= max_cluster)
                  .select("cid"))
         pair_src = assigned.join(small, "cid", "left_semi")
-    a, b = pair_src.alias("a"), pair_src.alias("b")
+    # spread ONLY the streamed side of the quadratic within-cluster
+    # self-join when the input scan undersupplied parallelism (few-split
+    # local inputs arrive checkpointed as 1-2 partitions, serializing
+    # the pair scoring on one task — ~2 s of the r8 phase breakdown).
+    # The probe is metadata-only: the frame is checkpointed, so
+    # getNumPartitions reads the materialized RDD without executing
+    # anything (the AQE hazard in CLAUDE.md applies to un-materialized
+    # upstream shuffles).  The repartition is lazy with exactly one
+    # consumer (the pairs checkpoint job) and is NOT applied to the
+    # build side or any other assigned consumer, so the CC rounds keep
+    # the original partitioning; at scale the scan supplies >= cores
+    # partitions and no exchange is added at all.
+    cores = emb.sparkSession.sparkContext.defaultParallelism
+    spread = assigned.rdd.getNumPartitions() < cores
+    pair_a = pair_src.repartition(cores) if spread else pair_src
+    a, b = pair_a.alias("a"), pair_src.alias("b")
     pairs = (a.join(b, (F.col("a.cid") == F.col("b.cid"))
                     & (F.col("a.vec_id") < F.col("b.vec_id")))
              .select(F.col("a.vec_id").alias("id1"),
                      F.col("b.vec_id").alias("id2"),
                      _dot(F.col("a.v"), F.col("b.v")).alias("score"))
              .filter(F.col("score") >= min_score)
-             .select("id1", "id2")
-             .localCheckpoint())
+             .select("id1", "id2"))
+    if spread:
+        # fold the surviving pairs (a tiny fraction of the scored
+        # candidates) back to the pre-spread partition count before the
+        # checkpoint: the spread exists to parallelize the SCORING, and
+        # letting its 32-way layout leak into the checkpoint made every
+        # downstream CC-round stage pay ~cores near-empty tasks
+        # (measured: 732 vs 80 tasks for the same query, no wall gain)
+        pairs = pairs.repartition(max(2, assigned.rdd.getNumPartitions()))
+    pairs = pairs.localCheckpoint()
     comps = connected_components(pairs, assigned.select("vec_id"))
     return (assigned.select("vec_id", "cid")
             .join(comps.withColumnRenamed("id", "vec_id"), "vec_id")
@@ -228,7 +262,7 @@ def _assign_clusters(emb: DataFrame, k: int, iters: int,
                       _quant(F.col(vec_col)).alias("v"))
     if len(cents) <= EXPR_MAX_CENTROIDS:
         return base.withColumn(
-            "cid", (-F.array_max(_centroid_structs(cents, F.col("v")))["nc"])
+            "cid", (-F.array_max(_centroid_structs(cents, "v"))["nc"])
             .cast("long"))
     spark = emb.sparkSession
     assign1 = _centroid_probe_udf(spark, cents, 1)
@@ -662,11 +696,8 @@ def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     base = emb.select(F.col(id_col).alias("vec_id"), _quant(F.col(vec_col)).alias("ev"))
 
     if len(cents) <= EXPR_MAX_CENTROIDS:
-        def centroid_structs(vec_c):
-            return _centroid_structs(cents, vec_c)
-
         assigned = base.withColumn(
-            "centroid", -F.array_max(centroid_structs(F.col("ev")))["nc"])
+            "centroid", -F.array_max(_centroid_structs(cents, "ev"))["nc"])
         q = assigned.filter(F.col("vec_id").isin(query_ids))
         if nprobe <= 1:
             q = q.select(F.col("vec_id").alias("qid"), F.col("ev").alias("qv"),
@@ -674,7 +705,7 @@ def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
         else:
             # top-nprobe centroids per query: sort the (score, -cid) structs
             # descending, take nprobe, explode — one probe row per (query, list)
-            probes = F.slice(F.reverse(F.array_sort(centroid_structs(F.col("ev")))),
+            probes = F.slice(F.reverse(F.array_sort(_centroid_structs(cents, "ev"))),
                              1, nprobe)
             q = (q.select(F.col("vec_id").alias("qid"), F.col("ev").alias("qv"),
                           F.explode(probes).alias("_p"))

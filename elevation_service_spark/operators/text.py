@@ -187,7 +187,12 @@ def bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
                    .otherwise(F.array().cast("array<string>")).alias("_g2"))
            .select("id", F.explode("_g2").alias("bigram"))
            .localCheckpoint())
-    c2 = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    # c2 feeds both the apply-side join and the c1 re-aggregation; without
+    # a checkpoint the corpus-scale aggregation over the occ checkpoint
+    # ran twice (r8 plan audit, plans/r08/bigram_lm_before.txt nodes
+    # 8-13 vs 17-25).  The checkpoint is vocabulary-sized.
+    c2 = (occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+          .localCheckpoint())
     c1 = (c2.groupBy(F.substring_index("bigram", " ", 1).alias("w1"))
           .agg(F.sum("c2").alias("c1")))
     scored = (occ.join(c2, "bigram")
@@ -242,7 +247,15 @@ def collocations(docs: DataFrame, id_col: str = "doc_id",
            .select(F.when(F.size(tk) >= 2, gram2)
                    .otherwise(F.array().cast("array<string>")).alias("_g2"))
            .select(F.explode("_g2").alias("bigram")))
-    c2 = occ.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    # c2 is consumed by THREE branches (c_left, c_right, the scored
+    # filter), and each branch's pruning/aggregation specializes its
+    # subtree enough that ReuseExchange never fires — the corpus-scale
+    # tokenize+explode+aggregate ran 3x (r8 plan audit,
+    # plans/r08/collocations_before.txt: three identical Scan->Generate->
+    # HashAggregate chains).  Checkpointing the VOCABULARY-sized c2 pays
+    # one tiny materialization for two saved corpus passes (guide §1.2).
+    c2 = (occ.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+          .localCheckpoint())
     cl = (c2.groupBy(F.substring_index("bigram", " ", 1).alias("w1"))
           .agg(F.sum("c2").cast("long").alias("c_left")))
     cr = (c2.groupBy(F.substring_index("bigram", " ", -1).alias("w2"))
