@@ -364,12 +364,26 @@ def _enrich_cogroup(points: DataFrame, tiles: DataFrame,
     the coalesce below — pinned in
     test_null_coords_are_out_of_bounds_both_strategies."""
     dtypes = dict(points.dtypes)
+    nullable = {f.name: f.nullable for f in points.schema.fields}
     extras = [c for c in points.columns if c not in ("tile_key", "lat", "lon")]
-    carry = (len(extras) <= _CARRY_MAX_COLS
+    # NULLABLE bigint extras need masked transport (ADVICE r7): a bigint
+    # column holding any null arrives in pandas as float64 (NaN-encodes
+    # null), silently losing precision for values >= 2^53.  Carry them as
+    # (coalesce(c, 0), c IS NULL) — both Arrow-exact — and rebuild a
+    # pandas nullable Int64 inside the kernel; each such column therefore
+    # counts twice against the carry width budget.  Smaller ints are
+    # float64-exact and doubles NaN-roundtrip, so only bigint needs this.
+    risky = [c for c in extras if dtypes[c] == "bigint" and nullable.get(c)]
+    carry = (len(extras) + len(risky) <= _CARRY_MAX_COLS
              and all(dtypes[c] in _ARROW_CHEAP_TYPES for c in extras))
     keys = ["tile_key"]
-    slim = (points.select("tile_key", "lat", "lon", *extras) if carry
-            else points.select("tile_key", "lat", "lon"))
+    if carry:
+        transport = [(F.coalesce(F.col(c), F.lit(0)).alias(c) if c in risky
+                      else F.col(c)) for c in extras]
+        transport += [F.col(c).isNull().alias(f"__null_{c}") for c in risky]
+        slim = points.select("tile_key", "lat", "lon", *transport)
+    else:
+        slim = points.select("tile_key", "lat", "lon")
     tls = (tiles.join(points.select("tile_key").distinct(), "tile_key", "left_semi")
            .select("tile_key", "sw_lat", "sw_lon", "encoding", "data"))
     if salt_factor is None:
@@ -396,6 +410,12 @@ def _enrich_cogroup(points: DataFrame, tiles: DataFrame,
                         + ", elevation double, code tinyint")
 
         def fn_carry(pts_pdf: pd.DataFrame, tls_pdf: pd.DataFrame) -> pd.DataFrame:
+            for c in risky:
+                # rebuild the exact nullable bigint from its masked
+                # transport: int64 values (never float64) + bool mask
+                pts_pdf[c] = pd.arrays.IntegerArray(
+                    pts_pdf[c].to_numpy(dtype=np.int64),
+                    pts_pdf[f"__null_{c}"].to_numpy(dtype=bool))
             base = pts_pdf[out_cols]
             n = len(base)
             if n == 0:

@@ -220,8 +220,12 @@ def quantile_sketch(df: DataFrame, value_col: str, id_col: str,
         F.struct(F.lit(int(q)).alias("q_milli"),
                  F.try_element_at(
                      F.col("vs"),
-                     F.greatest(F.lit(1), ((m * F.lit(int(q)) + F.lit(999))
-                                           / F.lit(1000)).cast("int")))
+                     # integer ceil-rank, same arithmetic as the oracle's
+                     # `//` by construction (ADVICE r7: the former
+                     # double-divide-then-truncate was equivalent only
+                     # while m*q+999 stayed float64-exact)
+                     F.greatest(F.lit(1), F.expr(
+                         f"(size(vs) * {int(q)} + 999) div 1000").cast("int")))
                  .alias("est_value"))
         for q in qs_milli])
     return (one.select(m.cast("long").alias("sample_n"),

@@ -230,6 +230,50 @@ def test_null_coords_are_out_of_bounds_both_strategies(spark):
             assert got[pid]["elevation"] is None, (strategy, got[pid])
 
 
+def test_cogroup_carry_nullable_bigint_exact_past_2_53(spark):
+    """ADVICE r7: a NULLABLE bigint extra used to cross the Arrow
+    boundary as float64 (NaN-encodes null), silently losing precision
+    for values >= 2^53.  Carry mode now transports such columns as
+    (coalesce, null-mask) and rebuilds a pandas nullable Int64, so the
+    round trip is exact for any int64 value, nulls preserved."""
+    big = (1 << 53) + 1  # first value float64 cannot represent
+    neg = -(1 << 62) - 7
+    rows = [(0, 57.5, 11.5, big), (1, 57.6, 11.6, None),
+            (2, 57.7, 11.7, neg), (3, None, 11.5, big + 2)]
+    pts = spark.createDataFrame(rows, "pid int, lat double, lon double, tag long")
+    tiles = fixture_tiles_df(spark)
+    got = {r["pid"]: r for r in
+           enrich_points(pts, tiles, strategy="cogroup").collect()}
+    assert got[0]["tag"] == big          # would be big-1 via float64
+    assert got[1]["tag"] is None
+    assert got[2]["tag"] == neg
+    assert got[3]["tag"] == big + 2 and got[3]["status"] == "OUT_OF_BOUNDS"
+    # same answers through the join-back branch (string extra disables carry)
+    pts2 = pts.withColumn("note", F.concat(F.lit("n"), F.col("pid")))
+    got2 = {r["pid"]: r for r in
+            enrich_points(pts2, tiles, strategy="cogroup").collect()}
+    for pid in range(4):
+        assert got2[pid]["tag"] == got[pid]["tag"]
+        assert got2[pid]["status"] == got[pid]["status"]
+
+
+def test_cogroup_join_back_branch_with_string_extra(spark):
+    """ADVICE r7: pin the join-back branch directly (all other cogroup
+    unit tests now exercise carry mode) — a string extra forces the
+    Arrow-slim kernel + equi-join-back, including the null-coords
+    OUT_OF_BOUNDS coalesce restore."""
+    rows = [(0, 57.5, 11.5, "a"), (1, None, 11.5, "b"), (2, 10.5, 10.5, "c")]
+    pts = spark.createDataFrame(rows, "pid int, lat double, lon double, label string")
+    tiles = fixture_tiles_df(spark)
+    got = {r["pid"]: r for r in
+           enrich_points(pts, tiles, strategy="cogroup").collect()}
+    assert got[0]["status"] == "OK" and got[0]["elevation"] is not None
+    assert got[0]["label"] == "a"
+    assert got[1]["status"] == "OUT_OF_BOUNDS" and got[1]["elevation"] is None
+    assert got[1]["label"] == "b"
+    assert got[2]["status"] == "TILE_MISSING" and got[2]["label"] == "c"
+
+
 def test_fetch_tiles_plug_point(spark, tmp_path):
     """fetch_tiles turns requested keys + a fetcher callable into tile-table
     rows from the executors; missing keys vanish and downstream lookups
