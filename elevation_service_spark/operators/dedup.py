@@ -42,7 +42,15 @@ def minhash_params(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
 
 def tokenize(docs: DataFrame, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
-    """(id, pos, tok) — whitespace tokens with document position."""
+    """(id, pos, tok) — whitespace tokens with document position.
+
+    Deliberately NO few-split spread here (r8, measured): the minhash/
+    simhash consumers' serial map stage is only ~0.4 s at bench scale
+    and the spread's extra exchange + sort-before-repartition cost more
+    than it saved (minhash_signatures 1.1 -> 1.6 s, simhash 1.2 -> 1.9,
+    lsh/dedup_pipeline +0.4-0.5 s) — unlike the per-row-CPU-heavy
+    winnow/extract operators where the same spread wins (see
+    operators/spread.py)."""
     return docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"))

@@ -65,6 +65,11 @@ def extract_coords(pages: DataFrame, text_col: str = "text",
     within the document (the reference visits positions in document order;
     geojson-elevation/index.js § addElevation).
     """
+    from .spread import spread_few_splits
+    # the regex scan is CPU-bound and per-row; spread a few-split input
+    # across the cores (no-op at scale — see operators/spread.py; r8:
+    # the 600k-row bench extraction ran serially in the 1-split scan)
+    pages = spread_few_splits(pages)
     matches = F.regexp_extract_all(F.col(text_col), F.lit(COMBINED_PATTERN), 0)
     parsed = F.transform(matches, _parse_match)
     valid = F.filter(

@@ -211,31 +211,14 @@ def enrich_points(points: DataFrame, tiles: DataFrame, *,
 
 _CHEAP_DECODE = ("hgt", "hgt.gz")
 
-# logical operators whose presence means the points are already (re)spread
-# by a shuffle — the file count of the underlying scans then says nothing
-# about the frame's real partitioning
-_SHUFFLE_OPS = ("Join", "Aggregate", "Repartition", "Window",
-                "Sort", "Deduplicate")
-
-
 def _few_input_splits(points: DataFrame, spark) -> bool:
     """True when the points frame is a shuffle-free derivation of fewer
     input files than cores — the case where the scan undersupplies
-    parallelism and a tile-key spread pays for itself.  Metadata-only:
-    inspects the optimized plan string and the scan's file list, never
-    touches ``points.rdd`` (materializing the RDD executes upstream
-    shuffle stages eagerly under AQE, and the pre-AQE partition count it
-    reports is wrong anyway).  Conservative on both edges: any
-    shuffle-producing operator in the plan -> False (that shuffle already
-    distributed the rows), and a non-file source -> False."""
-    try:
-        plan = points._jdf.queryExecution().optimizedPlan().toString()
-    except Exception:
-        return False
-    if any(op in plan for op in _SHUFFLE_OPS):
-        return False
-    files = points.inputFiles()
-    return bool(files) and len(files) < spark.sparkContext.defaultParallelism
+    parallelism and a tile-key spread pays for itself.  Shared with the
+    r8 tokenize-spread helper (operators/spread.py — see there for the
+    metadata-only probe rules)."""
+    from .spread import few_input_splits
+    return few_input_splits(points, spark)
 
 
 def _enrich_broadcast(points: DataFrame, tiles: DataFrame,

@@ -296,6 +296,7 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     ngram_shingles, VERDICT r2 #3).  Docs shorter than K+W-1 tokens emit
     no rows (unchanged contract)."""
     from .dedup import token_code_col
+    from .spread import spread_few_splits
     # each stage materializes as a REAL column before the next consumes it:
     # referencing an array-valued expression inside an outer transform's
     # lambda re-evaluates the WHOLE inner expression per element (no CSE
@@ -303,7 +304,8 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     # a projected column evaluates once per row
     codes_c = F.transform(F.split(F.col(text_col), " "),
                           lambda t: token_code_col(t))
-    step1 = docs.select(F.col(id_col).alias("id"), codes_c.alias("_codes"))
+    step1 = (spread_few_splits(docs)
+             .select(F.col(id_col).alias("id"), codes_c.alias("_codes")))
     codes = F.col("_codes")
     n = F.size(codes)
 
