@@ -36,6 +36,21 @@ def get_spark(app: str = "spark-elevation",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate turns every explode-over-expression
+        # into an inferred `size(e) > 0 AND isnotnull(e)` filter that
+        # EMBEDS the full generator expression (twice) and is pushed to
+        # the scan, below any exchange — for this engine's HOF-heavy
+        # generators (bigram/shingle transforms, regex extraction
+        # pipelines, from_json ring parses) that re-evaluates the most
+        # expensive expression in the query 2 extra times per input row
+        # in the scan stage (r8, measured: the collocations bigram
+        # aggregate dropped 5.0-7.0 s -> 0.6 s with the rule excluded).
+        # The filter is semantically redundant — a non-outer Generate
+        # drops empty/null arrays itself — so plans stay
+        # result-identical at every scale; the rule only ever pays when
+        # the generator input is trivially cheap, which none of ours are.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))

@@ -37,8 +37,15 @@ def test_extraction_is_pure_projection_no_python(spark):
     pages = (spark.read.parquet(f"{SF}/documents.parquet")
              .select(F.col("doc_id").alias("url"), "text"))
     plan = plan_of(extract_coords(pages))
-    assert "Exchange" not in plan
+    # r8: a few-split local input gains ONE round-robin scan spread
+    # (operators/spread.py); the scale contract stays "no key shuffle" —
+    # no hash/range exchange of the pages, no Python
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
     assert "Python" not in plan  # regex + HOF stay JVM-side
+    # at-scale shape: an already-distributed input must add NO exchange
+    plan2 = plan_of(extract_coords(pages.repartition(64)))
+    assert plan2.count("Exchange") == 1, plan2  # only the caller's own
 
 
 def test_filter_pushdown_to_parquet_scan(spark):
@@ -212,13 +219,18 @@ def test_contamination_split_filter_below_shingle_explode(spark):
 def test_winnow_is_window_and_shuffle_free(spark):
     """r4: winnowing fingerprints are pure array-HOF per-doc arithmetic —
     the token-row Window shuffle of the r1-r3 form is gone.  Plan must
-    contain no Window and no Exchange at all."""
+    contain no Window and no key shuffle; r8 allows the single
+    round-robin scan spread on few-split local inputs
+    (operators/spread.py), which disappears on distributed inputs."""
     from elevation_service_spark.operators.text import winnow_fingerprints
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = plan_of(winnow_fingerprints(docs))
     assert "Window" not in plan, plan
-    assert "Exchange" not in plan, plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
     assert "Python" not in plan
+    plan2 = plan_of(winnow_fingerprints(docs.repartition(64)))
+    assert plan2.count("Exchange") == 1, plan2  # only the caller's own
 
 
 def test_pair_queries_single_tokenize_no_window(spark):
