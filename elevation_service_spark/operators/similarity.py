@@ -346,6 +346,12 @@ def kmeans_centroids(emb: DataFrame, k: int, iters: int = 5,
             "n": [e[1] for e in acc.values()]})
 
     for _ in range(iters):
+        # assignment stays on the Arrow probe UDF at every k (r8,
+        # measured): the struct-array Column argmax was tried here and
+        # ran ~1 s SLOWER per semantic_dedup call in alternating A/Bs —
+        # the numpy matrix argmax beats codegen over a k x dim term
+        # expression, and the rows already cross into Python for the
+        # partial-sum mapInPandas anyway.
         assign1 = _centroid_probe_udf(spark, cents, 1)
         assigned = base.withColumn("cid", F.element_at(assign1(F.col("ev")), 1))
         parts = (assigned.select("cid", "ev")
